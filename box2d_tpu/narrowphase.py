@@ -1,0 +1,242 @@
+"""Narrow phase: evaluate manifolds for candidate pairs + warm-start matching.
+
+Replaces the reference's CollideTask parallel-for + ContactRegister virtual
+dispatch (ref: src/World.cs:261-453, src/Contact.cs:324-474). Pairs are
+canonically oriented (circle always B, chain segment always A), then each
+shape-pair *class* kernel is vmapped over the whole pair buffer and lanes
+select their class's result. Classes that cannot occur in the scene (no
+circle shapes built, say) are gated out at trace time via `classes_present`,
+so a pure-polygon scene compiles only the SAT/clip kernel.
+
+Warm-start impulses transfer across steps by (canonical pair key, manifold
+feature id) matching, the dense-array equivalent of the reference's
+persistent ContactSim + id matching (ref: src/Contact.cs:385-413).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as g
+from . import manifold as mfm
+from . import math2d as m
+from .broadphase import PairBuffer
+from .state import ContactStore, WorldState
+
+# pair-class kernels (trace-time gate keys)
+CLS_CIRCLES = "circles"
+CLS_CAPSULE_CIRCLE = "capsule_circle"
+CLS_POLY_CIRCLE = "poly_circle"
+CLS_CAPSULES = "capsules"
+CLS_POLYS = "polys"
+CLS_CHAIN_CIRCLE = "chain_circle"
+CLS_CHAIN_POLY = "chain_poly"
+
+
+def classes_for_shape_types(types) -> frozenset:
+    """Host-side: which pair classes can occur given the shape types present."""
+    ts = set(int(x) for x in types)
+    has_circle = g.CIRCLE in ts
+    has_cap2 = bool(ts & {g.CAPSULE, g.SEGMENT})
+    has_poly = g.POLYGON in ts
+    has_chain = g.CHAIN_SEGMENT in ts
+    out = set()
+    if has_circle:
+        out.add(CLS_CIRCLES)
+        if has_cap2:
+            out.add(CLS_CAPSULE_CIRCLE)
+        if has_poly:
+            out.add(CLS_POLY_CIRCLE)
+        if has_chain:
+            out.add(CLS_CHAIN_CIRCLE)
+    if has_cap2:
+        out.add(CLS_CAPSULES)
+    if has_poly and (has_cap2 or has_poly):
+        out.add(CLS_POLYS)
+    if has_chain and (has_cap2 or has_poly):
+        out.add(CLS_CHAIN_POLY)
+    return frozenset(out)
+
+
+class ContactData(NamedTuple):
+    """Per-candidate-pair narrow phase output (P lanes)."""
+
+    shape_a: jnp.ndarray   # (P,) kernel-oriented shape ids
+    shape_b: jnp.ndarray
+    body_a: jnp.ndarray    # (P,)
+    body_b: jnp.ndarray
+    key: jnp.ndarray       # (P,) canonical pair key (-1 invalid)
+    manifold: mfm.Manifold  # batched (P, ...)
+    friction: jnp.ndarray
+    restitution: jnp.ndarray
+    rolling_resistance: jnp.ndarray
+    tangent_speed: jnp.ndarray
+    # warm-start transfer (matched from previous step)
+    normal_impulse: jnp.ndarray   # (P, 2)
+    tangent_impulse: jnp.ndarray  # (P, 2)
+    rolling_impulse: jnp.ndarray  # (P,)
+    was_touching: jnp.ndarray     # (P,) bool — previous-step touching
+
+
+def narrow_phase(state: WorldState, pairs: PairBuffer,
+                 classes_present: frozenset) -> ContactData:
+    sh = state.shapes
+    b = state.bodies
+    S = sh.type.shape[0]
+
+    ta0 = sh.type[pairs.shape_a]
+    tb0 = sh.type[pairs.shape_b]
+
+    # canonical orientation: chain -> A, circle -> B
+    swap = ((tb0 == g.CHAIN_SEGMENT) & (ta0 != g.CHAIN_SEGMENT)) | (
+        (ta0 == g.CIRCLE) & (tb0 != g.CIRCLE))
+    sa = jnp.where(swap, pairs.shape_b, pairs.shape_a)
+    sb = jnp.where(swap, pairs.shape_a, pairs.shape_b)
+    ta = sh.type[sa]
+    tb = sh.type[sb]
+
+    body_a = sh.body[sa]
+    body_b = sh.body[sb]
+    origin = b.origin
+    pa, qa = origin[body_a], b.rot[body_a]
+    pb, qb = origin[body_b], b.rot[body_b]
+
+    va, na = sh.verts[sa], sh.normals[sa]
+    ca, ra = sh.count[sa], sh.radius[sa]
+    vb, nb = sh.verts[sb], sh.normals[sb]
+    cb, rb = sh.count[sb], sh.radius[sb]
+
+    P = sa.shape[0]
+    out = mfm.Manifold(
+        normal=jnp.zeros((P, 2), jnp.float32),
+        point_count=jnp.zeros(P, jnp.int32),
+        anchor_a=jnp.zeros((P, 2, 2), jnp.float32),
+        anchor_b=jnp.zeros((P, 2, 2), jnp.float32),
+        point=jnp.zeros((P, 2, 2), jnp.float32),
+        separation=jnp.zeros((P, 2), jnp.float32),
+        ids=jnp.zeros((P, 2), jnp.int32),
+    )
+
+    def merge(mask, new):
+        return mfm.Manifold(*[
+            jnp.where(jnp.reshape(mask, (P,) + (1,) * (o.ndim - 1)), n, o)
+            for o, n in zip(out, new)])
+
+    if CLS_CIRCLES in classes_present:
+        man = jax.vmap(mfm.collide_circles)(
+            va[:, 0], ra, pa, qa, vb[:, 0], rb, pb, qb)
+        out = merge((ta == g.CIRCLE) & (tb == g.CIRCLE), man)
+    if CLS_CAPSULE_CIRCLE in classes_present:
+        man = jax.vmap(mfm.collide_capsule_circle)(
+            va[:, 0], va[:, 1], ra, pa, qa, vb[:, 0], rb, pb, qb)
+        out = merge(((ta == g.CAPSULE) | (ta == g.SEGMENT)) & (tb == g.CIRCLE), man)
+    if CLS_POLY_CIRCLE in classes_present:
+        man = jax.vmap(mfm.collide_polygon_circle)(
+            va, na, ca, ra, pa, qa, vb[:, 0], rb, pb, qb)
+        out = merge((ta == g.POLYGON) & (tb == g.CIRCLE), man)
+    if CLS_CHAIN_CIRCLE in classes_present:
+        man = jax.vmap(mfm.collide_chain_segment_circle)(
+            va[:, 0], va[:, 1], sh.ghost1[sa], sh.ghost2[sa], pa, qa,
+            vb[:, 0], rb, pb, qb)
+        out = merge((ta == g.CHAIN_SEGMENT) & (tb == g.CIRCLE), man)
+    if CLS_CAPSULES in classes_present:
+        man = jax.vmap(mfm.collide_capsules)(
+            va[:, 0], va[:, 1], ra, pa, qa, vb[:, 0], vb[:, 1], rb, pb, qb)
+        both2 = ((ta == g.CAPSULE) | (ta == g.SEGMENT)) & (
+            (tb == g.CAPSULE) | (tb == g.SEGMENT))
+        out = merge(both2, man)
+    if CLS_POLYS in classes_present:
+        man = jax.vmap(mfm.collide_polygons)(
+            va, na, ca, ra, pa, qa, vb, nb, cb, rb, pb, qb)
+        apoly = (ta == g.POLYGON) | (tb == g.POLYGON)
+        not_special = (ta != g.CHAIN_SEGMENT) & (tb != g.CIRCLE)
+        out = merge(apoly & not_special, man)
+    if CLS_CHAIN_POLY in classes_present:
+        man = jax.vmap(mfm.collide_chain_segment_polygon)(
+            va[:, 0], va[:, 1], sh.ghost1[sa], sh.ghost2[sa], pa, qa,
+            vb, nb, cb, rb, pb, qb)
+        out = merge((ta == g.CHAIN_SEGMENT) & (tb != g.CIRCLE), man)
+
+    # kill invalid lanes
+    out = out._replace(point_count=jnp.where(pairs.valid, out.point_count, 0))
+
+    # material mixing (ref: include/Types.cs:98-101 default callbacks,
+    # src/Contact.cs:330-339)
+    friction = jnp.sqrt(sh.friction[sa] * sh.friction[sb])
+    restitution = jnp.maximum(sh.restitution[sa], sh.restitution[sb])
+    rr = jnp.where(
+        (sh.rolling_resistance[sa] > 0) | (sh.rolling_resistance[sb] > 0),
+        jnp.maximum(sh.rolling_resistance[sa], sh.rolling_resistance[sb])
+        * jnp.maximum(ra, rb),
+        0.0)
+    tangent_speed = sh.tangent_speed[sa] + sh.tangent_speed[sb]
+
+    # re-base anchors on centers of mass (ref: src/Contact.cs:389-393
+    # anchor -= centerOffset, centerOffset = R * localCenter)
+    off_a = m.rot_vec(qa, b.local_center[body_a])
+    off_b = m.rot_vec(qb, b.local_center[body_b])
+    out = out._replace(
+        anchor_a=out.anchor_a - off_a[:, None, :],
+        anchor_b=out.anchor_b - off_b[:, None, :],
+    )
+
+    key = jnp.where(pairs.valid,
+                    jnp.minimum(sa, sb) * S + jnp.maximum(sa, sb),
+                    -1)
+
+    ni, ti, ri, was_touching = _match_warm_start(state.contacts, key, out.ids)
+
+    return ContactData(
+        shape_a=sa, shape_b=sb, body_a=body_a, body_b=body_b, key=key,
+        manifold=out, friction=friction, restitution=restitution,
+        rolling_resistance=rr, tangent_speed=tangent_speed,
+        normal_impulse=ni, tangent_impulse=ti, rolling_impulse=ri,
+        was_touching=was_touching,
+    )
+
+
+def _match_warm_start(store: ContactStore, new_key, new_ids):
+    """Transfer impulses from the previous step's store by (key, point id)
+    (ref: src/Contact.cs:385-413)."""
+    C = store.key.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    old_sortable = jnp.where(store.key < 0, big, store.key)
+    order = jnp.argsort(old_sortable)
+    sorted_old = old_sortable[order]
+    pos = jnp.searchsorted(sorted_old, jnp.where(new_key < 0, big - 1, new_key))
+    pos = jnp.clip(pos, 0, C - 1)
+    found = (sorted_old[pos] == new_key) & (new_key >= 0)
+    old_idx = jnp.where(found, order[pos], 0)
+
+    old_ids = store.ids[old_idx]            # (P, 2)
+    old_ni = store.normal_impulse[old_idx]  # (P, 2)
+    old_ti = store.tangent_impulse[old_idx]
+
+    def match_point(j):
+        same0 = found & (new_ids[:, j] == old_ids[:, 0])
+        same1 = found & (new_ids[:, j] == old_ids[:, 1])
+        ni = jnp.where(same0, old_ni[:, 0], jnp.where(same1, old_ni[:, 1], 0.0))
+        ti = jnp.where(same0, old_ti[:, 0], jnp.where(same1, old_ti[:, 1], 0.0))
+        return ni, ti
+
+    ni0, ti0 = match_point(0)
+    ni1, ti1 = match_point(1)
+    rolling = jnp.where(found, store.rolling_impulse[old_idx], 0.0)
+    was_touching = found & store.touching[old_idx]
+    return (jnp.stack([ni0, ni1], axis=1), jnp.stack([ti0, ti1], axis=1),
+            rolling, was_touching)
+
+
+def update_store(data: ContactData, capacity_pairs: int) -> ContactStore:
+    """Write the post-solve impulses back into the persistent store."""
+    return ContactStore(
+        key=data.key,
+        ids=data.manifold.ids,
+        normal_impulse=data.normal_impulse,
+        tangent_impulse=data.tangent_impulse,
+        rolling_impulse=data.rolling_impulse,
+        touching=data.manifold.point_count > 0,
+    )

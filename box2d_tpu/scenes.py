@@ -1,0 +1,123 @@
+"""Benchmark scenes matching BASELINE.json's driver configs.
+
+These mirror the classic Box2D benchmark scenes (the reference ships none,
+ref: README.md:4) so perf numbers are comparable across engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from . import geometry as g
+from . import types as t
+from .api import World
+from .state import Capacity
+
+
+def pyramid(rows: int = 20, substeps: int = 4, box_half: float = 0.5) -> World:
+    """Pyramid of boxes on static ground (classic stacking benchmark)."""
+    w = World(substeps=substeps)
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(4.0 * rows, 0.5))
+    sd = t.ShapeDef(density=1.0)
+    sd.material.friction = 0.6
+    h = box_half
+    shift = 1.0 * h
+    for i in range(rows):
+        y = (2.0 * h) * i + h
+        n = rows - i
+        x0 = -shift * n + shift
+        for j in range(n):
+            b = w.create_body(t.BodyDef(type=t.DYNAMIC,
+                                        position=(x0 + 2.0 * shift * j, y)))
+            w.create_polygon_shape(b, sd, g.box(h, h))
+    return w
+
+
+def tumbler(count: int = 800, substeps: int = 4) -> World:
+    """Rotating kinematic container churning dynamic boxes
+    (dense contact graph)."""
+    w = World(substeps=substeps)
+    drum = w.create_body(t.BodyDef(type=t.KINEMATIC, position=(0.0, 10.0),
+                                   angular_velocity=0.25 * math.pi))
+    sd = t.ShapeDef(density=50.0)
+    w.create_polygon_shape(drum, sd, g.box(0.5, 10.0, center=(10.0, 0.0)))
+    w.create_polygon_shape(drum, sd, g.box(0.5, 10.0, center=(-10.0, 0.0)))
+    w.create_polygon_shape(drum, sd, g.box(10.0, 0.5, center=(0.0, 10.0)))
+    w.create_polygon_shape(drum, sd, g.box(10.0, 0.5, center=(0.0, -10.0)))
+    bd = t.ShapeDef(density=1.0)
+    side = int(math.ceil(math.sqrt(count)))
+    n = 0
+    for i in range(side):
+        for j in range(side):
+            if n >= count:
+                break
+            x = -4.0 + 0.4 * j
+            y = 10.0 - 4.0 + 0.4 * i
+            b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(x, y)))
+            w.create_polygon_shape(b, bd, g.box(0.125, 0.125))
+            n += 1
+    return w
+
+
+def joint_farm(ragdolls: int = 100, substeps: int = 4) -> World:
+    """Grid of simple 4-link ragdolls: revolute + distance + prismatic wheel
+    mix with motors, hanging from static anchors."""
+    w = World(substeps=substeps)
+    sd = t.ShapeDef(density=1.0)
+    cols = int(math.ceil(math.sqrt(ragdolls)))
+    for r in range(ragdolls):
+        cx = (r % cols) * 5.0
+        cy = (r // cols) * 6.0 + 5.0
+        anchor = w.create_body(t.BodyDef(type=t.STATIC, position=(cx, cy)))
+        # torso hangs from anchor by revolute with motor
+        torso = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(cx, cy - 1.0)))
+        w.create_capsule_shape(torso, sd, (0.0, -0.5), (0.0, 0.5), 0.15)
+        w.create_joint(t.RevoluteJointDef(
+            body_a=anchor, body_b=torso,
+            local_anchor_a=(0.0, 0.0), local_anchor_b=(0.0, 1.0),
+            enable_motor=True, max_motor_torque=10.0, motor_speed=0.5))
+        # arm by revolute with limit
+        arm = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(cx + 0.6, cy - 1.0)))
+        w.create_capsule_shape(arm, sd, (-0.3, 0.0), (0.3, 0.0), 0.1)
+        w.create_joint(t.RevoluteJointDef(
+            body_a=torso, body_b=arm,
+            local_anchor_a=(0.15, 0.0), local_anchor_b=(-0.45, 0.0),
+            enable_limit=True, lower_angle=-0.5 * math.pi,
+            upper_angle=0.5 * math.pi))
+        # leg by prismatic with motor
+        leg = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(cx, cy - 2.2)))
+        w.create_capsule_shape(leg, sd, (0.0, -0.3), (0.0, 0.3), 0.1)
+        w.create_joint(t.PrismaticJointDef(
+            body_a=torso, body_b=leg,
+            local_anchor_a=(0.0, -0.5), local_anchor_b=(0.0, 0.5),
+            local_axis_a=(0.0, 1.0), enable_limit=True,
+            lower_translation=-0.2, upper_translation=0.2,
+            enable_motor=True, max_motor_force=5.0))
+        # counterweight by distance spring
+        ball = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(cx - 1.0, cy - 1.5)))
+        w.create_circle_shape(ball, sd, (0.0, 0.0), 0.15)
+        w.create_joint(t.DistanceJointDef(
+            body_a=torso, body_b=ball,
+            local_anchor_a=(0.0, 0.0), local_anchor_b=(0.0, 0.0),
+            length=1.2, enable_spring=True, hertz=3.0, damping_ratio=0.5))
+    return w
+
+
+def bullet_barrage(bullets: int = 50, substeps: int = 4) -> World:
+    """High-speed small boxes fired at a thin wall (continuous collision)."""
+    w = World(substeps=substeps)
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(100.0, 0.5))
+    # thin static walls
+    for i in range(4):
+        wall = w.create_body(t.BodyDef(type=t.STATIC, position=(20.0 + 10.0 * i, 5.0)))
+        w.create_polygon_shape(wall, t.ShapeDef(), g.box(0.05, 5.0))
+    sd = t.ShapeDef(density=5.0)
+    for i in range(bullets):
+        b = w.create_body(t.BodyDef(
+            type=t.DYNAMIC, position=(-10.0, 1.0 + 0.3 * i),
+            linear_velocity=(150.0 + i, 0.0), is_bullet=True,
+            gravity_scale=0.0))
+        w.create_circle_shape(b, sd, (0.0, 0.0), 0.1)
+    return w

@@ -1,0 +1,309 @@
+"""WorldState: the entire simulation state as a pytree of dense arrays.
+
+This is the TPU-first replacement for the reference's pointer-based World
+object graph (ref: src/World.cs:43-226, src/SolverSet.cs, src/Body.cs): all
+entities live in fixed-capacity struct-of-arrays with validity masks, so
+`step` is a pure function WorldState -> WorldState that jits once, vmaps over
+world batches, and shards over device meshes.
+
+Design mapping from the reference:
+- BodyState/BodySim/Body (ref: src/Body.cs:35-173) -> Bodies arrays. The
+  static/disabled/awake/sleeping *solver sets* (ref: src/SolverSet.cs) are
+  replaced by per-body type/enabled/awake masks — set migration is a CPU
+  memory-locality optimization a masked batched solver does not need.
+- Shape + per-geometry records (ref: src/Shape.cs, include/Collision.cs) ->
+  Shapes arrays in the unified rounded-polygon representation.
+- Contact/ContactSim with persistent warm-start impulses
+  (ref: src/Contact.cs) -> ContactStore keyed by canonical pair key.
+- JointSim + per-type joints (ref: src/Joint.cs, src/joints/*) -> Joints
+  arrays with a type tag and a parameter union.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Body types (ref: include/Types.cs BodyType)
+STATIC = 0
+KINEMATIC = 1
+DYNAMIC = 2
+
+# Body flag bits (subset of ref: src/Body.cs BodyFlags)
+LOCK_LINEAR_X = 1
+LOCK_LINEAR_Y = 2
+LOCK_ANGULAR_Z = 4
+IS_BULLET = 8
+ALLOW_FAST_ROTATION = 16
+ENABLE_SLEEP = 32
+
+# Joint types
+JOINT_DISTANCE = 0
+JOINT_MOTOR = 1
+JOINT_PRISMATIC = 2
+JOINT_REVOLUTE = 3
+JOINT_WELD = 4
+JOINT_WHEEL = 5
+JOINT_FILTER = 6
+JOINT_MOUSE = 7
+
+
+def _pytree(cls):
+    """Register a dataclass whose fields are all array leaves."""
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda obj: (tuple(getattr(obj, f) for f in fields), None),
+        lambda _, children: cls(*children),
+    )
+    return cls
+
+
+@_pytree
+class Bodies:
+    """Dense body state; lane i is body id i. (ref: src/Body.cs:35-173)"""
+
+    center: Any        # (Nb, 2) world center of mass
+    rot: Any           # (Nb, 2) rotation (cos, sin)
+    v: Any             # (Nb, 2) linear velocity of COM
+    w: Any             # (Nb,)  angular velocity
+    force: Any         # (Nb, 2) accumulated user force
+    torque: Any        # (Nb,)
+    local_center: Any  # (Nb, 2) COM in body-local frame
+    inv_mass: Any      # (Nb,)
+    inv_inertia: Any   # (Nb,)
+    mass: Any          # (Nb,)
+    inertia: Any       # (Nb,)
+    linear_damping: Any
+    angular_damping: Any
+    gravity_scale: Any
+    type: Any          # (Nb,) i32: STATIC/KINEMATIC/DYNAMIC
+    flags: Any         # (Nb,) i32 bitfield
+    sleep_time: Any    # (Nb,)
+    sleep_threshold: Any  # (Nb,)
+    min_extent: Any    # (Nb,) min shape extent (continuous-collision gate)
+    max_extent: Any    # (Nb,) max shape reach from COM (sleep/fast checks)
+    awake: Any         # (Nb,) bool — sleeping bodies hold state frozen
+    enabled: Any       # (Nb,) bool — lane allocated & enabled
+    user_data: Any     # (Nb,) i32 opaque tag
+
+    @property
+    def origin(self):
+        """Body origin transform position p = center - R*local_center
+        (ref: src/Solver.cs:429)."""
+        from . import math2d as m
+
+        return self.center - m.rot_vec(self.rot, self.local_center)
+
+
+@_pytree
+class Shapes:
+    """Unified shape arrays (see geometry.py). (ref: src/Shape.cs:24-301)"""
+
+    body: Any      # (S,) i32 owning body id
+    type: Any      # (S,) i32 geometry.CIRCLE..CHAIN_SEGMENT
+    verts: Any     # (S, 8, 2) local
+    normals: Any   # (S, 8, 2)
+    count: Any     # (S,) i32
+    radius: Any    # (S,)
+    centroid: Any  # (S, 2)
+    ghost1: Any    # (S, 2) chain segments only
+    ghost2: Any    # (S, 2)
+    friction: Any
+    restitution: Any
+    rolling_resistance: Any
+    tangent_speed: Any
+    user_material: Any  # (S,) i32
+    density: Any
+    filter_category: Any  # (S,) u32
+    filter_mask: Any      # (S,) u32
+    filter_group: Any     # (S,) i32
+    is_sensor: Any        # (S,) bool
+    enable_contact_events: Any  # (S,) bool
+    enable_hit_events: Any      # (S,) bool
+    enable_sensor_events: Any   # (S,) bool
+    enabled: Any          # (S,) bool
+
+
+@_pytree
+class ContactStore:
+    """Persistent per-pair warm-start data, keyed by canonical pair key
+    (shape_a * S + shape_b). Rebuilt-and-matched every step
+    (ref: src/Contact.cs:385-413 impulse matching by feature id)."""
+
+    key: Any             # (C,) i32, -1 = empty
+    ids: Any             # (C, 2) i32 manifold point feature ids
+    normal_impulse: Any  # (C, 2)
+    tangent_impulse: Any  # (C, 2)
+    rolling_impulse: Any  # (C,)
+    touching: Any        # (C,) bool — for begin/end events
+
+
+@_pytree
+class Joints:
+    """All joints in one SoA with a type tag; per-type parameters live in a
+    shared column union (documented per field). (ref: src/Joint.cs:18-133,
+    src/joints/*). Joints attach via local *frames* like upstream Box2D v3
+    (ref: include/Types.cs:440-441); the builder converts v2-style
+    anchor/axis/reference-angle defs into frames."""
+
+    type: Any            # (J,) i32
+    enabled: Any         # (J,) bool
+    body_a: Any          # (J,) i32
+    body_b: Any          # (J,) i32
+    frame_a_p: Any       # (J, 2) local frame A origin
+    frame_a_q: Any       # (J, 2) local frame A rotation (cos, sin)
+    frame_b_p: Any       # (J, 2)
+    frame_b_q: Any       # (J, 2)
+    collide_connected: Any  # (J,) bool
+    constraint_hertz: Any   # (J,) rigid-constraint softness (default 60)
+    constraint_damping_ratio: Any  # (J,) default 2
+    # spring / motor / limit union
+    hertz: Any           # (J,) main/linear spring hertz
+    damping_ratio: Any   # (J,)
+    enable_spring: Any   # (J,) bool
+    enable_limit: Any    # (J,) bool
+    enable_motor: Any    # (J,) bool
+    lower: Any           # (J,) lower limit (length/angle/translation)
+    upper: Any           # (J,)
+    motor_speed: Any     # (J,)
+    max_motor_force: Any  # (J,) force or torque depending on type
+    # distance joint specifics
+    length: Any          # (J,) rest length
+    lower_spring_force: Any  # (J,)
+    upper_spring_force: Any  # (J,)
+    # revolute/prismatic spring target
+    spring_target: Any   # (J,) target angle / translation
+    # weld/motor secondary (angular) spring
+    angular_hertz: Any   # (J,)
+    angular_damping_ratio: Any  # (J,)
+    # motor joint targets
+    linear_velocity: Any     # (J, 2)
+    angular_velocity: Any    # (J,)
+    max_velocity_force: Any  # (J,)
+    max_velocity_torque: Any  # (J,)
+    max_spring_force: Any    # (J,)
+    max_spring_torque: Any   # (J,)
+    # accumulated impulses (warm starting)
+    impulse: Any         # (J, 2) main linear/(perp,angle) impulse
+    spring_impulse: Any  # (J,) axial/angular spring impulse
+    spring_impulse2: Any  # (J, 2) motor joint linear spring impulse
+    motor_impulse: Any   # (J,)
+    lower_impulse: Any   # (J,)
+    upper_impulse: Any   # (J,)
+    angular_impulse: Any  # (J,) weld angular / motor angular-velocity impulse
+
+
+@_pytree
+class Tuning:
+    """Runtime world tuning (ref: include/Types.cs:77-144 WorldDef +
+    api/World.cs:628-807 setters). Traced scalars so they can change without
+    recompiling."""
+
+    gravity: Any
+    restitution_threshold: Any
+    hit_event_threshold: Any
+    contact_hertz: Any
+    contact_damping_ratio: Any
+    contact_speed: Any
+    max_linear_speed: Any
+    joint_hertz: Any
+    joint_damping_ratio: Any
+    enable_sleep: Any
+    enable_continuous: Any
+    enable_warm_starting: Any
+    enable_speculative: Any
+
+
+@_pytree
+class Events:
+    """Per-step event buffers (ref: include/Types.cs:665-792, double
+    buffering in api/World.cs:105-111 is unnecessary here: the whole Events
+    pytree is rebuilt every step and the previous one stays valid)."""
+
+    contact_begin: Any       # (E, 2) i32 shape id pairs
+    contact_begin_count: Any
+    contact_end: Any         # (E, 2)
+    contact_end_count: Any
+    hit_point: Any           # (E, 2) f32
+    hit_normal: Any          # (E, 2)
+    hit_speed: Any           # (E,)
+    hit_shapes: Any          # (E, 2) i32
+    hit_count: Any
+    sensor_begin: Any        # (E, 2) i32 (sensor shape, visitor shape)
+    sensor_begin_count: Any
+    sensor_end: Any          # (E, 2)
+    sensor_end_count: Any
+    joint_force: Any         # (E,) i32 joint ids over force threshold
+    joint_force_count: Any
+
+
+@_pytree
+class Profile:
+    """Per-step counters (ref: include/Types.cs:378-419 Profile/Counters).
+    Wall-time phases are measured by jax.profiler; these are logical."""
+
+    pair_count: Any
+    contact_point_count: Any
+    color_count: Any
+    overflow_pairs: Any       # candidate-buffer overflow (diagnostic!)
+    overflow_colors: Any      # constraints that did not fit a color
+
+
+@_pytree
+class WorldState:
+    bodies: Bodies
+    shapes: Shapes
+    contacts: ContactStore
+    joints: Joints
+    tuning: Tuning
+    events: Events
+    profile: Profile
+    sensor_overlap: Any  # (S_sensor_cap,) persistent sensor visitor keys
+    step_count: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Capacity:
+    """Static capacities — part of the jit signature, not of the state."""
+
+    max_bodies: int
+    max_shapes: int
+    max_joints: int
+    max_contact_pairs: int       # total candidate pair capacity
+    max_neighbors: int = 16      # per-shape AABB overlap cap (broadphase)
+    max_colors: int = 24         # ref: src/Constants.cs:13
+    sensor_pair_capacity: int = 256
+    event_capacity: int = 256
+
+
+def zero_events(cap: Capacity) -> Events:
+    e = cap.event_capacity
+    i0 = jnp.int32(0)
+    return Events(
+        contact_begin=jnp.zeros((e, 2), jnp.int32),
+        contact_begin_count=i0,
+        contact_end=jnp.zeros((e, 2), jnp.int32),
+        contact_end_count=i0,
+        hit_point=jnp.zeros((e, 2), jnp.float32),
+        hit_normal=jnp.zeros((e, 2), jnp.float32),
+        hit_speed=jnp.zeros((e,), jnp.float32),
+        hit_shapes=jnp.zeros((e, 2), jnp.int32),
+        hit_count=i0,
+        sensor_begin=jnp.zeros((e, 2), jnp.int32),
+        sensor_begin_count=i0,
+        sensor_end=jnp.zeros((e, 2), jnp.int32),
+        sensor_end_count=i0,
+        joint_force=jnp.zeros((e,), jnp.int32),
+        joint_force_count=i0,
+    )
+
+
+def zero_profile() -> Profile:
+    i0 = jnp.int32(0)
+    return Profile(i0, i0, i0, i0, i0)

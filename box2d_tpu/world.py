@@ -1,0 +1,225 @@
+"""World.step — the fully-jitted physics step.
+
+Orchestration counterpart of ref: api/World.cs:31-113 (Step) +
+src/Solver.cs:739-1322 (World.Solve), redesigned as one pure function:
+
+    step(state, dt) -> state
+
+No stage machine, no work stealing, no arenas: the whole step is one XLA
+program. Phases: broadphase pairs -> narrow-phase manifolds + warm-start
+matching -> constraint coloring -> TGS-soft substep loop -> restitution ->
+store impulses -> finalize bodies -> events.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import math2d as m
+from .broadphase import compute_shape_aabbs, find_pairs
+from .coloring import color_constraints
+from .narrowphase import ContactData, narrow_phase, update_store
+from .solver import (BodySolverState, integrate_positions,
+                     integrate_velocities, finalize_bodies, prepare_contacts,
+                     restitution_color, solve_color, warm_start_color)
+from .state import Capacity, WorldState, zero_events, zero_profile
+from .joints import (prepare_joints, warm_start_joints_color,
+                     solve_joints_color)
+
+
+def make_step(capacity: Capacity, classes_present: frozenset,
+              substeps: int = 4,
+              joint_types: frozenset = frozenset()) -> Callable:
+    """Build a jit-able step function for the given static configuration."""
+
+    # NOTE: no buffer donation — identical zero-filled outputs (cleared
+    # forces, empty event slots) get CSE'd into one buffer, and donating an
+    # aliased buffer twice is an XLA error. Revisit with explicit
+    # de-aliasing if allocation shows up in profiles.
+    @jax.jit
+    def step(state: WorldState, dt) -> WorldState:
+        return _step(state, dt, capacity, classes_present, substeps,
+                     joint_types)
+
+    return step
+
+
+def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
+          substeps: int, joint_types: frozenset = frozenset()) -> WorldState:
+    dt = jnp.asarray(dt, jnp.float32)
+    inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    h = dt / substeps
+    inv_h = jnp.where(h > 0, 1.0 / jnp.where(h > 0, h, 1.0), 0.0)
+    b = state.bodies
+    nb = b.center.shape[0]
+    tn = state.tuning
+
+    # --- broadphase + narrow phase (ref: api/World.cs:59, :86) -----------
+    aabbs = compute_shape_aabbs(state)
+    pairs = find_pairs(state, cap, aabbs)
+    data = narrow_phase(state, pairs, classes_present)
+    touching = data.manifold.point_count > 0
+
+    # --- constraint graph coloring (contacts + joints share colors) ------
+    jn = state.joints
+    joint_active = jn.enabled & (jn.type >= 0) & _joint_needs_solve(jn)
+    all_ba = jnp.concatenate([data.body_a, jn.body_a])
+    all_bb = jnp.concatenate([data.body_b, jn.body_b])
+    all_active = jnp.concatenate([touching, joint_active])
+    colors, ovf, overflow_colors = color_constraints(
+        all_ba, all_bb, all_active, b.type, nb, cap.max_colors)
+    p = data.body_a.shape[0]
+    contact_color = jnp.where(touching, colors[:p], -1)
+    joint_color = jnp.where(joint_active, colors[p:], -1)
+    num_colors = jnp.maximum(jnp.max(jnp.where(all_active, colors, -1)) + 1, 0)
+
+    # mass-splitting scale for the overflow color (conflicting constraints
+    # are Jacobi-averaged instead of the reference's serial sweep)
+    deg = jnp.zeros(nb + 1, jnp.float32)
+    deg = deg.at[jnp.where(ovf, all_ba, nb)].add(1.0)
+    deg = deg.at[jnp.where(ovf, all_bb, nb)].add(1.0)
+    cdeg = jnp.maximum(jnp.maximum(deg[all_ba], deg[all_bb]), 1.0)
+    relax = jnp.where(ovf, 1.0 / cdeg, 1.0)
+    contact_relax = relax[:p]
+    joint_relax = relax[p:]
+
+    # --- prepare solver state (ref: SolverStage Prepare*) -----------------
+    bs = BodySolverState(
+        v=b.v, w=b.w,
+        dp=jnp.zeros_like(b.center),
+        dq=m.rot_identity((nb,)),
+    )
+    cc = prepare_contacts(state, data, bs, contact_color, h, inv_h)
+    jc = prepare_joints(state, bs, joint_color, h, inv_h, joint_types)
+
+    # --- substep loop (ref: src/Solver.cs:624-682) ------------------------
+    def color_loop(fn, carry):
+        def body(c, carry):
+            return fn(c, carry)
+        return lax.fori_loop(0, num_colors, body, carry)
+
+    def substep(_, carry):
+        bs, cc, jc = carry
+        bs = integrate_velocities(b, bs, tn, h, inv_dt)
+
+        def warm(c, carry):
+            bs, cc, jc = carry
+            bs, jc = warm_start_joints_color(state, bs, jc, jc.color == c,
+                                             joint_types)
+            bs = warm_start_color(bs, cc, cc.color == c)
+            return bs, cc, jc
+
+        bs, cc, jc = color_loop(warm, (bs, cc, jc))
+
+        def solve(c, carry):
+            bs, cc, jc = carry
+            bs, jc = solve_joints_color(state, bs, jc, jc.color == c, True,
+                                        h, inv_h, joint_relax, joint_types)
+            bs, cc = solve_color(bs, cc, cc.color == c, True, inv_h,
+                                 tn.contact_speed, contact_relax)
+            return bs, cc, jc
+
+        bs, cc, jc = color_loop(solve, (bs, cc, jc))
+        bs = integrate_positions(b, bs, h)
+
+        def relax_pass(c, carry):
+            bs, cc, jc = carry
+            bs, jc = solve_joints_color(state, bs, jc, jc.color == c, False,
+                                        h, inv_h, joint_relax, joint_types)
+            bs, cc = solve_color(bs, cc, cc.color == c, False, inv_h,
+                                 tn.contact_speed, contact_relax)
+            return bs, cc, jc
+
+        bs, cc, jc = color_loop(relax_pass, (bs, cc, jc))
+        return bs, cc, jc
+
+    bs, cc, jc = lax.fori_loop(0, substeps, substep, (bs, cc, jc))
+
+    # --- restitution + store (ref: src/Solver.cs:684-702) ----------------
+    def restit(c, carry):
+        bs, cc = carry
+        return restitution_color(bs, cc, cc.color == c, tn.restitution_threshold)
+
+    bs, cc = lax.fori_loop(0, num_colors, restit, (bs, cc))
+
+    data = data._replace(
+        normal_impulse=cc.normal_impulse,
+        tangent_impulse=cc.tangent_impulse,
+        rolling_impulse=cc.rolling_impulse,
+    )
+    new_store = update_store(data, cap.max_contact_pairs)
+    state = dataclasses.replace(state, contacts=new_store,
+                                joints=_store_joint_impulses(state.joints, jc))
+
+    # --- events -----------------------------------------------------------
+    events = _contact_events(state, data, touching, cap)
+
+    # --- finalize ----------------------------------------------------------
+    state = finalize_bodies(state, bs, dt, inv_dt)
+    profile = zero_profile()
+    profile = dataclasses.replace(
+        profile,
+        pair_count=pairs.count,
+        contact_point_count=jnp.sum(data.manifold.point_count),
+        color_count=num_colors.astype(jnp.int32),
+        overflow_pairs=pairs.overflow,
+        overflow_colors=overflow_colors,
+    )
+    return dataclasses.replace(
+        state, events=events, profile=profile,
+        step_count=state.step_count + 1)
+
+
+def _joint_needs_solve(jn):
+    from .state import JOINT_FILTER
+
+    return jn.type != JOINT_FILTER
+
+
+def _store_joint_impulses(joints, jc):
+    if jc is None:
+        return joints
+    return dataclasses.replace(
+        joints,
+        impulse=jc.impulse,
+        spring_impulse=jc.spring_impulse,
+        spring_impulse2=jc.spring_impulse2,
+        motor_impulse=jc.motor_impulse,
+        lower_impulse=jc.lower_impulse,
+        upper_impulse=jc.upper_impulse,
+        angular_impulse=jc.angular_impulse,
+    )
+
+
+def _compact_events(mask, payload, capacity):
+    """Scatter masked lanes into a fixed-size event array."""
+    pos = jnp.cumsum(mask) - 1
+    count = jnp.sum(mask)
+    out = jnp.zeros((capacity,) + payload.shape[1:], payload.dtype)
+    out = out.at[jnp.where(mask, pos, capacity)].set(payload, mode="drop")
+    return out, jnp.minimum(count, capacity).astype(jnp.int32)
+
+
+def _contact_events(state: WorldState, data: ContactData, touching, cap):
+    """Begin/end touch events (ref: src/World.cs:376-450 bitset drains ->
+    here a simple prev/next touching diff)."""
+    sh = state.shapes
+    ev_enabled = (sh.enable_contact_events[data.shape_a]
+                  & sh.enable_contact_events[data.shape_b])
+    begin = touching & ~data.was_touching & ev_enabled
+    end = ~touching & data.was_touching & ev_enabled
+    pairs_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
+    begin_arr, begin_count = _compact_events(begin, pairs_ab, cap.event_capacity)
+    end_arr, end_count = _compact_events(end, pairs_ab, cap.event_capacity)
+    events = zero_events(cap)
+    return dataclasses.replace(
+        events,
+        contact_begin=begin_arr, contact_begin_count=begin_count,
+        contact_end=end_arr, contact_end_count=end_count,
+    )

@@ -1,11 +1,18 @@
-"""Test config: run on CPU with a virtual 8-device mesh for sharding tests."""
+"""Test config: run on CPU with a virtual 8-device mesh for sharding tests.
+
+The container's sitecustomize force-registers the `axon` TPU platform, so the
+JAX_PLATFORMS env var alone is not enough — we must update the jax config
+before any backend initializes.
+"""
 
 import os
 
-# Must be set before jax imports anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,154 @@
+import jax
+import numpy as np
+
+from box2d_tpu import api, geometry as g, scenes
+from box2d_tpu import types as t
+
+
+def _dyn(w):
+    return np.asarray(w.state.bodies.type) == t.DYNAMIC
+
+
+def test_box_falls_and_rests():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(10.0, 0.5))
+    box = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0, 2.0)))
+    w.create_polygon_shape(box, t.ShapeDef(), g.box(0.5, 0.5))
+    w.compile()
+    for _ in range(120):
+        w.step(1 / 60)
+    assert abs(w.body_position(box)[1] - 0.5) < 0.01
+    assert np.linalg.norm(w.body_linear_velocity(box)) < 0.01
+
+
+def test_pyramid_stable():
+    w = scenes.pyramid(rows=6).compile()
+    ref = np.asarray(w.state.bodies.center).copy()
+    for _ in range(240):
+        w.step(1 / 60)
+    b = w.state.bodies
+    drift = np.abs(np.asarray(b.center) - ref)[_dyn(w)]
+    # a well-built pyramid should settle almost exactly where it started
+    assert drift.max() < 0.02, f"pyramid drifted {drift.max()}"
+    assert np.abs(np.asarray(b.v)[_dyn(w)]).max() < 0.01
+    assert int(w.state.profile.overflow_pairs) == 0
+
+
+def test_restitution_bounce():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    sd = t.ShapeDef()
+    sd.material.restitution = 0.8
+    w.create_polygon_shape(ground, sd, g.box(10.0, 0.5))
+    ball = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0, 4.0)))
+    bd = t.ShapeDef()
+    bd.material.restitution = 0.8
+    w.create_circle_shape(ball, bd, (0, 0), 0.5)
+    w.compile()
+    max_y_after_bounce = 0.0
+    bounced = False
+    for i in range(240):
+        w.step(1 / 60)
+        y = w.body_position(ball)[1]
+        vy = w.body_linear_velocity(ball)[1]
+        if vy > 0.1:
+            bounced = True
+        if bounced:
+            max_y_after_bounce = max(max_y_after_bounce, y)
+    assert bounced
+    # dropped from 3.5m above rest, e=0.8 => rebound ~0.64*3.5 ~ 2.2m
+    assert 1.2 < max_y_after_bounce < 3.6
+
+
+def test_friction_ramp():
+    # box on a 20-degree ramp: high friction holds, low friction slides
+    def run(friction):
+        w = api.World()
+        ramp = w.create_body(t.BodyDef(type=t.STATIC, angle=-0.35))
+        sd = t.ShapeDef()
+        sd.material.friction = friction
+        w.create_polygon_shape(ramp, sd, g.box(10.0, 0.5))
+        box = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.2),
+                                      angle=-0.35))
+        bd = t.ShapeDef()
+        bd.material.friction = friction
+        w.create_polygon_shape(box, bd, g.box(0.4, 0.4))
+        w.compile()
+        x0 = w.body_position(box)[0]
+        for _ in range(120):
+            w.step(1 / 60)
+        return w.body_position(box)[0] - x0
+
+    assert abs(run(1.0)) < 0.05          # sticks
+    assert run(0.02) > 1.0               # slides down (+x downhill)
+
+
+def test_speculative_no_tunnel_fast_box():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(50.0, 0.5))
+    box = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0, 5.0),
+                                  linear_velocity=(0.0, -30.0)))
+    w.create_polygon_shape(box, t.ShapeDef(), g.box(0.5, 0.5))
+    w.compile()
+    for _ in range(120):
+        w.step(1 / 60)
+    assert w.body_position(box)[1] > 0.4  # did not tunnel through
+
+
+def test_contact_events():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    sd = t.ShapeDef(enable_contact_events=True)
+    w.create_polygon_shape(ground, sd, g.box(10.0, 0.5))
+    box = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0, 1.2)))
+    w.create_polygon_shape(box, sd, g.box(0.5, 0.5))
+    w.compile()
+    begins = 0
+    for _ in range(60):
+        w.step(1 / 60)
+        begins += int(w.state.events.contact_begin_count)
+    assert begins >= 1
+
+
+def test_kinematic_body_moves():
+    w = api.World()
+    kin = w.create_body(t.BodyDef(type=t.KINEMATIC, position=(0, 0),
+                                  linear_velocity=(1.0, 0.0),
+                                  angular_velocity=0.5))
+    w.create_polygon_shape(kin, t.ShapeDef(), g.box(0.5, 0.5))
+    w.compile()
+    for _ in range(60):
+        w.step(1 / 60)
+    assert abs(w.body_position(kin)[0] - 1.0) < 1e-3
+    assert abs(w.body_angle(kin) - 0.5) < 1e-3
+
+
+def test_vmap_worlds_match_single():
+    # batched world stepping == single world stepping (lane 0)
+    from box2d_tpu.world import _step
+    import jax.numpy as jnp
+
+    w = scenes.pyramid(rows=3)
+    state, cap = w.builder.build()
+    from box2d_tpu.narrowphase import classes_for_shape_types
+
+    classes = classes_for_shape_types(
+        s["geom"].type for s in w.builder._shapes)
+
+    def step1(s):
+        return _step(s, jnp.float32(1 / 60), cap, classes, 4)
+
+    batched = jax.tree.map(lambda x: jnp.stack([x] * 3), state)
+    vstep = jax.jit(jax.vmap(step1))
+    single = jax.jit(step1)
+    s1 = state
+    sb = batched
+    for _ in range(10):
+        s1 = single(s1)
+        sb = vstep(sb)
+    np.testing.assert_allclose(np.asarray(sb.bodies.center[0]),
+                               np.asarray(s1.bodies.center), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sb.bodies.center[1]),
+                               np.asarray(sb.bodies.center[2]), atol=0)
