@@ -68,7 +68,10 @@ class World:
         classes = classes_for_shape_types(
             s["geom"].type for s in self.builder._shapes)
         jtypes = joint_types_present(j["_type"] for j in self.builder._joints)
-        self._step = make_step(self.capacity, classes, self.substeps, jtypes)
+        from .sensors import sensor_shape_ids
+        sensors = sensor_shape_ids(self.builder._shapes)
+        self._step = make_step(self.capacity, classes, self.substeps, jtypes,
+                               sensors)
         return self
 
     def step(self, dt: float = 1.0 / 60.0):

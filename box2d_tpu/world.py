@@ -35,7 +35,8 @@ from .joints import (prepare_joints, warm_start_joints_color,
 
 def make_step(capacity: Capacity, classes_present: frozenset,
               substeps: int = 4,
-              joint_types: frozenset = frozenset()) -> Callable:
+              joint_types: frozenset = frozenset(),
+              sensor_ids: tuple = ()) -> Callable:
     """Build a jit-able step function for the given static configuration."""
 
     # NOTE: no buffer donation — identical zero-filled outputs (cleared
@@ -45,13 +46,14 @@ def make_step(capacity: Capacity, classes_present: frozenset,
     @jax.jit
     def step(state: WorldState, dt) -> WorldState:
         return _step(state, dt, capacity, classes_present, substeps,
-                     joint_types)
+                     joint_types, sensor_ids)
 
     return step
 
 
 def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
-          substeps: int, joint_types: frozenset = frozenset()) -> WorldState:
+          substeps: int, joint_types: frozenset = frozenset(),
+          sensor_ids: tuple = ()) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -162,6 +164,13 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
 
     # --- finalize ----------------------------------------------------------
     state = finalize_bodies(state, bs, dt, inv_dt)
+
+    # --- sensors (ref: api/World.cs:99 OverlapSensors after solve) ---------
+    from .sensors import sensor_pass
+
+    state = dataclasses.replace(state, events=events)
+    state = sensor_pass(state, cap, sensor_ids)
+    events = state.events
     profile = zero_profile()
     profile = dataclasses.replace(
         profile,

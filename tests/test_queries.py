@@ -1,0 +1,119 @@
+import jax.numpy as jnp
+import numpy as np
+
+from box2d_tpu import api, geometry as g, queries
+from box2d_tpu import types as t
+
+
+def _scene():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(10, 0.5))
+    box = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(3, 1)))
+    w.create_polygon_shape(box, t.ShapeDef(), g.box(0.5, 0.5))
+    ball = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(-3, 1)))
+    w.create_circle_shape(ball, t.ShapeDef(), (0, 0), 0.5)
+    w.compile()
+    return w
+
+
+def test_raycast_hits_box():
+    w = _scene()
+    r = queries.cast_ray_closest(w.state, (3.0, 5.0), (0.0, -10.0))
+    assert bool(r.hit)
+    assert int(r.shape) == 1  # the box shape
+    assert np.allclose(np.asarray(r.point), [3.0, 1.5], atol=1e-3)
+    assert np.allclose(np.asarray(r.normal), [0.0, 1.0], atol=1e-3)
+
+
+def test_raycast_hits_circle():
+    w = _scene()
+    r = queries.cast_ray_closest(w.state, (-3.0, 5.0), (0.0, -10.0))
+    assert bool(r.hit)
+    assert int(r.shape) == 2
+    assert np.allclose(np.asarray(r.point), [-3.0, 1.5], atol=1e-3)
+
+
+def test_raycast_closest_of_many():
+    w = _scene()
+    # horizontal ray through both shapes hits the circle first
+    r = queries.cast_ray_closest(w.state, (-8.0, 1.0), (16.0, 0.0))
+    assert bool(r.hit) and int(r.shape) == 2
+    r2 = queries.cast_ray_closest(w.state, (8.0, 1.0), (-16.0, 0.0))
+    assert bool(r2.hit) and int(r2.shape) == 1
+
+
+def test_raycast_miss():
+    w = _scene()
+    r = queries.cast_ray_closest(w.state, (0.0, 5.0), (0.0, 2.0))
+    assert not bool(r.hit)
+
+
+def test_overlap_aabb():
+    w = _scene()
+    mask = queries.overlap_aabb(w.state, (2.0, 0.0, 4.0, 2.0))
+    assert bool(mask[1]) and not bool(mask[2])
+
+
+def test_overlap_shape():
+    w = _scene()
+    probe = g.circle((0, 0), 1.0)
+    mask = queries.overlap_shape(
+        w.state, jnp.array(probe.verts), 1, 1.0,
+        jnp.array([3.0, 1.0]), jnp.array([1.0, 0.0]))
+    assert bool(mask[1]) and not bool(mask[2])
+
+
+def test_cast_shape():
+    w = _scene()
+    probe = g.circle((0, 0), 0.3)
+    r = queries.cast_shape_closest(
+        w.state, jnp.array(probe.verts), 1, 0.3,
+        jnp.array([3.0, 5.0]), jnp.array([1.0, 0.0]), (0.0, -10.0))
+    assert bool(r.hit) and int(r.shape) == 1
+    # circle bottom touches box top at y=1.5 => center at 1.8; started 5.0
+    assert abs(float(r.fraction) - (5.0 - 1.8) / 10.0) < 0.01
+
+
+def test_explosion_pushes_bodies():
+    w = _scene()
+    s0 = w.state
+    s1 = queries.explode(s0, (0.0, 1.0), radius=5.0, impulse_per_length=2.0)
+    # both dynamic bodies pushed outward along x
+    assert float(s1.bodies.v[1, 0]) > 0.5
+    assert float(s1.bodies.v[2, 0]) < -0.5
+    # ground static: unchanged
+    assert float(s1.bodies.v[0, 0]) == 0.0
+
+
+def test_mover_planes():
+    # one ground plane below: moving down gets clipped to horizontal
+    normals = jnp.array([[0.0, 1.0]] + [[0.0, 0.0]] * 7)
+    offsets = jnp.array([-0.2] + [0.0] * 7)  # 0.2 deep penetration
+    limits = jnp.full(8, 1e8)
+    valid = jnp.array([True] + [False] * 7)
+    delta, push = queries.solve_planes((0.0, -1.0), normals, offsets, limits, valid)
+    assert float(delta[1]) > -0.01  # pushed back out
+    v = queries.clip_vector((1.0, -2.0), normals, push,
+                            jnp.ones(8, bool), valid)
+    assert abs(float(v[1])) < 1e-5 and abs(float(v[0]) - 1.0) < 1e-6
+
+
+def test_sensor_begin_end_events():
+    w = api.World()
+    sensor_body = w.create_body(t.BodyDef(type=t.STATIC, position=(0, 1)))
+    sd = t.ShapeDef(is_sensor=True, enable_sensor_events=True)
+    w.create_polygon_shape(sensor_body, sd, g.box(1.0, 1.0))
+    ball = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0, 6),
+                                   gravity_scale=1.0))
+    bd = t.ShapeDef(enable_sensor_events=True)
+    w.create_circle_shape(ball, bd, (0, 0), 0.3)
+    w.compile()
+    begins = ends = 0
+    for _ in range(180):
+        w.step(1 / 60)
+        begins += int(w.state.events.sensor_begin_count)
+        ends += int(w.state.events.sensor_end_count)
+    # ball falls through the sensor: one begin, one end
+    assert begins == 1, f"begins={begins}"
+    assert ends == 1, f"ends={ends}"
