@@ -71,7 +71,7 @@ class World:
         from .sensors import sensor_shape_ids
         sensors = sensor_shape_ids(self.builder._shapes)
         self._step = make_step(self.capacity, classes, self.substeps, jtypes,
-                               sensors)
+                               sensors, continuous=self.builder.def_.enable_continuous)
         return self
 
     def step(self, dt: float = 1.0 / 60.0):

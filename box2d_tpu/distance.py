@@ -356,3 +356,249 @@ def shape_cast_pair(
     state0 = (jnp.float32(0.0), target0, jnp.int32(0), jnp.bool_(False), out0)
     *_, out = lax.while_loop(lambda s: ~s[3] & (s[2] < 20), body, state0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# time of impact (ref: src/Distance.cs:382-645)
+# ---------------------------------------------------------------------------
+
+TOI_UNKNOWN = 0
+TOI_OVERLAPPED = 1
+TOI_HIT = 2
+TOI_SEPARATED = 3
+TOI_FAILED = 4
+
+
+class Sweep(NamedTuple):
+    """Body motion over the step (ref: include/Collision.cs:867-880)."""
+
+    local_center: jnp.ndarray  # (2,)
+    c1: jnp.ndarray  # COM at t=0
+    c2: jnp.ndarray  # COM at t=1
+    q1: jnp.ndarray  # rotation at t=0
+    q2: jnp.ndarray  # rotation at t=1
+
+
+def sweep_transform(sweep: Sweep, t):
+    """ref: src/Distance.cs:8-18 GetSweepTransform."""
+    p = (1.0 - t) * sweep.c1 + t * sweep.c2
+    q = m.rot_normalize((1.0 - t) * sweep.q1 + t * sweep.q2)
+    return p - m.rot_vec(q, sweep.local_center), q
+
+
+class TOIOutput(NamedTuple):
+    state: jnp.ndarray  # i32 TOI_*
+    fraction: jnp.ndarray
+    point: jnp.ndarray
+    normal: jnp.ndarray
+
+
+def time_of_impact(
+    verts_a, count_a, radius_a, sweep_a: Sweep,
+    verts_b, count_b, radius_b, sweep_b: Sweep,
+    max_fraction,
+) -> TOIOutput:
+    """Conservative-advancement TOI with swept separating axes
+    (ref: src/Distance.cs:529-645). Single pair; vmap over candidates.
+    All nested loops use the reference's iteration caps."""
+    total_radius = radius_a + radius_b
+    target = jnp.maximum(LINEAR_SLOP, total_radius - LINEAR_SLOP)
+    tolerance = 0.25 * LINEAR_SLOP
+
+    def support(verts, count, d):
+        dots = verts @ d
+        dots = jnp.where(jnp.arange(MAX_POLYGON_VERTICES) < count, dots, -jnp.inf)
+        return jnp.argmax(dots).astype(jnp.int32)
+
+    def make_sep_fn(cache: DistanceOutput, t1):
+        """Build the separation function (ref: :390-444). Returns
+        (type, axis, local_point): 0=points, 1=faceA, 2=faceB."""
+        xa_p, xa_q = sweep_transform(sweep_a, t1)
+        xb_p, xb_q = sweep_transform(sweep_b, t1)
+        ia0, ia1 = cache.cache_index_a[0], cache.cache_index_a[1]
+        ib0, ib1 = cache.cache_index_b[0], cache.cache_index_b[1]
+        one_point = cache.cache_count == 1
+        face_b = (~one_point) & (ia0 == ia1)
+
+        # points
+        pa = m.transform_point(xa_p, xa_q, verts_a[ia0])
+        pb = m.transform_point(xb_p, xb_q, verts_b[ib0])
+        axis_pts = m.normalize(pb - pa)
+
+        # faceB: B's edge normal
+        lb1, lb2 = verts_b[ib0], verts_b[ib1]
+        axis_fb = m.normalize(m.cross_vs(lb2 - lb1, jnp.float32(1.0)))
+        lp_fb = 0.5 * (lb1 + lb2)
+        nrm_fb = m.rot_vec(xb_q, axis_fb)
+        pb_fb = m.transform_point(xb_p, xb_q, lp_fb)
+        pa_fb = m.transform_point(xa_p, xa_q, verts_a[ia0])
+        s_fb = m.dot(pa_fb - pb_fb, nrm_fb)
+        axis_fb = jnp.where(s_fb < 0.0, -axis_fb, axis_fb)
+
+        # faceA: A's edge normal
+        la1, la2 = verts_a[ia0], verts_a[ia1]
+        axis_fa = m.normalize(m.cross_vs(la2 - la1, jnp.float32(1.0)))
+        lp_fa = 0.5 * (la1 + la2)
+        nrm_fa = m.rot_vec(xa_q, axis_fa)
+        pa_fa = m.transform_point(xa_p, xa_q, lp_fa)
+        pb_fa = m.transform_point(xb_p, xb_q, verts_b[ib0])
+        s_fa = m.dot(pb_fa - pa_fa, nrm_fa)
+        axis_fa = jnp.where(s_fa < 0.0, -axis_fa, axis_fa)
+
+        sep_type = jnp.where(one_point, 0, jnp.where(face_b, 2, 1))
+        axis = jnp.where(one_point, axis_pts, jnp.where(face_b, axis_fb, axis_fa))
+        local_point = jnp.where(one_point, jnp.zeros(2),
+                                jnp.where(face_b, lp_fb, lp_fa))
+        return sep_type, axis, local_point
+
+    def find_min_separation(sep_type, axis, local_point, t):
+        """ref: :445-491."""
+        xa_p, xa_q = sweep_transform(sweep_a, t)
+        xb_p, xb_q = sweep_transform(sweep_b, t)
+        # points
+        ax_a = m.inv_rot_vec(xa_q, axis)
+        ax_b = m.inv_rot_vec(xb_q, -axis)
+        ia_pts = support(verts_a, count_a, ax_a)
+        ib_pts = support(verts_b, count_b, ax_b)
+        s_pts = m.dot(
+            m.transform_point(xb_p, xb_q, verts_b[ib_pts])
+            - m.transform_point(xa_p, xa_q, verts_a[ia_pts]), axis)
+        # faceA
+        nrm_a = m.rot_vec(xa_q, axis)
+        ib_fa = support(verts_b, count_b, m.inv_rot_vec(xb_q, -nrm_a))
+        s_fa = m.dot(
+            m.transform_point(xb_p, xb_q, verts_b[ib_fa])
+            - m.transform_point(xa_p, xa_q, local_point), nrm_a)
+        # faceB
+        nrm_b = m.rot_vec(xb_q, axis)
+        ia_fb = support(verts_a, count_a, m.inv_rot_vec(xa_q, -nrm_b))
+        s_fb = m.dot(
+            m.transform_point(xa_p, xa_q, verts_a[ia_fb])
+            - m.transform_point(xb_p, xb_q, local_point), nrm_b)
+
+        ia = jnp.where(sep_type == 0, ia_pts, jnp.where(sep_type == 1, -1, ia_fb))
+        ib = jnp.where(sep_type == 0, ib_pts, jnp.where(sep_type == 1, ib_fa, -1))
+        s = jnp.where(sep_type == 0, s_pts, jnp.where(sep_type == 1, s_fa, s_fb))
+        return s, ia, ib
+
+    def evaluate_separation(sep_type, axis, local_point, ia, ib, t):
+        """ref: :492-524."""
+        xa_p, xa_q = sweep_transform(sweep_a, t)
+        xb_p, xb_q = sweep_transform(sweep_b, t)
+        ia_c = jnp.maximum(ia, 0)
+        ib_c = jnp.maximum(ib, 0)
+        s_pts = m.dot(
+            m.transform_point(xb_p, xb_q, verts_b[ib_c])
+            - m.transform_point(xa_p, xa_q, verts_a[ia_c]), axis)
+        nrm_a = m.rot_vec(xa_q, axis)
+        s_fa = m.dot(
+            m.transform_point(xb_p, xb_q, verts_b[ib_c])
+            - m.transform_point(xa_p, xa_q, local_point), nrm_a)
+        nrm_b = m.rot_vec(xb_q, axis)
+        s_fb = m.dot(
+            m.transform_point(xa_p, xa_q, verts_a[ia_c])
+            - m.transform_point(xb_p, xb_q, local_point), nrm_b)
+        return jnp.where(sep_type == 0, s_pts,
+                         jnp.where(sep_type == 1, s_fa, s_fb))
+
+    def outer_body(st):
+        (t1, it, done, out) = st
+        xa_p, xa_q = sweep_transform(sweep_a, t1)
+        xb_p, xb_q = sweep_transform(sweep_b, t1)
+        d = shape_distance(verts_a, count_a, 0.0, verts_b, count_b, 0.0,
+                           xa_p, xa_q, xb_p, xb_q)
+
+        overlapped = d.distance <= 0.0
+        touching = (~overlapped) & (d.distance <= target + tolerance)
+        pa_r = m.mul_add(d.point_a, radius_a, d.normal)
+        pb_r = m.mul_add(d.point_b, -radius_b, d.normal)
+        out_touch = TOIOutput(jnp.int32(TOI_HIT), t1, 0.5 * (pa_r + pb_r),
+                              d.normal)
+        out_over = TOIOutput(jnp.int32(TOI_OVERLAPPED), jnp.float32(0.0),
+                             out.point, out.normal)
+
+        sep_type, axis, local_point = make_sep_fn(d, t1)
+
+        # inner push-back loop over t2 (ref: :583-631)
+        def inner_body(ist):
+            t1i, t2, push_it, idone, istate = ist
+            s2, ia, ib = find_min_separation(sep_type, axis, local_point, t2)
+            separated = s2 > target + tolerance
+            advanced = (~separated) & (s2 > target - tolerance)
+            s1 = evaluate_separation(sep_type, axis, local_point, ia, ib, t1i)
+            failed = (~separated) & (~advanced) & (s1 < target - tolerance)
+            hit_now = (~separated) & (~advanced) & (~failed) & (
+                s1 <= target + tolerance)
+
+            # 50-iteration false-position/bisection root find (ref: :615-628)
+            def root_body(rst):
+                a1, a2, s1r, s2r, k, rdone, t_out = rst
+                t_mid = jnp.where(
+                    (k & 1) == 1,
+                    a1 + (target - s1r) * (a2 - a1)
+                    / jnp.where(s2r - s1r != 0.0, s2r - s1r, 1.0),
+                    0.5 * (a1 + a2))
+                s = evaluate_separation(sep_type, axis, local_point, ia, ib,
+                                        t_mid)
+                converged = jnp.abs(s - target) < tolerance
+                upper = s > target
+                a1n = jnp.where(upper, t_mid, a1)
+                s1n = jnp.where(upper, s, s1r)
+                a2n = jnp.where(upper, a2, t_mid)
+                s2n = jnp.where(upper, s2r, s)
+                return (a1n, a2n, s1n, s2n, k + 1, rdone | converged,
+                        jnp.where(converged & ~rdone, t_mid, t_out))
+
+            root0 = (t1i, t2, s1, s2, jnp.int32(0), jnp.bool_(False), t2)
+            *_, rdone, t2_new = lax.while_loop(
+                lambda r: ~r[5] & (r[4] < 50), root_body, root0)
+            t2n = jnp.where(rdone, t2_new, t2)
+
+            # istate: 0=continue, 1=advance t1=t2, 2=separated, 3=failed, 4=hit
+            new_state = jnp.where(separated, 2,
+                                  jnp.where(advanced, 1,
+                                            jnp.where(failed, 3,
+                                                      jnp.where(hit_now, 4, 0))))
+            idone_n = new_state != 0
+            t1_n = jnp.where(advanced, t2, t1i)
+            return (t1_n, jnp.where(idone_n, t2, t2n), push_it + 1,
+                    idone_n | (push_it + 1 >= MAX_POLYGON_VERTICES), new_state)
+
+        inner0 = (t1, jnp.asarray(max_fraction, jnp.float32), jnp.int32(0),
+                  overlapped | touching, jnp.int32(0))
+        (t1_after, _, _, _, istate) = lax.while_loop(
+            lambda i: ~i[3], inner_body, inner0)
+
+        out_sep = TOIOutput(jnp.int32(TOI_SEPARATED),
+                            jnp.asarray(max_fraction, jnp.float32),
+                            out.point, out.normal)
+        out_fail = TOIOutput(jnp.int32(TOI_FAILED), t1_after, 0.5 * (pa_r + pb_r),
+                             d.normal)
+        out_hit2 = TOIOutput(jnp.int32(TOI_HIT), t1_after, 0.5 * (pa_r + pb_r),
+                             d.normal)
+
+        def pick_out():
+            o = out
+            o = jax.tree.map(lambda a, b: jnp.where(istate == 2, a, b), out_sep, o)
+            o = jax.tree.map(lambda a, b: jnp.where(istate == 3, a, b), out_fail, o)
+            o = jax.tree.map(lambda a, b: jnp.where(istate == 4, a, b), out_hit2, o)
+            o = jax.tree.map(lambda a, b: jnp.where(touching, a, b), out_touch, o)
+            o = jax.tree.map(lambda a, b: jnp.where(overlapped, a, b), out_over, o)
+            return o
+
+        finished = overlapped | touching | (istate >= 2)
+        it_n = it + 1
+        timeout = it_n >= 20
+        out_timeout = TOIOutput(jnp.int32(TOI_FAILED), t1_after,
+                                0.5 * (pa_r + pb_r), d.normal)
+        out_n = pick_out()
+        out_n = jax.tree.map(
+            lambda a, b: jnp.where(~finished & timeout, a, b), out_timeout, out_n)
+        return (t1_after, it_n, done | finished | timeout, out_n)
+
+    out0 = TOIOutput(jnp.int32(TOI_UNKNOWN),
+                     jnp.asarray(max_fraction, jnp.float32),
+                     jnp.zeros(2, jnp.float32), jnp.zeros(2, jnp.float32))
+    st0 = (jnp.float32(0.0), jnp.int32(0), jnp.bool_(False), out0)
+    *_, out = lax.while_loop(lambda s: ~s[2], outer_body, st0)
+    return out

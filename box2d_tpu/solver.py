@@ -372,14 +372,22 @@ def integrate_positions(b: Bodies, bs: BodySolverState, h) -> BodySolverState:
 
 
 def finalize_bodies(state: WorldState, bs: BodySolverState, dt,
-                    inv_dt) -> WorldState:
+                    inv_dt, advance_fraction=None) -> WorldState:
     """ref: src/Solver.cs:402-503 FinalizeBodiesTask (commit transforms,
-    sleep timers; continuous-collision flagging lives in continuous.py)."""
+    sleep timers). advance_fraction (Nb,) rolls fast bodies back to their
+    time of impact (ref: src/Solver.cs:352-365 SolveContinuous)."""
     b = state.bodies
     tn = state.tuning
     active = (b.type != STATIC) & b.awake & b.enabled
-    center = jnp.where(active[:, None], b.center + bs.dp, b.center)
-    rot = jnp.where(active[:, None], m.rot_normalize(m.rot_mul(bs.dq, b.rot)), b.rot)
+    if advance_fraction is None:
+        center_end = b.center + bs.dp
+        rot_end = m.rot_normalize(m.rot_mul(bs.dq, b.rot))
+    else:
+        t = advance_fraction
+        center_end = b.center + t[:, None] * bs.dp
+        rot_end = m.rot_nlerp(b.rot, m.rot_normalize(m.rot_mul(bs.dq, b.rot)), t)
+    center = jnp.where(active[:, None], center_end, b.center)
+    rot = jnp.where(active[:, None], rot_end, b.rot)
 
     speed = m.length(bs.v) + jnp.abs(bs.w) * b.max_extent
     max_dpos = m.length(bs.dp) + jnp.abs(bs.dq[:, 1]) * b.max_extent

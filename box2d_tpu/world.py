@@ -31,12 +31,15 @@ from .solver import (BodySolverState, integrate_positions,
 from .state import Capacity, WorldState, zero_events, zero_profile
 from .joints import (prepare_joints, warm_start_joints_color,
                      solve_joints_color)
+from .continuous import continuous_pass
+from .sensors import sensor_pass
 
 
 def make_step(capacity: Capacity, classes_present: frozenset,
               substeps: int = 4,
               joint_types: frozenset = frozenset(),
-              sensor_ids: tuple = ()) -> Callable:
+              sensor_ids: tuple = (),
+              continuous: bool = True) -> Callable:
     """Build a jit-able step function for the given static configuration."""
 
     # NOTE: no buffer donation — identical zero-filled outputs (cleared
@@ -46,14 +49,14 @@ def make_step(capacity: Capacity, classes_present: frozenset,
     @jax.jit
     def step(state: WorldState, dt) -> WorldState:
         return _step(state, dt, capacity, classes_present, substeps,
-                     joint_types, sensor_ids)
+                     joint_types, sensor_ids, continuous)
 
     return step
 
 
 def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
           substeps: int, joint_types: frozenset = frozenset(),
-          sensor_ids: tuple = ()) -> WorldState:
+          sensor_ids: tuple = (), continuous: bool = True) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -162,12 +165,15 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     # --- events -----------------------------------------------------------
     events = _contact_events(state, data, touching, cap)
 
+    # --- continuous collision (ref: src/Solver.cs:224-401) -----------------
+    advance = None
+    if continuous:
+        advance = continuous_pass(state, bs, dt)
+
     # --- finalize ----------------------------------------------------------
-    state = finalize_bodies(state, bs, dt, inv_dt)
+    state = finalize_bodies(state, bs, dt, inv_dt, advance)
 
     # --- sensors (ref: api/World.cs:99 OverlapSensors after solve) ---------
-    from .sensors import sensor_pass
-
     state = dataclasses.replace(state, events=events)
     state = sensor_pass(state, cap, sensor_ids)
     events = state.events
