@@ -61,6 +61,9 @@ class World:
     def create_joint(self, def_) -> int:
         return self.builder.create_joint(def_)
 
+    def create_particle_system(self, radius: float, density: float = 1.0):
+        return self.builder.create_particle_system(radius, density)
+
     # -- compile + step -----------------------------------------------------
 
     def compile(self, capacity: Capacity | None = None):
@@ -70,8 +73,14 @@ class World:
         jtypes = joint_types_present(j["_type"] for j in self.builder._joints)
         from .sensors import sensor_shape_ids
         sensors = sensor_shape_ids(self.builder._shapes)
+        pcfg = None
+        if self.builder._particle_builder is not None:
+            from .particles import ParticleConfig
+            pcfg = ParticleConfig()
         self._step = make_step(self.capacity, classes, self.substeps, jtypes,
-                               sensors, continuous=self.builder.def_.enable_continuous)
+                               sensors,
+                               continuous=self.builder.def_.enable_continuous,
+                               particle_cfg=pcfg)
         return self
 
     def step(self, dt: float = 1.0 / 60.0):

@@ -35,6 +35,14 @@ class WorldBuilder:
         self._bodies: list[dict] = []
         self._shapes: list[dict] = []
         self._joints: list[dict] = []
+        self._particle_builder = None
+
+    def create_particle_system(self, radius: float, density: float = 1.0):
+        """ref: api/Particle.cs:9-38 CreateParticleSystem."""
+        from .particles import ParticleSystemBuilder
+
+        self._particle_builder = ParticleSystemBuilder(radius, density)
+        return self._particle_builder
 
     # -- bodies ------------------------------------------------------------
 
@@ -316,11 +324,14 @@ class WorldBuilder:
             enable_speculative=jnp.bool_(True),
         )
 
+        particles = (self._particle_builder.build()
+                     if self._particle_builder is not None else None)
         state = WorldState(
             bodies=bodies, shapes=shapes, contacts=contacts, joints=joints,
             tuning=tuning, events=zero_events(capacity),
             profile=zero_profile(),
             sensor_overlap=jnp.full(capacity.sensor_pair_capacity, -1, jnp.int32),
+            particles=particles,
             step_count=jnp.int32(0),
         )
         return state, capacity

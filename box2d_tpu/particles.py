@@ -1,0 +1,740 @@
+"""LiquidFun particle engine, TPU-native.
+
+Behavioral counterpart of ref: particle/ParticleSystem.cs (2614 LoC) — SoA
+particle buffers, cell-hash neighbor search, ~15 flag-gated force passes,
+two-way rigid-body coupling, groups/pairs/triads.
+
+TPU redesign:
+- Neighbor search (ref :1096-1117, :1362-1370): instead of a tag-sorted proxy
+  list with window scans on CPU threads, particles are sorted by a
+  (row, column) cell key each iteration and every particle gathers a fixed
+  window of candidates — K_SAME from its own sorted run (same row: same +
+  next cell are contiguous) and K_UP from the row above located with one
+  searchsorted. Contacts are a dense (Np, K) matrix: every per-contact pass
+  becomes gather + math + one scatter-add, no atomics (ref interlocked adds
+  :1873-1876 -> segment sums).
+- Body contacts (ref :1418-1494): the reference runs GJK per candidate; a
+  point-vs-convex distance is closed-form on the unified rounded-polygon
+  representation, so we evaluate it for all (particle, nearby-shape) pairs
+  against a small compacted shape set.
+- Rigid-body coupling (ref particle/World.cs:47-61): per-pass immediate
+  ApplyLinearImpulse becomes per-pass impulse accumulation scattered into
+  (Nb,) dv/dw arrays applied once per pass (Jacobi within the pass, same
+  order across passes).
+- Pairs/triads (springs/elastic) are built at group creation on the host
+  (ref :801-861 + VoronoiDiagram.cs) and live in fixed arrays.
+
+Known port bug fixed: ref :1447-1452 runs GJK with useRadii unset, so
+circle/capsule fixtures measure distance to their *core* skeleton; we measure
+to the surface (upstream LiquidFun b2Shape::ComputeDistance semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import math2d as m
+from .broadphase import compute_shape_aabbs
+from .constants import MAX_POLYGON_VERTICES
+from .queries import _ray_shape_local
+from .state import DYNAMIC, WorldState, _pytree
+
+_LANES = jnp.arange(MAX_POLYGON_VERTICES)
+
+# particle flags (ref: particle/Particle.cs ParticleFlag)
+P_ZOMBIE = 1 << 1
+P_WALL = 1 << 2
+P_SPRING = 1 << 3
+P_ELASTIC = 1 << 4
+P_VISCOUS = 1 << 5
+P_POWDER = 1 << 6
+P_TENSILE = 1 << 7
+P_COLOR_MIXING = 1 << 8
+P_BARRIER = 1 << 9
+P_STATIC_PRESSURE = 1 << 10
+P_REACTIVE = 1 << 11
+P_REPULSIVE = 1 << 12
+
+# group flags (ref: particle/ParticleGroup.cs)
+G_SOLID = 1 << 0
+G_RIGID = 1 << 1
+
+# tuning constants (ref: particle/World.cs:8-45)
+PARTICLE_STRIDE = 0.75
+MIN_PARTICLE_WEIGHT = 1.0
+MAX_PARTICLE_PRESSURE = 0.25
+MAX_PARTICLE_FORCE = 0.5
+PARTICLE_LINEAR_SLOP = 0.005
+
+_NO_PRESSURE = P_POWDER | P_TENSILE
+
+
+@_pytree
+class ParticleParams:
+    """ref: ParticleSystem properties :604-650."""
+
+    radius: Any
+    density: Any
+    gravity_scale: Any
+    pressure_strength: Any        # 0.05
+    damping_strength: Any         # 1.0
+    elastic_strength: Any         # 0.25
+    spring_strength: Any          # 0.25
+    viscous_strength: Any         # 0.25
+    surface_tension_pressure: Any  # 0.2
+    surface_tension_normal: Any   # 0.2
+    repulsive_strength: Any       # 1.0
+    powder_strength: Any          # 0.5
+    ejection_strength: Any        # 0.5
+    static_pressure_strength: Any  # 0.2
+    static_pressure_relaxation: Any  # 0.2
+
+
+def default_params(radius: float, density: float = 1.0) -> ParticleParams:
+    f = jnp.float32
+    return ParticleParams(
+        radius=f(radius), density=f(density), gravity_scale=f(1.0),
+        pressure_strength=f(0.05), damping_strength=f(1.0),
+        elastic_strength=f(0.25), spring_strength=f(0.25),
+        viscous_strength=f(0.25), surface_tension_pressure=f(0.2),
+        surface_tension_normal=f(0.2), repulsive_strength=f(1.0),
+        powder_strength=f(0.5), ejection_strength=f(0.5),
+        static_pressure_strength=f(0.2), static_pressure_relaxation=f(0.2),
+    )
+
+
+@_pytree
+class Particles:
+    """SoA buffers (ref: ParticleSystem.cs:2585-2605)."""
+
+    pos: Any        # (Np, 2)
+    vel: Any        # (Np, 2)
+    force: Any      # (Np, 2) user forces, cleared per step
+    flags: Any      # (Np,) i32
+    group: Any      # (Np,) i32, -1 = none
+    alive: Any      # (Np,) bool
+    static_pressure: Any  # (Np,)
+    depth: Any      # (Np,)
+    # groups (G lanes)
+    group_flags: Any      # (G,) i32
+    group_strength: Any   # (G,)
+    # springs (Pp lanes) (ref: ParticlePair)
+    pair_a: Any
+    pair_b: Any
+    pair_flags: Any
+    pair_strength: Any
+    pair_distance: Any
+    # triads (Tp lanes) (ref: ParticleTriad)
+    triad_a: Any
+    triad_b: Any
+    triad_c: Any
+    triad_flags: Any
+    triad_strength: Any
+    triad_pa: Any  # (Tp, 2) rest offsets from triad midpoint
+    triad_pb: Any
+    triad_pc: Any
+    params: Any    # ParticleParams
+
+
+class ParticleConfig(NamedTuple):
+    """Static config for the particle step."""
+
+    k_same: int = 12      # candidates from own sorted run
+    k_up: int = 12        # candidates from the row above
+    max_body_shapes: int = 16  # compacted nearby rigid shapes
+    iterations: int = 4   # ref: api/World.cs:92 hardcodes 4
+    static_pressure_iterations: int = 8
+    depth_iterations: int = 16
+
+
+# ---------------------------------------------------------------------------
+# host-side builder
+# ---------------------------------------------------------------------------
+
+class ParticleSystemBuilder:
+    """Create particles/groups eagerly; freeze to the Particles pytree."""
+
+    def __init__(self, radius: float, density: float = 1.0):
+        self.radius = float(radius)
+        self.density = float(density)
+        self.pos: list = []
+        self.vel: list = []
+        self.flags: list = []
+        self.group: list = []
+        self.group_flags: list = []
+        self.group_strength: list = []
+        self.pairs: list = []
+        self.triads: list = []
+
+    def create_particle(self, position, velocity=(0.0, 0.0), flags=0,
+                        group=-1) -> int:
+        self.pos.append(np.asarray(position, np.float32))
+        self.vel.append(np.asarray(velocity, np.float32))
+        self.flags.append(int(flags))
+        self.group.append(int(group))
+        return len(self.pos) - 1
+
+    def create_group_box(self, center, half_w, half_h, flags=0, group_flags=0,
+                         strength=1.0, velocity=(0.0, 0.0)) -> int:
+        """Fill a box with particles on the standard stride grid
+        (ref: CreateParticleGroup shape fill :652-720)."""
+        gid = len(self.group_flags)
+        self.group_flags.append(int(group_flags))
+        self.group_strength.append(float(strength))
+        stride = PARTICLE_STRIDE * 2.0 * self.radius
+        cx, cy = center
+        first = len(self.pos)
+        ys = np.arange(-half_h + stride / 2, half_h, stride)
+        xs = np.arange(-half_w + stride / 2, half_w, stride)
+        for y in ys:
+            for x in xs:
+                self.create_particle((cx + x, cy + y), velocity, flags, gid)
+        last = len(self.pos)
+        if flags & (P_SPRING | P_ELASTIC):
+            self._build_pairs_triads(first, last, flags, strength)
+        return gid
+
+    def _build_pairs_triads(self, first, last, flags, strength):
+        """Spring pairs from initial proximity; elastic triads from a grid
+    Delaunay-ish triangulation (behavioral stand-in for the reference's
+    Voronoi triads, ref :801-861)."""
+        pts = np.array(self.pos[first:last])
+        d = 2.0 * self.radius
+        n = len(pts)
+        # O(n^2) proximity is fine at build time for moderate groups
+        for i in range(n):
+            diff = pts[i + 1:] - pts[i]
+            dist = np.hypot(diff[:, 0], diff[:, 1])
+            for j in np.nonzero(dist < d * 1.2)[0]:
+                jj = i + 1 + j
+                if flags & P_SPRING:
+                    self.pairs.append((first + i, first + jj, flags, strength,
+                                       float(dist[j])))
+        if flags & P_ELASTIC:
+            # triangulate the stride grid: for each particle, join with its
+            # +x and +y neighbors (two triangles per grid cell)
+            stride = PARTICLE_STRIDE * d
+            key = {}
+            for i, p in enumerate(pts):
+                key[(round(p[0] / stride), round(p[1] / stride))] = i
+            for (ix, iy), i in key.items():
+                right = key.get((ix + 1, iy))
+                up = key.get((ix, iy + 1))
+                diag = key.get((ix + 1, iy + 1))
+                for tri in ((i, right, up), (right, diag, up)):
+                    if None in tri:
+                        continue
+                    a, b, c = (first + t for t in tri)
+                    pa, pb, pc = pts[tri[0]], pts[tri[1]], pts[tri[2]]
+                    mid = (pa + pb + pc) / 3.0
+                    self.triads.append((a, b, c, flags, strength,
+                                        pa - mid, pb - mid, pc - mid))
+
+    def build(self, capacity: int | None = None,
+              pair_capacity: int | None = None,
+              triad_capacity: int | None = None) -> Particles:
+        n = len(self.pos)
+        cap = capacity or max(n, 1)
+        g = max(len(self.group_flags), 1)
+        pp = pair_capacity or max(len(self.pairs), 1)
+        tp = triad_capacity or max(len(self.triads), 1)
+
+        def pad(lst, cap_, shape=(), dtype=np.float32, fill=0):
+            out = np.full((cap_,) + shape, fill, dtype)
+            for i, v in enumerate(lst):
+                out[i] = v
+            return jnp.asarray(out)
+
+        pairs = self.pairs
+        triads = self.triads
+        return Particles(
+            pos=pad(self.pos, cap, (2,)),
+            vel=pad(self.vel, cap, (2,)),
+            force=jnp.zeros((cap, 2), jnp.float32),
+            flags=pad(self.flags, cap, (), np.int32),
+            group=pad(self.group, cap, (), np.int32, -1),
+            alive=jnp.asarray(np.arange(cap) < n),
+            static_pressure=jnp.zeros(cap, jnp.float32),
+            depth=jnp.zeros(cap, jnp.float32),
+            group_flags=pad(self.group_flags, g, (), np.int32),
+            group_strength=pad(self.group_strength, g, (), np.float32, 1.0),
+            pair_a=pad([p[0] for p in pairs], pp, (), np.int32),
+            pair_b=pad([p[1] for p in pairs], pp, (), np.int32),
+            pair_flags=pad([p[2] for p in pairs], pp, (), np.int32),
+            pair_strength=pad([p[3] for p in pairs], pp),
+            pair_distance=pad([p[4] for p in pairs], pp),
+            triad_a=pad([t[0] for t in triads], tp, (), np.int32),
+            triad_b=pad([t[1] for t in triads], tp, (), np.int32),
+            triad_c=pad([t[2] for t in triads], tp, (), np.int32),
+            triad_flags=pad([t[3] for t in triads], tp, (), np.int32),
+            triad_strength=pad([t[4] for t in triads], tp),
+            triad_pa=pad([t[5] for t in triads], tp, (2,)),
+            triad_pb=pad([t[6] for t in triads], tp, (2,)),
+            triad_pc=pad([t[7] for t in triads], tp, (2,)),
+            params=default_params(self.radius, self.density),
+        )
+
+
+# ---------------------------------------------------------------------------
+# neighbor search
+# ---------------------------------------------------------------------------
+
+def _find_contacts(pos, alive, diameter, cfg: ParticleConfig):
+    """Fixed-window neighbor candidates from a cell-key sort
+    (ref: ComputeTag :2610 + FindContacts_Reference :1096-1117).
+
+    Returns (idx_a, idx_b, normal, weight, valid) with shape (Np*K,):
+    each contact pair appears exactly once.
+    """
+    n = pos.shape[0]
+    inv_d = 1.0 / diameter
+    xi = jnp.floor(pos[:, 0] * inv_d).astype(jnp.int32)
+    yi = jnp.floor(pos[:, 1] * inv_d).astype(jnp.int32)
+    # 16-bit packed cell key, rows-major so a row is contiguous
+    key = ((yi + 0x8000) << 16) | ((xi + 0x8000) & 0xFFFF)
+    key = jnp.where(alive, key, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    skey = key[order]
+
+    k_same = cfg.k_same
+    k_up = cfg.k_up
+    lanes_s = jnp.arange(1, k_same + 1)
+    # same-row window: next k_same sorted entries (same + next cell)
+    raw_same = jnp.arange(n)[:, None] + lanes_s[None, :]
+    cand_same = jnp.clip(raw_same, 0, n - 1)
+    # row-above window: searchsorted for key(y+1, x-1)
+    up_key = skey + (1 << 16) - 1
+    start_up = jnp.searchsorted(skey, up_key)
+    raw_up = start_up[:, None] + jnp.arange(k_up)[None, :]
+    cand_up = jnp.clip(raw_up, 0, n - 1)
+
+    cand = jnp.concatenate([cand_same, cand_up], axis=1)  # (n, K) sorted idx
+    in_range = jnp.concatenate([raw_same, raw_up], axis=1) < n
+    # window A must stay on the same cell row; window B exactly one row up
+    # (prevents duplicates between the windows and clip artifacts)
+    srow = skey >> 16
+    row_of = srow[cand]
+    row_ok = jnp.concatenate([
+        row_of[:, :k_same] == srow[:, None],
+        row_of[:, k_same:] == srow[:, None] + 1,
+    ], axis=1)
+    k = cand.shape[1]
+    ia = jnp.broadcast_to(order[:, None], (n, k))
+    ib = order[cand]
+
+    pa = pos[ia]
+    pb = pos[ib]
+    d = pb - pa
+    dist_sq = m.dot(d, d)
+    valid = (
+        alive[ia] & alive[ib] & (ia != ib)
+        & in_range & row_ok
+        & (cand > jnp.arange(n)[:, None])  # forward-only => unique pairs
+        & (dist_sq < diameter * diameter)
+    )
+    inv_dist = jnp.where(dist_sq > 0, 1.0 / jnp.sqrt(jnp.where(dist_sq > 0, dist_sq, 1.0)), 0.0)
+    normal = d * inv_dist[..., None]
+    weight = 1.0 - dist_sq * inv_dist * inv_d  # ref :1091
+    return (ia.reshape(-1), ib.reshape(-1), normal.reshape(-1, 2),
+            jnp.where(valid, weight, 0.0).reshape(-1), valid.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# point vs rounded-polygon distance (closed form)
+# ---------------------------------------------------------------------------
+
+def _point_shape_distance(p, verts, normals, count, radius):
+    """Distance from point to shape surface + outward normal."""
+    lane_ok = _LANES < count
+    # face separations
+    seps = m.dot(normals, p[None, :] - verts)
+    seps_m = jnp.where(lane_ok, seps, -jnp.inf)
+    inside = jnp.all(jnp.where(lane_ok, seps <= 0.0, True)) & (count >= 3)
+    # per-edge closest point
+    v1 = verts
+    v2 = verts[(jnp.arange(MAX_POLYGON_VERTICES) + 1) % jnp.maximum(count, 1)]
+    e = v2 - v1
+    tt = jnp.clip(_safe_div(m.dot(p[None, :] - v1, e), m.dot(e, e)), 0.0, 1.0)
+    cp = v1 + tt[:, None] * e
+    dd = m.length(p[None, :] - cp)
+    dd = jnp.where(lane_ok, dd, jnp.inf)
+    best = jnp.argmin(dd)
+    closest = cp[best]
+    dist_out = dd[best]
+    n_out = _safe_div_vec(p - closest, dist_out)
+    # inside: deepest face
+    fidx = jnp.argmax(seps_m)
+    n_in = normals[fidx]
+    dist = jnp.where(inside, jnp.max(seps_m), dist_out) - radius
+    normal = jnp.where(inside, n_in, n_out)
+    # degenerate single-point shape (circle): normal from center
+    is_pt = count == 1
+    dctr = p - verts[0]
+    dlen = m.length(dctr)
+    dist = jnp.where(is_pt, dlen - radius, dist)
+    normal = jnp.where(is_pt, _safe_div_vec(dctr, dlen), normal)
+    return dist, normal
+
+
+def _safe_div(a, b):
+    return a / jnp.where(b != 0.0, b, 1.0)
+
+
+def _safe_div_vec(v, s):
+    return v / jnp.where(s != 0.0, s, 1.0)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# the particle solve
+# ---------------------------------------------------------------------------
+
+def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
+    """One full particle update (ref: Solve :1512-1564). Returns
+    (particles, body_dv (Nb,2), body_dw (Nb,))."""
+    prm: ParticleParams = pt.params
+    b = state.bodies
+    sh = state.shapes
+    nb = b.center.shape[0]
+    n = pt.pos.shape[0]
+
+    dt = jnp.asarray(dt, jnp.float32) / cfg.iterations
+    inv_dt = _safe_div(jnp.float32(1.0), dt)
+    diameter = 2.0 * prm.radius
+    inv_diameter = 1.0 / diameter
+    crit_v = diameter * inv_dt                       # ref :2480
+    crit_v2 = crit_v * crit_v
+    crit_p = prm.density * crit_v2                   # ref :2482
+    mass = prm.density * prm.radius * prm.radius * jnp.pi  # ref :2484
+    inv_mass = _safe_div(jnp.float32(1.0), mass)
+
+    # nearby rigid shapes, compacted once per step (system AABB prefilter)
+    sys_lo = jnp.min(jnp.where(pt.alive[:, None], pt.pos, jnp.inf), axis=0) - diameter
+    sys_hi = jnp.max(jnp.where(pt.alive[:, None], pt.pos, -jnp.inf), axis=0) + diameter
+    boxes = compute_shape_aabbs(state)
+    near = (m.aabb_overlaps(boxes, jnp.concatenate([sys_lo, sys_hi])[None, :])
+            & sh.enabled & b.enabled[sh.body] & ~sh.is_sensor)
+    S = sh.type.shape[0]
+    sscore = jnp.where(near, S - jnp.arange(S), 0)
+    stop, _ = jax.lax.top_k(sscore, min(cfg.max_body_shapes, S))
+    bs_valid = stop > 0
+    bs_idx = jnp.where(bs_valid, S - stop, 0)  # (Sb,)
+
+    body_dv = jnp.zeros((nb, 2), jnp.float32)
+    body_dw = jnp.zeros(nb, jnp.float32)
+
+    has = lambda flag: True  # trace everything; scene gating via flags data
+
+    def body_vel_at(points, bodies_idx):
+        return (b.v[bodies_idx] + m.cross_sv(b.w[bodies_idx],
+                                             points - b.center[bodies_idx]))
+
+    def apply_body_impulse(dv, dw, bodies_idx, impulse, points, active):
+        imp = jnp.where(active[:, None], impulse, 0.0)
+        is_dyn = b.type[bodies_idx] == DYNAMIC
+        imp = jnp.where(is_dyn[:, None], imp, 0.0)
+        dv = dv.at[bodies_idx].add(imp * b.inv_mass[bodies_idx][:, None])
+        lever = points - b.center[bodies_idx]
+        dw = dw.at[bodies_idx].add(b.inv_inertia[bodies_idx]
+                                   * m.cross(lever, imp))
+        return dv, dw
+
+    def iteration(carry, _):
+        pt, body_dv, body_dw = carry
+        pos = pt.pos
+        vel = pt.vel
+
+        # ---- neighbor contacts (ref UpdateContacts) ----
+        ia, ib, c_n, c_w, c_ok = _find_contacts(pos, pt.alive, diameter, cfg)
+        c_flags = jnp.where(c_ok, pt.flags[ia] | pt.flags[ib], 0)
+
+        # ---- body contacts (ref UpdateBodyContacts) ----
+        # (Np, Sb) point-shape distances
+        p_body = sh.body[bs_idx]
+        origin = b.origin
+        bp = origin[p_body]
+        bq = b.rot[p_body]
+
+        def shape_dist(si, sp, sq):
+            local = jax.vmap(lambda x: m.inv_transform_point(sp, sq, x))(pos)
+            dist, nrm = jax.vmap(
+                lambda lp: _point_shape_distance(
+                    lp, sh.verts[si], sh.normals[si], sh.count[si],
+                    sh.radius[si]))(local)
+            return dist, jax.vmap(lambda v: m.rot_vec(sq, v))(nrm)
+
+        bdist, bnrm = jax.vmap(shape_dist, in_axes=(0, 0, 0),
+                               out_axes=1)(bs_idx, bp, bq)  # (Np, Sb)
+        bc_ok = (bdist < prm.radius) & pt.alive[:, None] & bs_valid[None, :]
+        # contact normal points particle -> shape (ref stores -output.normal)
+        bc_n = -bnrm
+        bc_w = 1.0 - bdist * inv_diameter * 2.0       # ref :1492 weight
+        bc_w = jnp.where(bc_ok, bc_w, 0.0)
+        bc_body = jnp.broadcast_to(p_body[None, :], bc_ok.shape)
+        # per-contact effective mass (ref :1472-1475)
+        lever = pos[:, None, :] - b.center[bc_body]
+        rpn = m.cross(lever, bnrm)
+        wall = (pt.flags & P_WALL) != 0
+        inv_m_c = (jnp.where(wall, 0.0, inv_mass)[:, None]
+                   + b.inv_mass[bc_body] + b.inv_inertia[bc_body] * rpn * rpn)
+        bc_mass = jnp.where(inv_m_c > 0, 1.0 / jnp.where(inv_m_c > 0, inv_m_c, 1.0), 0.0)
+        bc_mass = jnp.where(bc_ok, bc_mass, 0.0)
+
+        # ---- weight (ref ComputeWeight) ----
+        weight = jnp.zeros(n, jnp.float32)
+        weight = weight.at[ia].add(c_w).at[ib].add(c_w)
+        weight = weight + jnp.sum(bc_w, axis=1)
+
+        # ---- force (user forces, ref SolveForce) ----
+        vel = vel + dt * inv_mass * pt.force
+
+        # ---- viscous (ref SolveViscous) ----
+        visc = (c_flags & P_VISCOUS) != 0
+        f = prm.viscous_strength * c_w[:, None] * (vel[ib] - vel[ia])
+        f = jnp.where(visc[:, None], f, 0.0)
+        vel = vel.at[ia].add(f).at[ib].add(-f)
+        bvisc = bc_ok & ((pt.flags & P_VISCOUS) != 0)[:, None]
+        fb = (prm.viscous_strength * bc_mass * bc_w)[..., None] * (
+            body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :])
+        fb = jnp.where(bvisc[..., None], fb, 0.0)
+        vel = vel + inv_mass * jnp.sum(fb, axis=1)
+        body_dv, body_dw = apply_body_impulse(
+            body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
+            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
+            bvisc.reshape(-1))
+
+        # ---- repulsive (ref SolveRepulsive) ----
+        rep = ((c_flags & P_REPULSIVE) != 0) & (pt.group[ia] != pt.group[ib])
+        f = (prm.repulsive_strength * crit_v * c_w)[:, None] * c_n
+        f = jnp.where(rep[:, None], f, 0.0)
+        vel = vel.at[ia].add(-f).at[ib].add(f)
+
+        # ---- powder (ref SolvePowder) ----
+        min_w = 1.0 - PARTICLE_STRIDE
+        pow_ = ((c_flags & P_POWDER) != 0) & (c_w > min_w)
+        f = (prm.powder_strength * crit_v * (c_w - min_w))[:, None] * c_n
+        f = jnp.where(pow_[:, None], f, 0.0)
+        vel = vel.at[ia].add(-f).at[ib].add(f)
+
+        # ---- tensile (ref SolveTensile) ----
+        tens = (c_flags & P_TENSILE) != 0
+        wn = ((1.0 - c_w) * c_w)[:, None] * c_n
+        wn = jnp.where(tens[:, None], wn, 0.0)
+        acc2 = jnp.zeros((n, 2), jnp.float32)
+        acc2 = acc2.at[ia].add(-wn).at[ib].add(wn)
+        p_s = prm.surface_tension_pressure * crit_v
+        n_s = prm.surface_tension_normal * crit_v
+        max_var = MAX_PARTICLE_FORCE * crit_v
+        fh = jnp.minimum(
+            p_s * (weight[ia] + weight[ib] - 2.0)
+            + n_s * m.dot(acc2[ib] - acc2[ia], c_n), max_var) * c_w
+        f = jnp.where(tens, fh, 0.0)[:, None] * c_n
+        vel = vel.at[ia].add(-f).at[ib].add(f)
+
+        # ---- solid ejection (ref SolveSolid) ----
+        gflags_a = pt.group_flags[jnp.maximum(pt.group[ia], 0)]
+        solid_any = jnp.any((pt.group_flags & G_SOLID) != 0)
+        sol = (pt.group[ia] != pt.group[ib]) & c_ok
+        ej = (prm.ejection_strength * inv_dt
+              * (pt.depth[ia] + pt.depth[ib]) * c_w)
+        f = jnp.where(sol & (solid_any | False), ej, 0.0)[:, None] * c_n
+        vel = vel.at[ia].add(-f).at[ib].add(f)
+
+        # ---- gravity (ref SolveGravity) ----
+        g_ = dt * prm.gravity_scale * state.tuning.gravity
+        vel = vel + jnp.where(pt.alive[:, None], g_[None, :], 0.0)
+
+        # ---- static pressure (ref SolveStaticPressure) ----
+        sp_mask = (pt.flags & P_STATIC_PRESSURE) != 0
+        pp_w = prm.static_pressure_strength * crit_p
+        max_p = MAX_PARTICLE_PRESSURE * crit_p
+        relax = prm.static_pressure_relaxation
+
+        def sp_iter(spb, _):
+            acc = jnp.zeros(n, jnp.float32)
+            cw_sp = jnp.where((c_flags & P_STATIC_PRESSURE) != 0, c_w, 0.0)
+            acc = acc.at[ia].add(cw_sp * spb[ib]).at[ib].add(cw_sp * spb[ia])
+            spb_n = jnp.clip(
+                (acc + pp_w * (weight - MIN_PARTICLE_WEIGHT)) / (weight + relax),
+                0.0, max_p)
+            return jnp.where(sp_mask, spb_n, 0.0), None
+
+        static_pressure, _ = jax.lax.scan(
+            sp_iter, pt.static_pressure, None,
+            length=cfg.static_pressure_iterations)
+
+        # ---- pressure (ref SolvePressure) ----
+        ppw = prm.pressure_strength * crit_p
+        maxp = MAX_PARTICLE_PRESSURE * crit_p
+        accum = jnp.minimum(ppw * jnp.maximum(0.0, weight - MIN_PARTICLE_WEIGHT),
+                            maxp)
+        accum = jnp.where((pt.flags & _NO_PRESSURE) != 0, 0.0, accum)
+        accum = accum + jnp.where(sp_mask, static_pressure, 0.0)
+        vel_per_p = dt * (1.0 / prm.density) * inv_diameter
+        # body contacts
+        fb = (vel_per_p * bc_w * bc_mass
+              * (accum[:, None] + ppw * bc_w))[..., None] * bc_n
+        fb = jnp.where(bc_ok[..., None], fb, 0.0)
+        vel = vel - inv_mass * jnp.sum(fb, axis=1)
+        body_dv, body_dw = apply_body_impulse(
+            body_dv, body_dw, bc_body.reshape(-1), fb.reshape(-1, 2),
+            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
+            bc_ok.reshape(-1))
+        # particle contacts
+        f = (vel_per_p * c_w * (accum[ia] + accum[ib]))[:, None] * c_n
+        f = jnp.where(c_ok[:, None], f, 0.0)
+        vel = vel.at[ia].add(-f).at[ib].add(f)
+
+        # ---- damping (ref SolveDamping) ----
+        lin_d = prm.damping_strength
+        quad_d = _safe_div(jnp.float32(1.0), crit_v)
+        vrel = body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :]
+        vn = m.dot(vrel, bc_n)
+        damp = jnp.maximum(lin_d * bc_w, jnp.minimum(-quad_d * vn, 0.5))
+        fb = (damp * bc_mass * vn)[..., None] * bc_n
+        fb = jnp.where((bc_ok & (vn < 0))[..., None], fb, 0.0)
+        vel = vel + inv_mass * jnp.sum(fb, axis=1)
+        body_dv, body_dw = apply_body_impulse(
+            body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
+            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
+            (bc_ok & (vn < 0)).reshape(-1))
+        vn_p = m.dot(vel[ib] - vel[ia], c_n)
+        damp_p = jnp.maximum(lin_d * c_w, jnp.minimum(-quad_d * vn_p, 0.5))
+        f = (damp_p * vn_p)[:, None] * c_n
+        f = jnp.where((c_ok & (vn_p < 0))[:, None], f, 0.0)
+        vel = vel.at[ia].add(f).at[ib].add(-f)
+
+        # ---- extra damping for static-pressure particles (ref :1978) ----
+        ed = bc_ok & (((pt.flags & P_STATIC_PRESSURE) != 0))[:, None]
+        vrel = body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :]
+        vn = m.dot(vrel, bc_n)
+        fb = (0.5 * bc_mass * vn)[..., None] * bc_n
+        fb = jnp.where((ed & (vn < 0))[..., None], fb, 0.0)
+        vel = vel + inv_mass * jnp.sum(fb, axis=1)
+        body_dv, body_dw = apply_body_impulse(
+            body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
+            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
+            (ed & (vn < 0)).reshape(-1))
+
+        # ---- elastic triads (ref SolveElastic) ----
+        ta, tb, tc = pt.triad_a, pt.triad_b, pt.triad_c
+        el = (pt.triad_flags & P_ELASTIC) != 0
+        pa_ = pos[ta] + dt * vel[ta]
+        pb_ = pos[tb] + dt * vel[tb]
+        pc_ = pos[tc] + dt * vel[tc]
+        midp = (pa_ + pb_ + pc_) / 3.0
+        pa_, pb_, pc_ = pa_ - midp, pb_ - midp, pc_ - midp
+        rc = (m.dot(pt.triad_pa, pa_) + m.dot(pt.triad_pb, pb_)
+              + m.dot(pt.triad_pc, pc_))
+        rs = (m.cross(pt.triad_pa, pa_) + m.cross(pt.triad_pb, pb_)
+              + m.cross(pt.triad_pc, pc_))
+        r = m.rot_normalize(jnp.stack([rc, rs], axis=-1))
+        strength = (prm.elastic_strength * inv_dt * pt.triad_strength)
+        strength = jnp.where(el, strength, 0.0)
+        fa = strength[:, None] * (m.rot_vec(r, pt.triad_pa) - pa_)
+        fbv = strength[:, None] * (m.rot_vec(r, pt.triad_pb) - pb_)
+        fc = strength[:, None] * (m.rot_vec(r, pt.triad_pc) - pc_)
+        vel = vel.at[ta].add(fa).at[tb].add(fbv).at[tc].add(fc)
+
+        # ---- springs (ref SolveSpring) ----
+        sa, sb_ = pt.pair_a, pt.pair_b
+        spr = (pt.pair_flags & P_SPRING) != 0
+        dvec = (pos[sb_] + dt * vel[sb_]) - (pos[sa] + dt * vel[sa])
+        r1 = m.length(dvec)
+        fs = (prm.spring_strength * inv_dt * pt.pair_strength
+              * _safe_div(pt.pair_distance - r1, r1))[:, None] * dvec
+        fs = jnp.where(spr[:, None], fs, 0.0)
+        vel = vel.at[sa].add(-fs).at[sb_].add(fs)
+
+        # ---- limit velocity (ref LimitVelocity) ----
+        v2 = m.dot(vel, vel)
+        over = v2 > crit_v2
+        vel = jnp.where(over[:, None],
+                        vel * jnp.sqrt(_safe_div(crit_v2, v2))[:, None], vel)
+
+        # ---- wall particles stay put (ref SolveWall) ----
+        vel = jnp.where((((pt.flags & P_WALL) != 0))[:, None],
+                        jnp.zeros_like(vel), vel)
+
+        # ---- rigid groups move as rigid bodies (ref SolveRigid) ----
+        vel = _solve_rigid(pt, pos, vel, mass, dt, inv_dt)
+
+        # ---- collision anti-tunneling (ref SolveCollision) ----
+        vel = _solve_collision(pt, pos, vel, state, bs_idx, bs_valid,
+                               dt, inv_dt, prm)
+
+        # ---- integrate (ref :1554-1561) ----
+        pos = pos + jnp.where(pt.alive[:, None], dt * vel, 0.0)
+
+        pt2 = dataclasses.replace(pt, pos=pos, vel=vel,
+                                  static_pressure=static_pressure)
+        return (pt2, body_dv, body_dw), None
+
+    (pt, body_dv, body_dw), _ = jax.lax.scan(
+        iteration, (pt, body_dv, body_dw), None, length=cfg.iterations)
+    pt = dataclasses.replace(pt, force=jnp.zeros_like(pt.force))
+    return pt, body_dv, body_dw
+
+
+def _solve_rigid(pt: Particles, pos, vel, mass, dt, inv_dt):
+    """ref: SolveRigid + ParticleGroup.UpdateStatistics — rigid groups get a
+    uniform rigid-motion velocity field from their mass statistics."""
+    g = jnp.maximum(pt.group, 0)
+    ng = pt.group_flags.shape[0]
+    rigid = ((pt.group_flags & G_RIGID) != 0)
+    in_rigid = pt.alive & (pt.group >= 0) & rigid[g]
+    w1 = jnp.where(in_rigid, 1.0, 0.0)
+    cnt = jnp.zeros(ng, jnp.float32).at[g].add(w1)
+    cnt = jnp.maximum(cnt, 1.0)
+    cx = jnp.zeros(ng, jnp.float32).at[g].add(w1 * pos[:, 0]) / cnt
+    cy = jnp.zeros(ng, jnp.float32).at[g].add(w1 * pos[:, 1]) / cnt
+    vx = jnp.zeros(ng, jnp.float32).at[g].add(w1 * vel[:, 0]) / cnt
+    vy = jnp.zeros(ng, jnp.float32).at[g].add(w1 * vel[:, 1]) / cnt
+    center = jnp.stack([cx, cy], axis=-1)
+    linvel = jnp.stack([vx, vy], axis=-1)
+    rel = pos - center[g]
+    relv = vel - linvel[g]
+    inertia = jnp.zeros(ng, jnp.float32).at[g].add(w1 * m.dot(rel, rel))
+    angm = jnp.zeros(ng, jnp.float32).at[g].add(w1 * m.cross(rel, relv))
+    omega = _safe_div(angm, jnp.maximum(inertia, 1e-9))
+    v_rigid = linvel[g] + m.cross_sv(omega[g], rel)
+    return jnp.where(in_rigid[:, None], v_rigid, vel)
+
+
+def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
+                     bs_valid, dt, inv_dt, prm):
+    """Ray cast each particle's predicted motion against nearby shapes and
+    clamp velocity at the surface (ref: SolveCollision :1565-1624)."""
+    b = state.bodies
+    sh = state.shapes
+    origin = b.origin
+
+    def vs_shape(si, valid):
+        sp = origin[sh.body[si]]
+        sq = b.rot[sh.body[si]]
+        lo = jax.vmap(lambda x: m.inv_transform_point(sp, sq, x))(pos)
+        ld = jax.vmap(lambda v: m.inv_rot_vec(sq, v))(dt * vel)
+        hit, frac, lpt, lnrm = jax.vmap(
+            lambda p1, d: _ray_shape_local(p1, d, jnp.float32(1.0),
+                                           sh.type[si], sh.verts[si],
+                                           sh.normals[si], sh.count[si],
+                                           sh.radius[si]))(lo, ld)
+        hit = hit & valid & pt.alive & jnp.isfinite(frac) & (frac > 0.0)
+        wpt = jax.vmap(lambda x: m.transform_point(sp, sq, x))(lpt)
+        wn = jax.vmap(lambda v: m.rot_vec(sq, v))(lnrm)
+        return hit, jnp.where(hit, frac, jnp.inf), wpt, wn
+
+    hits, fracs, pts, nrms = jax.vmap(vs_shape, out_axes=1)(bs_idx, bs_valid)
+    best = jnp.argmin(fracs, axis=1)
+    rng = jnp.arange(pos.shape[0])
+    hit = hits[rng, best]
+    frac = fracs[rng, best]
+    wpt = pts[rng, best]
+    wn = nrms[rng, best]
+    target = pos + frac[:, None] * (dt * vel) + PARTICLE_LINEAR_SLOP * wn
+    v_new = inv_dt * (target - pos)
+    return jnp.where(hit[:, None], v_new, vel)

@@ -121,3 +121,23 @@ def bullet_barrage(bullets: int = 50, substeps: int = 4) -> World:
             gravity_scale=0.0))
         w.create_circle_shape(b, sd, (0.0, 0.0), 0.1)
     return w
+
+
+def dam_break(particles_target: int = 2000, substeps: int = 4,
+              radius: float = 0.05) -> World:
+    """LiquidFun dam break: particle column collapses in a tank
+    (BASELINE.json config 5)."""
+    w = World(substeps=substeps)
+    tank = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(tank, t.ShapeDef(), g.box(4.0, 0.25, center=(0, -0.25)))
+    w.create_polygon_shape(tank, t.ShapeDef(), g.box(0.25, 3.0, center=(-4.0, 2.75)))
+    w.create_polygon_shape(tank, t.ShapeDef(), g.box(0.25, 3.0, center=(4.0, 2.75)))
+    ps = w.create_particle_system(radius=radius)
+    # size the column to roughly hit the particle target
+    stride = 0.75 * 2.0 * radius
+    import math as _math
+
+    side = _math.sqrt(particles_target) * stride
+    ps.create_group_box(center=(-4.0 + side / 2 + 0.3, side / 2 + 0.05),
+                        half_w=side / 2, half_h=side / 2)
+    return w

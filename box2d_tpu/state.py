@@ -265,6 +265,7 @@ class WorldState:
     events: Events
     profile: Profile
     sensor_overlap: Any  # (S_sensor_cap,) persistent sensor visitor keys
+    particles: Any       # particles.Particles or None
     step_count: Any
 
 

@@ -33,13 +33,15 @@ from .joints import (prepare_joints, warm_start_joints_color,
                      solve_joints_color)
 from .continuous import continuous_pass
 from .sensors import sensor_pass
+from .particles import ParticleConfig, particle_step
 
 
 def make_step(capacity: Capacity, classes_present: frozenset,
               substeps: int = 4,
               joint_types: frozenset = frozenset(),
               sensor_ids: tuple = (),
-              continuous: bool = True) -> Callable:
+              continuous: bool = True,
+              particle_cfg: ParticleConfig | None = None) -> Callable:
     """Build a jit-able step function for the given static configuration."""
 
     # NOTE: no buffer donation — identical zero-filled outputs (cleared
@@ -49,14 +51,15 @@ def make_step(capacity: Capacity, classes_present: frozenset,
     @jax.jit
     def step(state: WorldState, dt) -> WorldState:
         return _step(state, dt, capacity, classes_present, substeps,
-                     joint_types, sensor_ids, continuous)
+                     joint_types, sensor_ids, continuous, particle_cfg)
 
     return step
 
 
 def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
           substeps: int, joint_types: frozenset = frozenset(),
-          sensor_ids: tuple = (), continuous: bool = True) -> WorldState:
+          sensor_ids: tuple = (), continuous: bool = True,
+          particle_cfg: ParticleConfig | None = None) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -70,6 +73,14 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     pairs = find_pairs(state, cap, aabbs)
     data = narrow_phase(state, pairs, classes_present)
     touching = data.manifold.point_count > 0
+
+    # --- particle systems run before the rigid solve (ref: api/World.cs:92)
+    if particle_cfg is not None and state.particles is not None:
+        new_particles, body_dv, body_dw = particle_step(
+            state.particles, state, dt, particle_cfg)
+        b = dataclasses.replace(
+            state.bodies, v=state.bodies.v + body_dv, w=state.bodies.w + body_dw)
+        state = dataclasses.replace(state, bodies=b, particles=new_particles)
 
     # --- constraint graph coloring (contacts + joints share colors) ------
     jn = state.joints

@@ -1,0 +1,98 @@
+import numpy as np
+
+from box2d_tpu import api, geometry as g, scenes
+from box2d_tpu import types as t
+from box2d_tpu.particles import P_SPRING, P_VISCOUS, P_WALL, G_RIGID
+
+
+def test_dam_break_settles_in_tank():
+    w = scenes.dam_break(particles_target=300, radius=0.1).compile()
+    for _ in range(240):
+        w.step(1 / 60)
+    pt = w.state.particles
+    alive = np.asarray(pt.alive)
+    pos = np.asarray(pt.pos)[alive]
+    assert np.isfinite(pos).all()
+    assert pos[:, 1].min() > -0.1      # no floor leak
+    assert pos[:, 0].min() > -4.3      # no wall leak
+    assert pos[:, 0].max() < 4.3
+    assert pos[:, 1].max() < 2.5       # column collapsed
+
+
+def test_particles_push_floating_box():
+    # two-way coupling: fluid column collapses onto a light box, moves it
+    w = api.World()
+    tank = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(tank, t.ShapeDef(), g.box(6.0, 0.25, center=(0, -0.25)))
+    box = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(1.5, 0.2)))
+    w.create_polygon_shape(box, t.ShapeDef(density=0.2), g.box(0.2, 0.2))
+    ps = w.create_particle_system(radius=0.08)
+    ps.create_group_box(center=(-1.0, 1.0), half_w=0.8, half_h=1.0)
+    w.compile()
+    for _ in range(180):
+        w.step(1 / 60)
+    assert w.body_position(box)[0] > 1.6  # pushed along +x by the wave
+    assert np.isfinite(np.asarray(w.state.bodies.center)).all()
+
+
+def test_viscous_flag_damps_relative_motion():
+    w = api.World()
+    floor = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(floor, t.ShapeDef(), g.box(10.0, 0.25, center=(0, -0.25)))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 0.6), half_w=0.6, half_h=0.6,
+                        flags=P_VISCOUS)
+    w.compile()
+    for _ in range(120):
+        w.step(1 / 60)
+    pos = np.asarray(w.state.particles.pos)
+    assert np.isfinite(pos).all()
+
+
+def test_wall_particles_do_not_move():
+    w = api.World()
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 1.0), half_w=0.3, half_h=0.3,
+                        flags=P_WALL)
+    w.compile()
+    p0 = np.asarray(w.state.particles.pos).copy()
+    for _ in range(60):
+        w.step(1 / 60)
+    np.testing.assert_allclose(np.asarray(w.state.particles.pos), p0, atol=1e-6)
+
+
+def test_rigid_group_moves_rigidly():
+    w = api.World()
+    floor = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(floor, t.ShapeDef(), g.box(10.0, 0.25, center=(0, -0.25)))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 2.0), half_w=0.4, half_h=0.4,
+                        group_flags=G_RIGID)
+    w.compile()
+    pt0 = np.asarray(w.state.particles.pos).copy()
+    alive = np.asarray(w.state.particles.alive)
+    d0 = np.linalg.norm(pt0[alive][0] - pt0[alive][-1])
+    for _ in range(120):
+        w.step(1 / 60)
+    pt1 = np.asarray(w.state.particles.pos)
+    d1 = np.linalg.norm(pt1[alive][0] - pt1[alive][-1])
+    # internal distances preserved (rigid), but the group fell
+    assert abs(d1 - d0) < 0.05
+    assert pt1[alive][:, 1].mean() < pt0[alive][:, 1].mean() - 0.5
+
+
+def test_spring_group_holds_shape():
+    w = api.World()
+    floor = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(floor, t.ShapeDef(), g.box(10.0, 0.25, center=(0, -0.25)))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 1.0), half_w=0.3, half_h=0.3,
+                        flags=P_SPRING)
+    w.compile()
+    for _ in range(180):
+        w.step(1 / 60)
+    pos = np.asarray(w.state.particles.pos)[np.asarray(w.state.particles.alive)]
+    assert np.isfinite(pos).all()
+    # springs keep the blob coherent: extent stays near original 0.6
+    ext = pos.max(axis=0) - pos.min(axis=0)
+    assert ext[0] < 1.2 and ext[1] < 1.2
