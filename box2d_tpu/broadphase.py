@@ -1,20 +1,24 @@
-"""Broadphase: fat-AABB candidate pair generation, fully in-jit.
+"""Broadphase: sorted-window sweep-and-prune candidate pairs, fully in-jit.
 
 TPU-first replacement for the reference's three dynamic BVH trees + moved
-proxy buffers + pair sets (ref: src/DynamicTree.cs, src/BroadPhase.cs:28-268):
-instead of maintaining an incremental spatial index, we recompute a dense
-(S, S) fat-AABB overlap mask every step and compact it with a per-shape
-top-K neighbor cap. On TPU the N^2 vector test is cheaper than pointer
-chasing for scene sizes in the tens of thousands, and the whole thing fuses
-into a handful of XLA ops with static shapes.
+proxy buffers + pair sets (ref: src/DynamicTree.cs, src/BroadPhase.cs:28-268).
+Instead of maintaining an incremental spatial index we rebuild the candidate
+set every step from two vectorized passes:
 
-A pair is kept when EITHER endpoint has room in its K-neighbor list, so a
-single huge static shape (ground) touching hundreds of shapes still pairs
-with all of them through their rows. Missed pairs require BOTH endpoints to
-exceed K neighbors; the overflow counter in Profile surfaces that.
+1. *window pass*: shapes sorted by fat-AABB min-x; each shape tests the next
+   W shapes in sorted order. Catches all pairs between shapes of comparable
+   extent (a pair is in-window unless more than W proxies start inside the
+   first shape's x-interval).
+2. *big-shape pass*: the B widest shapes (ground, containers, long chains)
+   test against every shape. This is the analog of the reference keeping
+   statics in their own tree: wide statics would blow any window guarantee.
 
-Fat AABBs use AABB_MARGIN like the reference (ref: src/Shape.cs:64-75,
-src/Constants.cs:31), which also provides the speculative-contact slack.
+Pairs missed by both passes require a non-big shape whose x-interval spans
+more than W sorted starts — counted in `overflow` (Profile.overflow_pairs) so
+silent misses are visible, never silent.
+
+Fat AABBs use AABB_MARGIN like the reference (ref: src/Shape.cs:64-75), which
+also provides the speculative-contact slack.
 """
 
 from __future__ import annotations
@@ -46,34 +50,6 @@ def compute_shape_aabbs(state: WorldState):
     return jnp.concatenate([lo, hi], axis=-1)  # (S, 4)
 
 
-def _should_collide(state: WorldState):
-    """(S, S) static pair admissibility (ref: src/Shape.cs:44-62
-    ShouldShapesCollide + body type rules in src/Body.cs ShouldBodiesCollide).
-    """
-    sh = state.shapes
-    b = state.bodies
-    body = sh.body
-    same_body = body[:, None] == body[None, :]
-    btype = b.type[body]
-    one_dynamic = (btype[:, None] == DYNAMIC) | (btype[None, :] == DYNAMIC)
-
-    grp = sh.filter_group
-    same_group = (grp[:, None] == grp[None, :]) & (grp != 0)[:, None]
-    group_pass = jnp.where(same_group, grp[:, None] > 0,
-                           ((sh.filter_category[:, None] & sh.filter_mask[None, :]) != 0)
-                           & ((sh.filter_category[None, :] & sh.filter_mask[:, None]) != 0))
-
-    alive = (sh.enabled & b.enabled[body] & ~sh.is_sensor)
-    ok = (
-        ~same_body
-        & one_dynamic
-        & group_pass
-        & alive[:, None]
-        & alive[None, :]
-    )
-    return ok
-
-
 class PairBuffer(NamedTuple):
     """Fixed-capacity candidate pair set."""
 
@@ -81,60 +57,119 @@ class PairBuffer(NamedTuple):
     shape_b: jnp.ndarray   # (P,) i32
     valid: jnp.ndarray     # (P,) bool
     count: jnp.ndarray     # i32 number of valid pairs
-    overflow: jnp.ndarray  # i32 pairs dropped (diagnostic)
+    overflow: jnp.ndarray  # i32 pairs potentially dropped (diagnostic)
+
+
+def _pair_should_collide(state: WorldState, sa, sb):
+    """Per-candidate admissibility (ref: src/Shape.cs ShouldShapesCollide +
+    body-type rules)."""
+    sh = state.shapes
+    b = state.bodies
+    ba = sh.body[sa]
+    bb = sh.body[sb]
+    one_dynamic = (b.type[ba] == DYNAMIC) | (b.type[bb] == DYNAMIC)
+    grp_a = sh.filter_group[sa]
+    grp_b = sh.filter_group[sb]
+    same_group = (grp_a == grp_b) & (grp_a != 0)
+    group_pass = jnp.where(
+        same_group, grp_a > 0,
+        ((sh.filter_category[sa] & sh.filter_mask[sb]) != 0)
+        & ((sh.filter_category[sb] & sh.filter_mask[sa]) != 0))
+    alive_a = sh.enabled[sa] & b.enabled[ba] & ~sh.is_sensor[sa]
+    alive_b = sh.enabled[sb] & b.enabled[bb] & ~sh.is_sensor[sb]
+    return (ba != bb) & one_dynamic & group_pass & alive_a & alive_b
 
 
 def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
-    """Dense overlap mask -> per-row top-K -> dedupe -> compact."""
     if aabbs is None:
         aabbs = compute_shape_aabbs(state)
     S = aabbs.shape[0]
-    K = min(cap.max_neighbors, S)
+    W = min(cap.sap_window, max(S - 1, 1))
+    B = min(cap.big_shape_cap, S)
     P = cap.max_contact_pairs
+    sh = state.shapes
+    b = state.bodies
 
+    alive = sh.enabled & b.enabled[sh.body] & ~sh.is_sensor
     fat_lo = aabbs[:, :2] - AABB_MARGIN
     fat_hi = aabbs[:, 2:] + AABB_MARGIN
-    overlap = (
-        (fat_lo[:, None, 0] <= fat_hi[None, :, 0])
-        & (fat_lo[None, :, 0] <= fat_hi[:, None, 0])
-        & (fat_lo[:, None, 1] <= fat_hi[None, :, 1])
-        & (fat_lo[None, :, 1] <= fat_hi[:, None, 1])
-    )
-    mask = overlap & _should_collide(state)  # symmetric
 
-    # per-row top-K neighbor selection
-    row_counts = jnp.sum(mask, axis=1)
-    col = jnp.arange(S)[None, :]
-    score = jnp.where(mask, S - col, 0)  # nonzero iff neighbor
-    top_vals, _ = jax.lax.top_k(score, K)  # (S, K)
-    has = top_vals > 0
-    nbr = jnp.where(has, S - top_vals, 0)  # (S, K) neighbor index
+    # ---- window pass over the x-sorted order ------------------------------
+    sort_x = jnp.where(alive, fat_lo[:, 0], jnp.inf)
+    order = jnp.argsort(sort_x)
+    slo_x = sort_x[order]
 
-    # canonicalize + dedupe via sort
-    row = jnp.broadcast_to(jnp.arange(S)[:, None], (S, K))
-    a = jnp.minimum(row, nbr).reshape(-1)
-    bidx = jnp.maximum(row, nbr).reshape(-1)
-    key = jnp.where(has.reshape(-1), a * S + bidx, jnp.iinfo(jnp.int32).max)
+    pos = jnp.arange(S)
+    cand = pos[:, None] + jnp.arange(1, W + 1)[None, :]      # (S, W)
+    in_rng = cand < S
+    cand_c = jnp.clip(cand, 0, S - 1)
+    ia = jnp.broadcast_to(order[:, None], (S, W))
+    ib = order[cand_c]
+    # x-interval prune: candidate must start before our fat max-x
+    x_ok = slo_x[cand_c] <= fat_hi[ia][..., 0]
+    ov = (m.aabb_overlaps(
+        jnp.concatenate([fat_lo[ia], fat_hi[ia]], -1),
+        jnp.concatenate([fat_lo[ib], fat_hi[ib]], -1))
+        & in_rng & x_ok & alive[ia] & alive[ib])
+    win_a = ia.reshape(-1)
+    win_b = ib.reshape(-1)
+    win_ok = ov.reshape(-1)
+
+    # ---- big-shape pass ----------------------------------------------------
+    width = jnp.where(alive, fat_hi[:, 0] - fat_lo[:, 0], -jnp.inf)
+    _, bigs = jax.lax.top_k(width, B)                        # (B,) shape ids
+    big_valid = alive[bigs]
+    all_ids = jnp.arange(S)
+    bg_a = jnp.broadcast_to(bigs[:, None], (B, S)).reshape(-1)
+    bg_b = jnp.broadcast_to(all_ids[None, :], (B, S)).reshape(-1)
+    bg_ok = (m.aabb_overlaps(
+        jnp.concatenate([fat_lo[bigs][:, None, :].repeat(S, 1),
+                         fat_hi[bigs][:, None, :].repeat(S, 1)], -1).reshape(-1, 4),
+        jnp.concatenate([fat_lo[None, :, :].repeat(B, 0),
+                         fat_hi[None, :, :].repeat(B, 0)], -1).reshape(-1, 4))
+        & jnp.broadcast_to(big_valid[:, None], (B, S)).reshape(-1)
+        & alive[bg_b] & (bg_a != bg_b))
+
+    # ---- overflow detection ------------------------------------------------
+    # a non-big shape whose x-interval spans past the window's last start can
+    # miss pairs; count those shapes
+    beyond = jnp.where(
+        pos + W < S,
+        fat_hi[order][:, 0] >= slo_x[jnp.clip(pos + W, 0, S - 1)],
+        False)
+    is_big = jnp.zeros(S, bool).at[bigs].set(big_valid)
+    overflow_shapes = jnp.sum(beyond & alive[order] & ~is_big[order])
+
+    # ---- merge, canonicalize, dedupe, filter -------------------------------
+    all_a = jnp.concatenate([win_a, bg_a])
+    all_b = jnp.concatenate([win_b, bg_b])
+    all_ok = jnp.concatenate([win_ok, bg_ok])
+    lo_id = jnp.minimum(all_a, all_b)
+    hi_id = jnp.maximum(all_a, all_b)
+    # int32 pair keys are exact for S < ~46000 shapes
+    assert S < 46000, "pair keys need 64-bit for this many shapes"
+    big_key = jnp.iinfo(jnp.int32).max
+    key = jnp.where(all_ok, lo_id * S + hi_id, big_key)
     key = jnp.sort(key)
     uniq = key != jnp.concatenate([jnp.full((1,), -1, key.dtype), key[:-1]])
-    valid = uniq & (key != jnp.iinfo(jnp.int32).max)
+    valid = uniq & (key != big_key)
 
-    # compact into (P,)
-    pos = jnp.cumsum(valid) - 1
+    posn = jnp.cumsum(valid) - 1
     count = jnp.sum(valid)
     out_key = jnp.full((P,), -1, jnp.int32)
-    out_key = out_key.at[jnp.where(valid, pos, P)].set(
-        key.astype(jnp.int32), mode="drop")
+    out_key = out_key.at[jnp.where(valid, posn, P)].set(key, mode="drop")
     pair_valid = out_key >= 0
     shape_a = jnp.where(pair_valid, out_key // S, 0)
     shape_b = jnp.where(pair_valid, out_key % S, 0)
+
+    pair_valid = pair_valid & _pair_should_collide(state, shape_a, shape_b)
 
     # exclusions from joints with collide_connected == False, applied on the
     # compacted (P, J) set (ref: src/Joint.cs:293 DestroyContactsBetweeenBodies)
     j = state.joints
     jex = j.enabled & ~j.collide_connected & (j.body_a >= 0)
     body = state.shapes.body
-    ba = body[shape_a]  # (P,)
+    ba = body[shape_a]
     bb = body[shape_b]
     hit = (
         ((ba[:, None] == j.body_a[None, :]) & (bb[:, None] == j.body_b[None, :]))
@@ -142,10 +177,6 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     ) & jex[None, :]
     pair_valid = pair_valid & ~jnp.any(hit, axis=1)
 
-    # overflow diagnostics: dropped by per-row cap on BOTH ends, or by P
-    pair_total = jnp.sum(row_counts) // 2
-    overflow = jnp.maximum(pair_total - count, 0) + jnp.maximum(count - P, 0)
-
+    overflow = (overflow_shapes + jnp.maximum(count - P, 0)).astype(jnp.int32)
     return PairBuffer(shape_a, shape_b, pair_valid,
-                      jnp.minimum(count, P).astype(jnp.int32),
-                      overflow.astype(jnp.int32))
+                      jnp.minimum(count, P).astype(jnp.int32), overflow)

@@ -40,8 +40,13 @@ def color_constraints(
     max_colors: int = 24,
     dyn_colors: int = 16,
     rounds: int = 24,
+    color_cap: int | None = None,
 ):
-    """Returns (color (N,) i32 densely remapped, overflow_mask, count)."""
+    """Returns (color (N,) i32 densely remapped, overflow_mask, count).
+
+    color_cap bounds the number of constraints per color so the solver can
+    process each color as a fixed-size contiguous chunk; full colors stop
+    accepting proposals."""
     assert max_colors <= 32
     n = body_a.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -58,10 +63,15 @@ def color_constraints(
     lo = jnp.where(both_dyn, 0, dyn_colors)
     hi = jnp.where(both_dyn, dyn_colors, max_colors - 1)
 
+    cap = color_cap if color_cap is not None else n
+
     def round_fn(_, carry):
-        color, used = carry  # used: (Nb+1,) i32 bitmask of colors per body
+        color, used, counts = carry
         cand = active & (color < 0)
-        forbidden = used[slot_a] | used[slot_b]
+        # full colors are globally forbidden
+        full_bits = jnp.sum(
+            jnp.where(counts >= cap, 1 << jnp.arange(max_colors), 0))
+        forbidden = used[slot_a] | used[slot_b] | full_bits
         free = (
             ((forbidden[:, None] >> bit_range[None, :]) & 1) == 0
         ) & (bit_range[None, :] >= lo[:, None]) & (bit_range[None, :] < hi[:, None])
@@ -79,17 +89,29 @@ def color_constraints(
         win = cand & (~dyn_a | (claims[key_a] == pri)) \
             & (~dyn_b | (claims[key_b] == pri))
 
+        # enforce the per-color cap: keep only the first (cap - count) winners
+        # of each color this round (ordinal = per-color prefix count)
+        seg = jnp.where(win, proposal, max_colors)
+        onehots = seg[:, None] == jnp.arange(max_colors)[None, :]
+        ordinal = (jnp.cumsum(onehots, axis=0) - 1)[
+            jnp.arange(n), jnp.clip(seg, 0, max_colors - 1)]
+        room = cap - counts[jnp.clip(seg, 0, max_colors - 1)]
+        win = win & (ordinal < room)
+
         color = jnp.where(win, proposal, color)
+        counts = counts + jnp.sum(
+            jnp.where(win[:, None], onehots, False), axis=0).astype(jnp.int32)
         bit = jnp.where(win, 1 << proposal, 0)
         used = used.at[slot_a].add(jnp.where(dyn_a, bit, 0))
         used = used.at[slot_b].add(jnp.where(dyn_b, bit, 0))
         # the sentinel lane may accumulate garbage; clear it
         used = used.at[num_bodies].set(0)
-        return color, used
+        return color, used, counts
 
     color0 = jnp.full(n, -1, jnp.int32)
     used0 = jnp.zeros(num_bodies + 1, jnp.int32)
-    color, _ = lax.fori_loop(0, rounds, round_fn, (color0, used0))
+    counts0 = jnp.zeros(max_colors, jnp.int32)
+    color, _, _ = lax.fori_loop(0, rounds, round_fn, (color0, used0, counts0))
 
     overflow = active & (color < 0)
     color = jnp.where(overflow, max_colors - 1, color)

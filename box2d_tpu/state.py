@@ -277,7 +277,10 @@ class Capacity:
     max_shapes: int
     max_joints: int
     max_contact_pairs: int       # total candidate pair capacity
-    max_neighbors: int = 16      # per-shape AABB overlap cap (broadphase)
+    max_neighbors: int = 16      # (legacy, unused)
+    sap_window: int = 32         # sweep-and-prune sorted window width
+    big_shape_cap: int = 16      # wide shapes tested against all
+    color_chunk: int = 0         # per-color bucket cap (0 = P // 8)
     max_colors: int = 24         # ref: src/Constants.cs:13
     sensor_pair_capacity: int = 256
     event_capacity: int = 256

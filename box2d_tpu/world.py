@@ -88,8 +88,10 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     all_ba = jnp.concatenate([data.body_a, jn.body_a])
     all_bb = jnp.concatenate([data.body_b, jn.body_b])
     all_active = jnp.concatenate([touching, joint_active])
+    chunk = cap.color_chunk or max(64, cap.max_contact_pairs // 8)
     colors, ovf, overflow_colors = color_constraints(
-        all_ba, all_bb, all_active, b.type, nb, cap.max_colors)
+        all_ba, all_bb, all_active, b.type, nb, cap.max_colors,
+        color_cap=chunk)
     p = data.body_a.shape[0]
     contact_color = jnp.where(touching, colors[:p], -1)
     joint_color = jnp.where(joint_active, colors[p:], -1)
@@ -114,11 +116,41 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     cc = prepare_contacts(state, data, bs, contact_color, h, inv_h)
     jc = prepare_joints(state, bs, joint_color, h, inv_h, joint_types)
 
-    # --- substep loop (ref: src/Solver.cs:624-682) ------------------------
-    def color_loop(fn, carry):
-        def body(c, carry):
-            return fn(c, carry)
-        return lax.fori_loop(0, num_colors, body, carry)
+    # --- color-sorted chunk layout ----------------------------------------
+    # contacts are gathered into color-sorted order once; each color pass
+    # then processes one contiguous fixed-size chunk (the coloring capped
+    # bucket sizes at `chunk`), instead of a masked full-width sweep.
+    p_cap = data.body_a.shape[0]
+    sortable = jnp.where(cc.color >= 0, cc.color, cap.max_colors + 1)
+    perm = jnp.argsort(sortable, stable=True)
+    cc = jax.tree.map(lambda x: x[perm], cc)
+    starts = jnp.searchsorted(sortable[perm], jnp.arange(cap.max_colors))
+    starts = jnp.minimum(starts, jnp.maximum(p_cap - chunk, 0)).astype(jnp.int32)
+    # the overflow bucket (present when overflow_colors > 0) may exceed the
+    # chunk cap, so it runs as a full masked pass
+    n_chunk_colors = num_colors - jnp.where(overflow_colors > 0, 1, 0)
+
+    def tslice(cc, start):
+        return jax.tree.map(
+            lambda x: lax.dynamic_slice_in_dim(x, start, min(chunk, p_cap), 0), cc)
+
+    def tupdate(cc, ch, start):
+        return jax.tree.map(
+            lambda full, x: lax.dynamic_update_slice_in_dim(full, x, start, 0),
+            cc, ch)
+
+    def contact_pass(fn, bs, cc, c, updates_cc=True):
+        start = starts[c]
+        ch = tslice(cc, start)
+        out = fn(bs, ch, ch.color == c)
+        if updates_cc:
+            bs, ch = out
+            cc = tupdate(cc, ch, start)
+        else:
+            bs = out
+        return bs, cc
+
+    ovf_color = num_colors - 1  # only valid when overflow_colors > 0
 
     def substep(_, carry):
         bs, cc, jc = carry
@@ -128,31 +160,52 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
             bs, cc, jc = carry
             bs, jc = warm_start_joints_color(state, bs, jc, jc.color == c,
                                              joint_types)
-            bs = warm_start_color(bs, cc, cc.color == c)
+            bs, cc = contact_pass(warm_start_color, bs, cc, c,
+                                  updates_cc=False)
             return bs, cc, jc
 
-        bs, cc, jc = color_loop(warm, (bs, cc, jc))
+        bs, cc, jc = lax.fori_loop(0, n_chunk_colors, warm, (bs, cc, jc))
+        bs = lax.cond(
+            overflow_colors > 0,
+            lambda bs: warm_start_color(bs, cc, cc.color == ovf_color),
+            lambda bs: bs, bs)
 
         def solve(c, carry):
             bs, cc, jc = carry
             bs, jc = solve_joints_color(state, bs, jc, jc.color == c, True,
                                         h, inv_h, joint_relax, joint_types)
-            bs, cc = solve_color(bs, cc, cc.color == c, True, inv_h,
-                                 tn.contact_speed, contact_relax)
+            bs, cc = contact_pass(
+                lambda bs, ch, mk: solve_color(bs, ch, mk, True, inv_h,
+                                               tn.contact_speed), bs, cc, c)
             return bs, cc, jc
 
-        bs, cc, jc = color_loop(solve, (bs, cc, jc))
+        bs, cc, jc = lax.fori_loop(0, n_chunk_colors, solve, (bs, cc, jc))
+        bs, cc = lax.cond(
+            overflow_colors > 0,
+            lambda bs_cc: solve_color(bs_cc[0], bs_cc[1],
+                                      bs_cc[1].color == ovf_color, True,
+                                      inv_h, tn.contact_speed,
+                                      contact_relax[perm]),
+            lambda bs_cc: bs_cc, (bs, cc))
         bs = integrate_positions(b, bs, h)
 
         def relax_pass(c, carry):
             bs, cc, jc = carry
             bs, jc = solve_joints_color(state, bs, jc, jc.color == c, False,
                                         h, inv_h, joint_relax, joint_types)
-            bs, cc = solve_color(bs, cc, cc.color == c, False, inv_h,
-                                 tn.contact_speed, contact_relax)
+            bs, cc = contact_pass(
+                lambda bs, ch, mk: solve_color(bs, ch, mk, False, inv_h,
+                                               tn.contact_speed), bs, cc, c)
             return bs, cc, jc
 
-        bs, cc, jc = color_loop(relax_pass, (bs, cc, jc))
+        bs, cc, jc = lax.fori_loop(0, n_chunk_colors, relax_pass, (bs, cc, jc))
+        bs, cc = lax.cond(
+            overflow_colors > 0,
+            lambda bs_cc: solve_color(bs_cc[0], bs_cc[1],
+                                      bs_cc[1].color == ovf_color, False,
+                                      inv_h, tn.contact_speed,
+                                      contact_relax[perm]),
+            lambda bs_cc: bs_cc, (bs, cc))
         return bs, cc, jc
 
     bs, cc, jc = lax.fori_loop(0, substeps, substep, (bs, cc, jc))
@@ -160,14 +213,25 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     # --- restitution + store (ref: src/Solver.cs:684-702) ----------------
     def restit(c, carry):
         bs, cc = carry
-        return restitution_color(bs, cc, cc.color == c, tn.restitution_threshold)
+        return contact_pass(
+            lambda bs, ch, mk: restitution_color(bs, ch, mk,
+                                                 tn.restitution_threshold),
+            bs, cc, c)
 
-    bs, cc = lax.fori_loop(0, num_colors, restit, (bs, cc))
+    bs, cc = lax.fori_loop(0, n_chunk_colors, restit, (bs, cc))
+    bs, cc = lax.cond(
+        overflow_colors > 0,
+        lambda bs_cc: restitution_color(bs_cc[0], bs_cc[1],
+                                        bs_cc[1].color == ovf_color,
+                                        tn.restitution_threshold),
+        lambda bs_cc: bs_cc, (bs, cc))
 
+    # un-permute impulses back to pair order for the store
+    inv_perm = jnp.argsort(perm)
     data = data._replace(
-        normal_impulse=cc.normal_impulse,
-        tangent_impulse=cc.tangent_impulse,
-        rolling_impulse=cc.rolling_impulse,
+        normal_impulse=cc.normal_impulse[inv_perm],
+        tangent_impulse=cc.tangent_impulse[inv_perm],
+        rolling_impulse=cc.rolling_impulse[inv_perm],
     )
     new_store = update_store(data, cap.max_contact_pairs)
     state = dataclasses.replace(state, contacts=new_store,
