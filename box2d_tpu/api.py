@@ -143,6 +143,166 @@ class World:
             bodies=dataclasses.replace(
                 bd, torque=bd.torque.at[body].add(jnp.float32(torque))))
 
+    def body_transform(self, body: int):
+        """(position, angle) of the body origin (ref: BodyAPI.GetTransform)."""
+        return self.body_position(body), self.body_angle(body)
+
+    def body_mass(self, body: int) -> float:
+        return float(self.state.bodies.mass[body])
+
+    def body_rotational_inertia(self, body: int) -> float:
+        return float(self.state.bodies.inertia[body])
+
+    def body_local_center(self, body: int) -> np.ndarray:
+        return np.asarray(self.state.bodies.local_center[body])
+
+    def body_world_center(self, body: int) -> np.ndarray:
+        return np.asarray(self.state.bodies.center[body])
+
+    def body_is_awake(self, body: int) -> bool:
+        return bool(self.state.bodies.awake[body])
+
+    def local_point(self, body: int, world_point):
+        b = self.state.bodies
+        origin = b.center[body] - m.rot_vec(b.rot[body], b.local_center[body])
+        return np.asarray(m.inv_transform_point(
+            origin, b.rot[body], jnp.asarray(world_point, jnp.float32)))
+
+    def world_point(self, body: int, local_point):
+        b = self.state.bodies
+        origin = b.center[body] - m.rot_vec(b.rot[body], b.local_center[body])
+        return np.asarray(m.transform_point(
+            origin, b.rot[body], jnp.asarray(local_point, jnp.float32)))
+
+    def _update_bodies(self, **cols):
+        self.state = dataclasses.replace(
+            self.state,
+            bodies=dataclasses.replace(self.state.bodies, **cols))
+
+    def set_transform(self, body: int, position, angle: float):
+        """Teleport a body (ref: BodyAPI.SetTransform). The next step's
+        broadphase re-pairs automatically since pairs are rebuilt anyway."""
+        bd = self.state.bodies
+        q = jnp.asarray([jnp.cos(angle), jnp.sin(angle)], jnp.float32)
+        center = jnp.asarray(position, jnp.float32) + m.rot_vec(
+            q, bd.local_center[body])
+        self._update_bodies(
+            center=bd.center.at[body].set(center),
+            rot=bd.rot.at[body].set(q))
+
+    def wake_body(self, body: int):
+        bd = self.state.bodies
+        self._update_bodies(awake=bd.awake.at[body].set(True),
+                            sleep_time=bd.sleep_time.at[body].set(0.0))
+
+    def set_body_enabled(self, body: int, enabled: bool):
+        bd = self.state.bodies
+        self._update_bodies(enabled=bd.enabled.at[body].set(bool(enabled)))
+
+    def apply_angular_impulse(self, body: int, impulse: float, wake=True):
+        bd = self.state.bodies
+        self._update_bodies(
+            w=bd.w.at[body].add(jnp.float32(impulse) * bd.inv_inertia[body]),
+            awake=bd.awake.at[body].set(True))
+
+    def apply_linear_impulse(self, body: int, impulse, point, wake=True):
+        bd = self.state.bodies
+        imp = jnp.asarray(impulse, jnp.float32)
+        lever = jnp.asarray(point, jnp.float32) - bd.center[body]
+        self._update_bodies(
+            v=bd.v.at[body].add(imp * bd.inv_mass[body]),
+            w=bd.w.at[body].add(bd.inv_inertia[body] * m.cross(lever, imp)),
+            awake=bd.awake.at[body].set(True))
+
+    # -- world tuning setters (ref: api/World.cs:628-807) --------------------
+
+    def _update_tuning(self, **cols):
+        self.state = dataclasses.replace(
+            self.state,
+            tuning=dataclasses.replace(
+                self.state.tuning,
+                **{k: jnp.asarray(v, jnp.float32) if not isinstance(v, bool)
+                   else jnp.bool_(v) for k, v in cols.items()}))
+
+    def set_gravity(self, gravity):
+        self._update_tuning(gravity=gravity)
+
+    def set_contact_tuning(self, hertz, damping_ratio, push_speed):
+        self._update_tuning(contact_hertz=hertz,
+                            contact_damping_ratio=damping_ratio,
+                            contact_speed=push_speed)
+
+    def set_restitution_threshold(self, v):
+        self._update_tuning(restitution_threshold=v)
+
+    def set_hit_event_threshold(self, v):
+        self._update_tuning(hit_event_threshold=v)
+
+    def set_maximum_linear_speed(self, v):
+        self._update_tuning(max_linear_speed=v)
+
+    def enable_sleep(self, flag: bool):
+        self._update_tuning(enable_sleep=flag)
+
+    def enable_warm_starting(self, flag: bool):
+        self._update_tuning(enable_warm_starting=flag)
+
+    # -- joint accessors ------------------------------------------------------
+
+    def set_mouse_target(self, joint: int, target):
+        """Move a mouse joint's world target (ref: MouseJoint SetTarget)."""
+        jn = self.state.joints
+        self.state = dataclasses.replace(
+            self.state,
+            joints=dataclasses.replace(
+                jn, frame_a_p=jn.frame_a_p.at[joint].set(
+                    jnp.asarray(target, jnp.float32))))
+        self.wake_body(int(jn.body_b[joint]))
+
+    def joint_constraint_force(self, joint: int, dt=1.0 / 60.0):
+        """Approximate reaction force magnitude (ref: JointAPI
+        GetConstraintForce). Uses last step's stored impulses."""
+        jn = self.state.joints
+        return float(np.hypot(*np.asarray(jn.impulse[joint])) / dt)
+
+    # -- queries (thin wrappers over box2d_tpu.queries) ----------------------
+
+    def cast_ray_closest(self, origin, translation, **kw):
+        from . import queries
+
+        return queries.cast_ray_closest(self.state, origin, translation, **kw)
+
+    def overlap_aabb(self, aabb, **kw):
+        from . import queries
+
+        return np.asarray(queries.overlap_aabb(self.state, aabb, **kw))
+
+    def explode(self, position, radius, impulse_per_length, falloff=0.0):
+        from . import queries
+
+        self.state = queries.explode(self.state, position, radius,
+                                     impulse_per_length, falloff)
+
+    # -- counters (ref: api/World.cs:817-834 GetCounters) --------------------
+
+    def counters(self) -> dict:
+        st = self.state
+        return {
+            "body_count": int(np.sum(np.asarray(st.bodies.enabled))),
+            "shape_count": int(np.sum(np.asarray(st.shapes.enabled))),
+            "joint_count": int(np.sum(np.asarray(st.joints.enabled)
+                                      & (np.asarray(st.joints.type) >= 0))),
+            "contact_count": int(np.sum(np.asarray(st.contacts.touching))),
+            "pair_count": int(st.profile.pair_count),
+            "color_count": int(st.profile.color_count),
+            "awake_body_count": int(np.sum(
+                np.asarray(st.bodies.awake) & np.asarray(st.bodies.enabled)
+                & (np.asarray(st.bodies.type) == 2))),
+            "particle_count": (
+                int(np.sum(np.asarray(st.particles.alive)))
+                if st.particles is not None else 0),
+        }
+
     @property
     def profile(self):
         return self.state.profile

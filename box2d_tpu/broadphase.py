@@ -1,21 +1,23 @@
-"""Broadphase: sorted-window sweep-and-prune candidate pairs, fully in-jit.
+"""Broadphase: grid-cell candidate pair generation, fully in-jit.
 
 TPU-first replacement for the reference's three dynamic BVH trees + moved
 proxy buffers + pair sets (ref: src/DynamicTree.cs, src/BroadPhase.cs:28-268).
 Instead of maintaining an incremental spatial index we rebuild the candidate
 set every step from two vectorized passes:
 
-1. *window pass*: shapes sorted by fat-AABB min-x; each shape tests the next
-   W shapes in sorted order. Catches all pairs between shapes of comparable
-   extent (a pair is in-window unless more than W proxies start inside the
-   first shape's x-interval).
-2. *big-shape pass*: the B widest shapes (ground, containers, long chains)
-   test against every shape. This is the analog of the reference keeping
-   statics in their own tree: wide statics would blow any window guarantee.
+1. *grid pass*: shapes hashed by fat-AABB center into square cells whose size
+   is the largest non-big shape extent, sorted by (row, column) cell key;
+   each shape scans a forward same-row window and a row-above window of W
+   sorted entries. Any overlapping non-big pair has center distance <= cell,
+   hence sits in the same or adjacent cells and is covered exactly once.
+   (An x-only sweep-and-prune window fails on tall stacks — a 140-row
+   pyramid puts 280 interval starts inside one box's x-extent.)
+2. *big-shape pass*: the B largest shapes (ground, containers, long chains)
+   test against every shape — the analog of the reference keeping statics in
+   their own tree; huge shapes would blow any local-window guarantee.
 
-Pairs missed by both passes require a non-big shape whose x-interval spans
-more than W sorted starts — counted in `overflow` (Profile.overflow_pairs) so
-silent misses are visible, never silent.
+Pairs can only be missed when more than W shapes occupy a scanned cell span —
+counted in `overflow` (Profile.overflow_pairs), never silent.
 
 Fat AABBs use AABB_MARGIN like the reference (ref: src/Shape.cs:64-75), which
 also provides the speculative-contact slack.
@@ -85,7 +87,7 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
         aabbs = compute_shape_aabbs(state)
     S = aabbs.shape[0]
     W = min(cap.sap_window, max(S - 1, 1))
-    B = min(cap.big_shape_cap, S)
+    B = min(cap.big_shape_cap, max(S - 1, 1))
     P = cap.max_contact_pairs
     sh = state.shapes
     b = state.bodies
@@ -93,31 +95,19 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     alive = sh.enabled & b.enabled[sh.body] & ~sh.is_sensor
     fat_lo = aabbs[:, :2] - AABB_MARGIN
     fat_hi = aabbs[:, 2:] + AABB_MARGIN
-
-    # ---- window pass over the x-sorted order ------------------------------
-    sort_x = jnp.where(alive, fat_lo[:, 0], jnp.inf)
-    order = jnp.argsort(sort_x)
-    slo_x = sort_x[order]
-
-    pos = jnp.arange(S)
-    cand = pos[:, None] + jnp.arange(1, W + 1)[None, :]      # (S, W)
-    in_rng = cand < S
-    cand_c = jnp.clip(cand, 0, S - 1)
-    ia = jnp.broadcast_to(order[:, None], (S, W))
-    ib = order[cand_c]
-    # x-interval prune: candidate must start before our fat max-x
-    x_ok = slo_x[cand_c] <= fat_hi[ia][..., 0]
-    ov = (m.aabb_overlaps(
-        jnp.concatenate([fat_lo[ia], fat_hi[ia]], -1),
-        jnp.concatenate([fat_lo[ib], fat_hi[ib]], -1))
-        & in_rng & x_ok & alive[ia] & alive[ib])
-    win_a = ia.reshape(-1)
-    win_b = ib.reshape(-1)
-    win_ok = ov.reshape(-1)
+    center = 0.5 * (fat_lo + fat_hi)
+    extent = jnp.where(alive, jnp.maximum(fat_hi[:, 0] - fat_lo[:, 0],
+                                          fat_hi[:, 1] - fat_lo[:, 1]),
+                       -jnp.inf)
 
     # ---- big-shape pass ----------------------------------------------------
-    width = jnp.where(alive, fat_hi[:, 0] - fat_lo[:, 0], -jnp.inf)
-    _, bigs = jax.lax.top_k(width, B)                        # (B,) shape ids
+    # the B largest shapes test against everything; the grid cell size below
+    # is then the largest remaining extent, which GUARANTEES grid coverage
+    kb = min(B + 1, S)
+    top_ext, bigs = jax.lax.top_k(extent, kb)
+    cell = jnp.maximum(top_ext[kb - 1], 1e-3)  # widest non-big shape
+    bigs = bigs[:min(B, S)]
+    B = bigs.shape[0]
     big_valid = alive[bigs]
     all_ids = jnp.arange(S)
     bg_a = jnp.broadcast_to(bigs[:, None], (B, S)).reshape(-1)
@@ -130,15 +120,51 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
         & jnp.broadcast_to(big_valid[:, None], (B, S)).reshape(-1)
         & alive[bg_b] & (bg_a != bg_b))
 
+    # ---- grid-cell window pass ---------------------------------------------
+    # shapes sorted by (row, column) cell key; overlapping non-big pairs have
+    # center distance <= cell, so they sit in the same or adjacent cells:
+    # forward same-row window + a row-above window cover all of them once.
+    inv_c = 1.0 / cell
+    xi = jnp.floor(center[:, 0] * inv_c).astype(jnp.int32)
+    yi = jnp.floor(center[:, 1] * inv_c).astype(jnp.int32)
+    key = jnp.where(alive, ((yi + 0x8000) << 16) | ((xi + 0x8000) & 0xFFFF),
+                    jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    skey = key[order]
+    srow = skey >> 16
+
+    pos = jnp.arange(S)
+    raw_same = pos[:, None] + jnp.arange(1, W + 1)[None, :]
+    cand_same = jnp.clip(raw_same, 0, S - 1)
+    up_key = skey + (1 << 16) - 1  # key(y+1, x-1)
+    start_up = jnp.searchsorted(skey, up_key)
+    raw_up = start_up[:, None] + jnp.arange(W)[None, :]
+    cand_up = jnp.clip(raw_up, 0, S - 1)
+
+    cand = jnp.concatenate([cand_same, cand_up], axis=1)  # (S, 2W)
+    in_rng = jnp.concatenate([raw_same, raw_up], axis=1) < S
+    row_ok = jnp.concatenate([
+        srow[cand_same] == srow[:, None],
+        srow[cand_up] == srow[:, None] + 1,
+    ], axis=1)
+    ia = jnp.broadcast_to(order[:, None], cand.shape)
+    ib = order[cand]
+    ov = (m.aabb_overlaps(
+        jnp.concatenate([fat_lo[ia], fat_hi[ia]], -1),
+        jnp.concatenate([fat_lo[ib], fat_hi[ib]], -1))
+        & in_rng & row_ok & alive[ia] & alive[ib])
+    win_a = ia.reshape(-1)
+    win_b = ib.reshape(-1)
+    win_ok = ov.reshape(-1)
+
     # ---- overflow detection ------------------------------------------------
-    # a non-big shape whose x-interval spans past the window's last start can
-    # miss pairs; count those shapes
-    beyond = jnp.where(
-        pos + W < S,
-        fat_hi[order][:, 0] >= slo_x[jnp.clip(pos + W, 0, S - 1)],
-        False)
-    is_big = jnp.zeros(S, bool).at[bigs].set(big_valid)
-    overflow_shapes = jnp.sum(beyond & alive[order] & ~is_big[order])
+    # window can only miss pairs when more than W shapes occupy the scanned
+    # cell span; count same-row runs and row-above spans that exceed W
+    run_end = jnp.searchsorted(skey, skey + 2)  # end of (y, x..x+1) span
+    same_over = (run_end - pos - 1) > W
+    up_end = jnp.searchsorted(skey, skey + (1 << 16) + 2)  # (y+1, x-1..x+1)
+    up_over = (up_end - start_up) > W
+    overflow_shapes = jnp.sum((same_over | up_over) & alive[order])
 
     # ---- merge, canonicalize, dedupe, filter -------------------------------
     all_a = jnp.concatenate([win_a, bg_a])

@@ -245,6 +245,7 @@ class WorldBuilder:
             sleep_threshold=farr("sleep_threshold"),
             min_extent=jnp.asarray(min_extent),
             max_extent=jnp.asarray(max_extent),
+            island_label=jnp.arange(Nb, dtype=jnp.int32),
             awake=farr("awake", dtype=bool),
             enabled=farr("enabled", dtype=bool),
             user_data=farr("user_data", dtype=np.int32),
@@ -411,10 +412,12 @@ class WorldBuilder:
             angular_damping_ratio=col("angular_damping_ratio"),
             linear_velocity=col("linear_velocity", 0.0, np.float32, (2,)),
             angular_velocity=col("angular_velocity"),
-            max_velocity_force=col("max_velocity_force"),
+            max_velocity_force=col("max_velocity_force") + col("max_force"),
             max_velocity_torque=col("max_velocity_torque"),
             max_spring_force=col("max_spring_force"),
             max_spring_torque=col("max_spring_torque"),
+            force_threshold=col("force_threshold", 3.4e38),
+            torque_threshold=col("torque_threshold", 3.4e38),
             impulse=jnp.zeros((J, 2), jnp.float32),
             spring_impulse=jz,
             spring_impulse2=jnp.zeros((J, 2), jnp.float32),

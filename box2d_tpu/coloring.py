@@ -6,7 +6,8 @@ reserved for dynamic-dynamic, src/Constants.cs:13,36). The sequential loop
 doesn't jit, so instead we run Jones-Plassmann-style rounds: every uncolored
 constraint proposes the smallest color not already used on either of its
 dynamic bodies (a per-body 32-bit color mask), ties on (body, color) are
-broken by constraint index, and winners commit. Each round is a handful of
+broken by a hashed priority (plain index order livelocks on chains), and
+winners commit. Each round is a handful of
 vectorized ops; a graph of max conflict-degree d colors in O(log n) expected
 rounds with at most d+1 colors — the same color count as the reference's
 greedy, computed in parallel.
@@ -49,7 +50,14 @@ def color_constraints(
     accepting proposals."""
     assert max_colors <= 32
     n = body_a.shape[0]
+    assert n < (1 << 16), "hashed priorities support < 65536 constraints"
     idx = jnp.arange(n, dtype=jnp.int32)
+    # Deterministic pseudo-random priority (Knuth hash in the high bits,
+    # index tie-break in the low bits). Plain index priorities livelock on
+    # monotonically-indexed constraint chains (a pyramid row colors ONE
+    # contact per round); randomized priorities give dense local minima and
+    # O(log n) convergence.
+    pri_of = (((idx * jnp.int32(-1640531527)) >> 16) & 0x7FFF) << 16 | idx
     big = jnp.iinfo(jnp.int32).max
     bit_range = jnp.arange(32, dtype=jnp.int32)
 
@@ -79,8 +87,8 @@ def color_constraints(
         proposal = jnp.argmax(free, axis=1).astype(jnp.int32)
         cand = cand & has_free
 
-        # tie-break per (body, color) by constraint index
-        pri = jnp.where(cand, idx, big)
+        # tie-break per (body, color) by hashed priority
+        pri = jnp.where(cand, pri_of, big)
         key_a = slot_a * 32 + proposal
         key_b = slot_b * 32 + proposal
         claims = jnp.full((num_bodies + 1) * 32, big, jnp.int32)

@@ -182,6 +182,10 @@ def warm_start_joints_color(state, bs, jc: JointConstraints, mask,
         am = jc.angular_impulse + jc.spring_impulse
         p, la, lb = sel(ty == JOINT_MOTOR, pm,
                         m.cross(ra, pm) + am, m.cross(rb, pm) + am)
+    if JOINT_MOUSE in types_present:
+        pmo = jc.impulse
+        zero = jnp.zeros_like(wa0)
+        p, la, lb = sel(ty == JOINT_MOUSE, pmo, zero, m.cross(rb, pmo))
     if JOINT_PRISMATIC in types_present or JOINT_WHEEL in types_present:
         axis_a = m.rot_vec(dqa, m.rot_vec(jc.fa_q, _unit_x(ra)))
         perp_a = m.left_perp(axis_a)
@@ -727,6 +731,39 @@ def solve_joints_color(state, bs, jc: JointConstraints, mask, use_bias,
             pick(is_wh, "lower_impulse", new_low)
             pick(is_wh, "upper_impulse", new_up)
             vsel(is_wh, lva, lwa, lvb, lwb)
+
+    # ---------------- mouse (soft target drag; upstream b2MouseJoint — the
+    # reference excludes it from its build, ref Box2D.csproj:23-25) --------
+    if JOINT_MOUSE in types_present:
+        jn = state.joints
+        lva, lwa, lvb, lwb = va, wa, vb, wb
+        # target lives in frame_a_p (world); anchor on body B
+        target = jc.fa_p + state.bodies.center[jc.body_a]  # frame A on ground
+        anchor = state.bodies.center[jc.body_b] + rb
+        c = (anchor + bs.dp[jc.body_b]) - target
+        soft = jc.spring_soft
+        cdot = lvb + m.cross_sv(lwb, rb)
+        k11 = mb + rb[:, 1] ** 2 * ib
+        k12 = -rb[:, 1] * rb[:, 0] * ib
+        k22 = mb + rb[:, 0] ** 2 * ib
+        bx, by = m.solve22(k11, k12, k12, k22,
+                           cdot[:, 0] + soft[:, 0] * c[:, 0],
+                           cdot[:, 1] + soft[:, 0] * c[:, 1])
+        dimp2 = (-soft[:, 1, None] * jnp.stack([bx, by], axis=1)
+                 - soft[:, 2, None] * jc.impulse)
+        new_imp = jc.impulse + dimp2
+        max_i = h * jn.max_velocity_force
+        ln = m.length(new_imp)
+        over = (ln > max_i) & (max_i > 0)
+        new_imp = jnp.where(over[:, None],
+                            new_imp * (max_i / jnp.where(ln > 0, ln, 1.0))[:, None],
+                            new_imp)
+        dimp2 = new_imp - jc.impulse
+        lvb = lvb + mb[:, None] * dimp2
+        lwb = lwb + ib * m.cross(rb, dimp2)
+        is_mo = ty == JOINT_MOUSE
+        pick(is_mo, "impulse", new_imp)
+        vsel(is_mo, lva, lwa, lvb, lwb)
 
     # write back impulses for masked lanes only
     def commit(name):

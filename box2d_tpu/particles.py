@@ -93,6 +93,7 @@ class ParticleParams:
     ejection_strength: Any        # 0.5
     static_pressure_strength: Any  # 0.2
     static_pressure_relaxation: Any  # 0.2
+    color_mixing_strength: Any    # 0.5
 
 
 def default_params(radius: float, density: float = 1.0) -> ParticleParams:
@@ -105,6 +106,7 @@ def default_params(radius: float, density: float = 1.0) -> ParticleParams:
         surface_tension_normal=f(0.2), repulsive_strength=f(1.0),
         powder_strength=f(0.5), ejection_strength=f(0.5),
         static_pressure_strength=f(0.2), static_pressure_relaxation=f(0.2),
+        color_mixing_strength=f(0.5),
     )
 
 
@@ -118,6 +120,8 @@ class Particles:
     flags: Any      # (Np,) i32
     group: Any      # (Np,) i32, -1 = none
     alive: Any      # (Np,) bool
+    expiration: Any  # (Np,) seconds left; <= 0 means immortal
+    color: Any      # (Np, 4) f32 RGBA in [0, 1]
     static_pressure: Any  # (Np,)
     depth: Any      # (Np,)
     # groups (G lanes)
@@ -170,17 +174,22 @@ class ParticleSystemBuilder:
         self.group_strength: list = []
         self.pairs: list = []
         self.triads: list = []
+        self.lifetime: list = []
+        self.color: list = []
 
     def create_particle(self, position, velocity=(0.0, 0.0), flags=0,
-                        group=-1) -> int:
+                        group=-1, lifetime=0.0, color=(1.0, 1.0, 1.0, 1.0)) -> int:
         self.pos.append(np.asarray(position, np.float32))
         self.vel.append(np.asarray(velocity, np.float32))
         self.flags.append(int(flags))
         self.group.append(int(group))
+        self.lifetime.append(float(lifetime))
+        self.color.append(np.asarray(color, np.float32))
         return len(self.pos) - 1
 
     def create_group_box(self, center, half_w, half_h, flags=0, group_flags=0,
-                         strength=1.0, velocity=(0.0, 0.0)) -> int:
+                         strength=1.0, velocity=(0.0, 0.0), lifetime=0.0,
+                         color=(1.0, 1.0, 1.0, 1.0)) -> int:
         """Fill a box with particles on the standard stride grid
         (ref: CreateParticleGroup shape fill :652-720)."""
         gid = len(self.group_flags)
@@ -193,7 +202,8 @@ class ParticleSystemBuilder:
         xs = np.arange(-half_w + stride / 2, half_w, stride)
         for y in ys:
             for x in xs:
-                self.create_particle((cx + x, cy + y), velocity, flags, gid)
+                self.create_particle((cx + x, cy + y), velocity, flags, gid,
+                                     lifetime, color)
         last = len(self.pos)
         if flags & (P_SPRING | P_ELASTIC):
             self._build_pairs_triads(first, last, flags, strength)
@@ -259,6 +269,8 @@ class ParticleSystemBuilder:
             flags=pad(self.flags, cap, (), np.int32),
             group=pad(self.group, cap, (), np.int32, -1),
             alive=jnp.asarray(np.arange(cap) < n),
+            expiration=pad(self.lifetime, cap),
+            color=pad(self.color, cap, (4,)),
             static_pressure=jnp.zeros(cap, jnp.float32),
             depth=jnp.zeros(cap, jnp.float32),
             group_flags=pad(self.group_flags, g, (), np.int32),
@@ -667,10 +679,23 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         vel = _solve_collision(pt, pos, vel, state, bs_idx, bs_valid,
                                dt, inv_dt, prm)
 
+        # ---- color mixing (ref SolveColorMixing :2243) ----
+        col = pt.color
+        mix = ((c_flags & P_COLOR_MIXING) != 0) & c_ok
+        dcol = 0.5 * prm.color_mixing_strength * (col[ib] - col[ia])
+        dcol = jnp.where(mix[:, None], dcol, 0.0)
+        col = col.at[ia].add(dcol).at[ib].add(-dcol)
+
+        # ---- lifetimes (ref SolveLifetimes :1516) ----
+        expiration = jnp.where(pt.expiration > 0.0, pt.expiration - dt,
+                               pt.expiration)
+        alive = pt.alive & ~((pt.expiration > 0.0) & (expiration <= 0.0))
+
         # ---- integrate (ref :1554-1561) ----
         pos = pos + jnp.where(pt.alive[:, None], dt * vel, 0.0)
 
-        pt2 = dataclasses.replace(pt, pos=pos, vel=vel,
+        pt2 = dataclasses.replace(pt, pos=pos, vel=vel, alive=alive,
+                                  expiration=expiration, color=col,
                                   static_pressure=static_pressure)
         return (pt2, body_dv, body_dw), None
 
@@ -738,3 +763,15 @@ def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
     target = pos + frac[:, None] * (dt * vel) + PARTICLE_LINEAR_SLOP * wn
     v_new = inv_dt * (target - pos)
     return jnp.where(hit[:, None], v_new, vel)
+
+
+def calculate_reasonable_particle_iterations(gravity, radius, dt) -> int:
+    """ref: api/Particle.cs:9-38 + particle/Particle.cs:87-93 —
+    clamp(ceil(sqrt(g / (0.01 * r)) * dt), 1, 8)."""
+    import math
+
+    g = float(abs(gravity)) if not hasattr(gravity, "__len__") else float(
+        math.hypot(*gravity))
+    if radius <= 0 or dt <= 0:
+        return 1
+    return max(1, min(8, math.ceil(math.sqrt(g / (0.01 * radius)) * dt)))

@@ -1,0 +1,97 @@
+"""Sleep management: island labels, sleep/wake transitions.
+
+Behavioral counterpart of ref: src/Island.cs (persistent islands with
+union-find merge) + src/SolverSet.cs:52-353 (sleep set migration) +
+src/Solver.cs:1293-1321 (TrySleepIsland).
+
+TPU redesign: instead of migrating entities between solver sets, sleeping is
+a per-body `awake` mask — the solver and integrator already skip non-awake
+bodies, and contacts between two sleeping bodies are excluded from the
+constraint set. Islands are tracked with a persistent min-label that
+propagates a few hops per step over the touching-contact + joint graph:
+
+- merges accumulate across steps (labels only decrease), converging long
+  before the 0.5 s sleep timer can expire;
+- splits are not tracked (an over-merged island sleeps later than the
+  reference's lazily-split islands would — conservative, never incorrect);
+- a sleeping island wakes when a *new* touching contact or an external
+  velocity/force change reaches any of its bodies (ref: src/Island.cs:217-220
+  LinkContact wake).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .constants import TIME_TO_SLEEP
+from .state import DYNAMIC, ENABLE_SLEEP, WorldState
+
+
+def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
+                      iterations: int = 4):
+    """Min-label propagation over constraint edges (dynamic bodies only)."""
+    nb = labels.shape[0]
+    dyn_a = body_type[edges_a] == DYNAMIC
+    dyn_b = body_type[edges_b] == DYNAMIC
+    on = edges_on & dyn_a & dyn_b
+    slot_a = jnp.where(on, edges_a, nb)
+    slot_b = jnp.where(on, edges_b, nb)
+    for _ in range(iterations):
+        la = labels[jnp.clip(edges_a, 0, nb - 1)]
+        lb = labels[jnp.clip(edges_b, 0, nb - 1)]
+        mn = jnp.minimum(la, lb)
+        ext = jnp.concatenate([labels, jnp.full((1,), 1 << 30, jnp.int32)])
+        ext = ext.at[slot_a].min(mn).at[slot_b].min(mn)
+        labels = ext[:nb]
+    return labels
+
+
+def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
+                   dt) -> WorldState:
+    """Wake islands hit by new contacts; put long-still islands to sleep."""
+    b = state.bodies
+    nb = b.center.shape[0]
+    tn = state.tuning
+
+    labels = propagate_islands(
+        b.island_label, b.type,
+        jnp.concatenate([body_a, state.joints.body_a]),
+        jnp.concatenate([body_b, state.joints.body_b]),
+        jnp.concatenate([touching,
+                         state.joints.enabled & (state.joints.body_a >= 0)]))
+
+    # ---- wake: new touching contact reaches a sleeping body --------------
+    ext = jnp.zeros(nb + 1, bool)
+    asleep_a = ~b.awake[body_a]
+    asleep_b = ~b.awake[body_b]
+    hit = new_touch & (asleep_a | asleep_b)
+    ext = ext.at[jnp.where(hit, body_a, nb)].max(hit)
+    ext = ext.at[jnp.where(hit, body_b, nb)].max(hit)
+    woken_body = ext[:nb]
+    # wake the whole island of any woken body
+    island_woken = jnp.zeros(nb + 1, bool)
+    island_woken = island_woken.at[
+        jnp.where(woken_body, jnp.clip(labels, 0, nb), nb)].max(woken_body)
+    wake = island_woken[jnp.clip(labels, 0, nb)] & (b.type == DYNAMIC)
+    awake = b.awake | wake
+    sleep_time = jnp.where(wake, 0.0, b.sleep_time)
+
+    # ---- sleep: every dynamic body in the island is past the timer -------
+    can_sleep = (tn.enable_sleep & ((b.flags & ENABLE_SLEEP) != 0)
+                 & (b.type == DYNAMIC) & b.enabled)
+    eligible = jnp.where(b.type == DYNAMIC,
+                         can_sleep & (sleep_time >= TIME_TO_SLEEP), True)
+    island_ok = jnp.ones(nb + 1, bool)
+    dyn = (b.type == DYNAMIC) & b.enabled
+    island_ok = island_ok.at[
+        jnp.where(dyn, jnp.clip(labels, 0, nb), nb)].min(eligible | ~dyn)
+    go_sleep = awake & dyn & island_ok[jnp.clip(labels, 0, nb)] & can_sleep
+    awake = jnp.where(go_sleep, False, awake)
+    v = jnp.where(go_sleep[:, None], 0.0, b.v)
+    w = jnp.where(go_sleep, 0.0, b.w)
+
+    bodies = dataclasses.replace(
+        b, awake=awake, v=v, w=w, sleep_time=sleep_time, island_label=labels)
+    return dataclasses.replace(state, bodies=bodies)

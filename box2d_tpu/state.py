@@ -88,6 +88,7 @@ class Bodies:
     sleep_threshold: Any  # (Nb,)
     min_extent: Any    # (Nb,) min shape extent (continuous-collision gate)
     max_extent: Any    # (Nb,) max shape reach from COM (sleep/fast checks)
+    island_label: Any  # (Nb,) i32 persistent island min-label (see sleep.py)
     awake: Any         # (Nb,) bool — sleeping bodies hold state frozen
     enabled: Any       # (Nb,) bool — lane allocated & enabled
     user_data: Any     # (Nb,) i32 opaque tag
@@ -189,6 +190,8 @@ class Joints:
     max_velocity_torque: Any  # (J,)
     max_spring_force: Any    # (J,)
     max_spring_torque: Any   # (J,)
+    force_threshold: Any   # (J,) joint event force threshold
+    torque_threshold: Any  # (J,)
     # accumulated impulses (warm starting)
     impulse: Any         # (J, 2) main linear/(perp,angle) impulse
     spring_impulse: Any  # (J,) axial/angular spring impulse

@@ -142,6 +142,10 @@ class _JointDefBase:
     local_anchor_a: tuple = (0.0, 0.0)
     local_anchor_b: tuple = (0.0, 0.0)
     collide_connected: bool = False
+    force_threshold: float = 3.4e38
+    torque_threshold: float = 3.4e38
+    constraint_hertz: float = 60.0
+    constraint_damping_ratio: float = 2.0
 
 
 @dataclasses.dataclass

@@ -33,6 +33,7 @@ from .joints import (prepare_joints, warm_start_joints_color,
                      solve_joints_color)
 from .continuous import continuous_pass
 from .sensors import sensor_pass
+from .sleep import wake_and_sleep
 from .particles import ParticleConfig, particle_step
 
 
@@ -78,22 +79,35 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     if particle_cfg is not None and state.particles is not None:
         new_particles, body_dv, body_dw = particle_step(
             state.particles, state, dt, particle_cfg)
+        # particle impulses wake the bodies they touch
+        # (ref: particle/World.cs:47-61 ApplyLinearImpulse -> WakeBody)
+        poked = (m.dot(body_dv, body_dv) + body_dw * body_dw) > 1e-12
+        b0 = state.bodies
         b = dataclasses.replace(
-            state.bodies, v=state.bodies.v + body_dv, w=state.bodies.w + body_dw)
+            b0, v=b0.v + body_dv, w=b0.w + body_dw,
+            awake=b0.awake | (poked & (b0.type == 2)),
+            sleep_time=jnp.where(poked, 0.0, b0.sleep_time))
         state = dataclasses.replace(state, bodies=b, particles=new_particles)
+        b = state.bodies
 
     # --- constraint graph coloring (contacts + joints share colors) ------
+    # constraints whose endpoints are all asleep/static are skipped entirely
+    # (the masked analog of the reference's sleeping solver sets)
+    awake_dyn = b.awake & (b.type == 2)
     jn = state.joints
-    joint_active = jn.enabled & (jn.type >= 0) & _joint_needs_solve(jn)
+    joint_active = (jn.enabled & (jn.type >= 0) & _joint_needs_solve(jn)
+                    & (awake_dyn[jnp.maximum(jn.body_a, 0)]
+                       | awake_dyn[jnp.maximum(jn.body_b, 0)]))
+    contact_live = touching & (awake_dyn[data.body_a] | awake_dyn[data.body_b])
     all_ba = jnp.concatenate([data.body_a, jn.body_a])
     all_bb = jnp.concatenate([data.body_b, jn.body_b])
-    all_active = jnp.concatenate([touching, joint_active])
+    all_active = jnp.concatenate([contact_live, joint_active])
     chunk = cap.color_chunk or max(64, cap.max_contact_pairs // 8)
     colors, ovf, overflow_colors = color_constraints(
         all_ba, all_bb, all_active, b.type, nb, cap.max_colors,
         color_cap=chunk)
     p = data.body_a.shape[0]
-    contact_color = jnp.where(touching, colors[:p], -1)
+    contact_color = jnp.where(contact_live, colors[:p], -1)
     joint_color = jnp.where(joint_active, colors[p:], -1)
     num_colors = jnp.maximum(jnp.max(jnp.where(all_active, colors, -1)) + 1, 0)
 
@@ -239,6 +253,8 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
 
     # --- events -----------------------------------------------------------
     events = _contact_events(state, data, touching, cap)
+    events = _hit_events(state, data, cc, inv_perm, touching, events, cap)
+    events = _joint_events(state, jc, inv_h, events, cap)
 
     # --- continuous collision (ref: src/Solver.cs:224-401) -----------------
     advance = None
@@ -247,6 +263,11 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
 
     # --- finalize ----------------------------------------------------------
     state = finalize_bodies(state, bs, dt, inv_dt, advance)
+
+    # --- sleep/wake (ref: src/Solver.cs:1293-1321 + src/Island.cs) ---------
+    new_touch = touching & ~data.was_touching
+    state = wake_and_sleep(state, touching, new_touch, data.body_a,
+                           data.body_b, dt)
 
     # --- sensors (ref: api/World.cs:99 OverlapSensors after solve) ---------
     state = dataclasses.replace(state, events=events)
@@ -312,4 +333,75 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap):
         events,
         contact_begin=begin_arr, contact_begin_count=begin_count,
         contact_end=end_arr, contact_end_count=end_count,
+    )
+
+
+def _hit_events(state, data, cc, inv_perm, touching, events, cap):
+    """Contact hit events (ref: src/Solver.cs:1151-1190): at hit speed above
+    the threshold with a non-zero normal impulse."""
+    sh = state.shapes
+    tn = state.tuning
+    enable = (sh.enable_hit_events[data.shape_a]
+              | sh.enable_hit_events[data.shape_b])
+    rel_v = cc.relative_velocity[inv_perm]      # (P, 2)
+    tni = cc.total_normal_impulse[inv_perm]
+    approach = -rel_v
+    pt_ok = (approach > tn.hit_event_threshold) & (tni > 0.0)
+    best_pt = jnp.argmax(jnp.where(pt_ok, approach, -jnp.inf), axis=1)
+    lane = jnp.arange(data.shape_a.shape[0])
+    hit = enable & touching & jnp.any(pt_ok, axis=1)
+    speed = approach[lane, best_pt]
+    point = data.manifold.point[lane, best_pt]
+    normal = data.manifold.normal
+    shapes_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
+
+    pos = jnp.cumsum(hit) - 1
+    e = cap.event_capacity
+    tgt = jnp.where(hit, pos, e)
+    return dataclasses.replace(
+        events,
+        hit_point=events.hit_point.at[tgt].set(point, mode="drop"),
+        hit_normal=events.hit_normal.at[tgt].set(normal, mode="drop"),
+        hit_speed=events.hit_speed.at[tgt].set(speed, mode="drop"),
+        hit_shapes=events.hit_shapes.at[tgt].set(shapes_ab, mode="drop"),
+        hit_count=jnp.minimum(jnp.sum(hit), e).astype(jnp.int32),
+    )
+
+
+def _joint_events(state, jc, inv_h, events, cap):
+    """Joint force/torque threshold events (ref: src/Solver.cs:1126-1150 +
+    per-joint GetReaction)."""
+    from .state import (JOINT_DISTANCE, JOINT_MOTOR, JOINT_PRISMATIC,
+                        JOINT_REVOLUTE, JOINT_WELD, JOINT_WHEEL)
+
+    jn = state.joints
+    ty = jn.type
+    lin = jnp.sqrt(jnp.sum(jc.impulse**2, axis=1))
+    axial = jc.spring_impulse + jc.lower_impulse - jc.upper_impulse
+    force = jnp.where(
+        ty == JOINT_DISTANCE,
+        jnp.abs(jc.impulse[:, 0] + jc.lower_impulse - jc.upper_impulse
+                + jc.motor_impulse),
+        jnp.where(ty == JOINT_PRISMATIC,
+                  jnp.hypot(jc.impulse[:, 0],
+                            axial + jc.motor_impulse),
+                  jnp.where(ty == JOINT_WHEEL,
+                            jnp.hypot(jc.impulse[:, 0], axial),
+                            lin))) * inv_h
+    torque = jnp.where(
+        ty == JOINT_REVOLUTE,
+        jnp.abs(jc.motor_impulse + jc.lower_impulse - jc.upper_impulse),
+        jnp.where(ty == JOINT_PRISMATIC, jnp.abs(jc.impulse[:, 1]),
+                  jnp.where(ty == JOINT_WHEEL, jnp.abs(jc.motor_impulse),
+                            jnp.abs(jc.angular_impulse)))) * inv_h
+    over = jc.active & ((force >= jn.force_threshold)
+                        | (torque >= jn.torque_threshold))
+    pos = jnp.cumsum(over) - 1
+    e = cap.event_capacity
+    tgt = jnp.where(over, pos, e)
+    ids = jnp.arange(jn.type.shape[0], dtype=jnp.int32)
+    return dataclasses.replace(
+        events,
+        joint_force=events.joint_force.at[tgt].set(ids, mode="drop"),
+        joint_force_count=jnp.minimum(jnp.sum(over), e).astype(jnp.int32),
     )
