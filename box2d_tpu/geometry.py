@@ -193,6 +193,13 @@ def compute_hull(points: Sequence) -> np.ndarray:
     if len(pts) < 3:
         return pts.astype(np.float32)
 
+    # native fast path (see native.py / native/scene_core.cpp)
+    from .native import compute_hull_native
+
+    native = compute_hull_native(pts, LINEAR_SLOP, MAX_POLYGON_VERTICES)
+    if native is not None:
+        return native
+
     # weld close points (ref: Hull.cs:54-74)
     tol = 16.0 * LINEAR_SLOP
     unique: list[np.ndarray] = []

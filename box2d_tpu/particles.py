@@ -198,12 +198,16 @@ class ParticleSystemBuilder:
         stride = PARTICLE_STRIDE * 2.0 * self.radius
         cx, cy = center
         first = len(self.pos)
-        ys = np.arange(-half_h + stride / 2, half_h, stride)
-        xs = np.arange(-half_w + stride / 2, half_w, stride)
-        for y in ys:
-            for x in xs:
-                self.create_particle((cx + x, cy + y), velocity, flags, gid,
-                                     lifetime, color)
+        from .native import fill_box_native
+
+        grid = fill_box_native(center, half_w, half_h, stride)
+        if grid is None:
+            ys = np.arange(-half_h + stride / 2, half_h, stride)
+            xs = np.arange(-half_w + stride / 2, half_w, stride)
+            grid = np.array([(cx + x, cy + y) for y in ys for x in xs],
+                            np.float32).reshape(-1, 2)
+        for p in grid:
+            self.create_particle(p, velocity, flags, gid, lifetime, color)
         last = len(self.pos)
         if flags & (P_SPRING | P_ELASTIC):
             self._build_pairs_triads(first, last, flags, strength)
@@ -213,37 +217,52 @@ class ParticleSystemBuilder:
         """Spring pairs from initial proximity; elastic triads from a grid
     Delaunay-ish triangulation (behavioral stand-in for the reference's
     Voronoi triads, ref :801-861)."""
-        pts = np.array(self.pos[first:last])
+        pts = np.array(self.pos[first:last], np.float32)
         d = 2.0 * self.radius
         n = len(pts)
-        # O(n^2) proximity is fine at build time for moderate groups
-        for i in range(n):
-            diff = pts[i + 1:] - pts[i]
-            dist = np.hypot(diff[:, 0], diff[:, 1])
-            for j in np.nonzero(dist < d * 1.2)[0]:
-                jj = i + 1 + j
-                if flags & P_SPRING:
-                    self.pairs.append((first + i, first + jj, flags, strength,
-                                       float(dist[j])))
+        from .native import build_pairs_native, build_triads_native
+
+        if flags & P_SPRING:
+            res = build_pairs_native(pts, d * 1.2)
+            if res is not None:
+                a, b, dist = res
+                for k in range(len(a)):
+                    self.pairs.append((first + int(a[k]), first + int(b[k]),
+                                       flags, strength, float(dist[k])))
+            else:
+                for i in range(n):
+                    diff = pts[i + 1:] - pts[i]
+                    dist = np.hypot(diff[:, 0], diff[:, 1])
+                    for j in np.nonzero(dist < d * 1.2)[0]:
+                        self.pairs.append((first + i, first + i + 1 + int(j),
+                                           flags, strength, float(dist[j])))
         if flags & P_ELASTIC:
-            # triangulate the stride grid: for each particle, join with its
-            # +x and +y neighbors (two triangles per grid cell)
             stride = PARTICLE_STRIDE * d
-            key = {}
-            for i, p in enumerate(pts):
-                key[(round(p[0] / stride), round(p[1] / stride))] = i
-            for (ix, iy), i in key.items():
-                right = key.get((ix + 1, iy))
-                up = key.get((ix, iy + 1))
-                diag = key.get((ix + 1, iy + 1))
-                for tri in ((i, right, up), (right, diag, up)):
-                    if None in tri:
-                        continue
-                    a, b, c = (first + t for t in tri)
-                    pa, pb, pc = pts[tri[0]], pts[tri[1]], pts[tri[2]]
-                    mid = (pa + pb + pc) / 3.0
-                    self.triads.append((a, b, c, flags, strength,
-                                        pa - mid, pb - mid, pc - mid))
+            res = build_triads_native(pts, stride)
+            if res is not None:
+                tri, rest = res
+                for k in range(len(tri)):
+                    self.triads.append(
+                        (first + int(tri[k, 0]), first + int(tri[k, 1]),
+                         first + int(tri[k, 2]), flags, strength,
+                         rest[k, 0], rest[k, 1], rest[k, 2]))
+            else:
+                key = {}
+                for i, p in enumerate(pts):
+                    key[(round(float(p[0]) / stride),
+                         round(float(p[1]) / stride))] = i
+                for (ix, iy), i in key.items():
+                    right = key.get((ix + 1, iy))
+                    up = key.get((ix, iy + 1))
+                    diag = key.get((ix + 1, iy + 1))
+                    for tri in ((i, right, up), (right, diag, up)):
+                        if None in tri:
+                            continue
+                        a, b, c = (first + t for t in tri)
+                        pa, pb, pc = pts[tri[0]], pts[tri[1]], pts[tri[2]]
+                        mid = (pa + pb + pc) / 3.0
+                        self.triads.append((a, b, c, flags, strength,
+                                            pa - mid, pb - mid, pc - mid))
 
     def build(self, capacity: int | None = None,
               pair_capacity: int | None = None,
