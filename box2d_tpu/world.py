@@ -102,7 +102,7 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     all_ba = jnp.concatenate([data.body_a, jn.body_a])
     all_bb = jnp.concatenate([data.body_b, jn.body_b])
     all_active = jnp.concatenate([contact_live, joint_active])
-    chunk = cap.color_chunk or max(64, cap.max_contact_pairs // 8)
+    chunk = cap.color_chunk or max(64, cap.max_contact_pairs // 16)
     colors, ovf, overflow_colors = color_constraints(
         all_ba, all_bb, all_active, b.type, nb, cap.max_colors,
         color_cap=chunk)
@@ -170,19 +170,14 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
         bs, cc, jc = carry
         bs = integrate_velocities(b, bs, tn, h, inv_dt)
 
-        def warm(c, carry):
-            bs, cc, jc = carry
-            bs, jc = warm_start_joints_color(state, bs, jc, jc.color == c,
-                                             joint_types)
-            bs, cc = contact_pass(warm_start_color, bs, cc, c,
-                                  updates_cc=False)
-            return bs, cc, jc
-
-        bs, cc, jc = lax.fori_loop(0, n_chunk_colors, warm, (bs, cc, jc))
-        bs = lax.cond(
-            overflow_colors > 0,
-            lambda bs: warm_start_color(bs, cc, cc.color == ovf_color),
-            lambda bs: bs, bs)
+        # warm starting is a pure linear accumulation of stored impulses, so
+        # conflicts sum exactly through scatter-adds: ONE full-width pass
+        # replaces the reference's per-color warm-start stages
+        # (ref: src/Solver.cs:633-642 — the coloring there is only for
+        # atomic-free threading)
+        bs, jc = warm_start_joints_color(state, bs, jc, jc.color >= 0,
+                                         joint_types)
+        bs = warm_start_color(bs, cc, cc.color >= 0)
 
         def solve(c, carry):
             bs, cc, jc = carry
