@@ -57,7 +57,9 @@ def color_constraints(
     # monotonically-indexed constraint chains (a pyramid row colors ONE
     # contact per round); randomized priorities give dense local minima and
     # O(log n) convergence.
-    pri_of = (((idx * jnp.int32(-1640531527)) >> 16) & 0x7FFF) << 16 | idx
+    # 10 hash bits + 16 index bits = 26-bit unique priority, leaving room
+    # for a 5-bit color in the packed per-body claim below
+    pri_of = (((idx * jnp.int32(-1640531527)) >> 16) & 0x3FF) << 16 | idx
     big = jnp.iinfo(jnp.int32).max
     bit_range = jnp.arange(32, dtype=jnp.int32)
 
@@ -73,8 +75,8 @@ def color_constraints(
 
     cap = color_cap if color_cap is not None else n
 
-    def round_fn(_, carry):
-        color, used, counts = carry
+    def round_fn(carry):
+        color, used, counts, _ = carry
         cand = active & (color < 0)
         # full colors are globally forbidden
         full_bits = jnp.sum(
@@ -87,15 +89,16 @@ def color_constraints(
         proposal = jnp.argmax(free, axis=1).astype(jnp.int32)
         cand = cand & has_free
 
-        # tie-break per (body, color) by hashed priority
-        pri = jnp.where(cand, pri_of, big)
-        key_a = slot_a * 32 + proposal
-        key_b = slot_b * 32 + proposal
-        claims = jnp.full((num_bodies + 1) * 32, big, jnp.int32)
-        claims = claims.at[key_a].min(pri)
-        claims = claims.at[key_b].min(pri)
-        win = cand & (~dyn_a | (claims[key_a] == pri)) \
-            & (~dyn_b | (claims[key_b] == pri))
+        # one packed scatter-min per body: (proposal << 26) | pri(10 high bits
+        # truncated). Candidates proposing a higher color than the body's
+        # minimum this round simply retry — slightly slower convergence for a
+        # 32x smaller scatter (TPU scatters dominate the batched cost).
+        pri = jnp.where(cand, (proposal << 26) | pri_of, big)
+        claims = jnp.full(num_bodies + 1, big, jnp.int32)
+        claims = claims.at[slot_a].min(pri)
+        claims = claims.at[slot_b].min(pri)
+        win = cand & (~dyn_a | (claims[slot_a] == pri)) \
+            & (~dyn_b | (claims[slot_b] == pri))
 
         # enforce the per-color cap: keep only the first (cap - count) winners
         # of each color this round (ordinal = per-color prefix count)
@@ -114,12 +117,23 @@ def color_constraints(
         used = used.at[slot_b].add(jnp.where(dyn_b, bit, 0))
         # the sentinel lane may accumulate garbage; clear it
         used = used.at[num_bodies].set(0)
-        return color, used, counts
+        return color, used, counts, jnp.any(cand)
+
+    # early exit once nothing is uncolored (typical scenes: ~8-12 rounds)
+    def cond_fn(state):
+        i, carry = state
+        return (i < rounds) & carry[3]
+
+    def body_fn(state):
+        i, carry = state
+        return i + 1, round_fn(carry)
 
     color0 = jnp.full(n, -1, jnp.int32)
     used0 = jnp.zeros(num_bodies + 1, jnp.int32)
     counts0 = jnp.zeros(max_colors, jnp.int32)
-    color, _, _ = lax.fori_loop(0, rounds, round_fn, (color0, used0, counts0))
+    _, (color, _, _, _) = lax.while_loop(
+        cond_fn, body_fn,
+        (jnp.int32(0), (color0, used0, counts0, jnp.bool_(True))))
 
     overflow = active & (color < 0)
     color = jnp.where(overflow, max_colors - 1, color)

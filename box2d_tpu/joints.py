@@ -123,12 +123,9 @@ def prepare_joints(state: WorldState, bs, color, h, inv_h,
 
 
 def _scatter(bs, jc: JointConstraints, mask, va, wa, vb, wb, va0, wa0, vb0, wb0):
-    mk = mask[:, None]
-    v = bs.v.at[jc.body_a].add(jnp.where(mk, va - va0, 0.0))
-    v = v.at[jc.body_b].add(jnp.where(mk, vb - vb0, 0.0))
-    w = bs.w.at[jc.body_a].add(jnp.where(mask, wa - wa0, 0.0))
-    w = w.at[jc.body_b].add(jnp.where(mask, wb - wb0, 0.0))
-    return bs._replace(v=v, w=w)
+    from .solver import _scatter as _body_scatter
+
+    return _body_scatter(bs, jc, mask, va, wa, vb, wb, va0, wa0, vb0, wb0)
 
 
 def _anchors(bs, jc):

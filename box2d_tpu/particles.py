@@ -41,7 +41,7 @@ import numpy as np
 from . import math2d as m
 from .broadphase import compute_shape_aabbs
 from .constants import MAX_POLYGON_VERTICES
-from .queries import _ray_shape_local
+from .queries import ray_shape_analytic
 from .state import DYNAMIC, WorldState, _pytree
 
 _LANES = jnp.arange(MAX_POLYGON_VERTICES)
@@ -763,10 +763,10 @@ def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
         lo = jax.vmap(lambda x: m.inv_transform_point(sp, sq, x))(pos)
         ld = jax.vmap(lambda v: m.inv_rot_vec(sq, v))(dt * vel)
         hit, frac, lpt, lnrm = jax.vmap(
-            lambda p1, d: _ray_shape_local(p1, d, jnp.float32(1.0),
-                                           sh.type[si], sh.verts[si],
-                                           sh.normals[si], sh.count[si],
-                                           sh.radius[si]))(lo, ld)
+            lambda p1, d: ray_shape_analytic(p1, d, jnp.float32(1.0),
+                                             sh.type[si], sh.verts[si],
+                                             sh.normals[si], sh.count[si],
+                                             sh.radius[si]))(lo, ld)
         hit = hit & valid & pt.alive & jnp.isfinite(frac) & (frac > 0.0)
         wpt = jax.vmap(lambda x: m.transform_point(sp, sq, x))(lpt)
         wn = jax.vmap(lambda v: m.rot_vec(sq, v))(lnrm)

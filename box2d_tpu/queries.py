@@ -103,6 +103,83 @@ def _ray_polygon_sharp(p1, d, max_frac, verts, normals, count):
     return hit | inside, frac, point, normal
 
 
+def _ray_capsule(p1, d, max_frac, v1, v2, radius):
+    """Analytic capsule ray cast (ref: include/Collision.cs:230-290
+    Capsule.RayCast): slab vs the infinite rounded band, endpoint circles."""
+    a, cap_len = m.get_length_and_normalize(v2 - v1)
+    q = p1 - v1
+    qa = m.dot(q, a)
+    qp = m.mul_add(q, -qa, a)
+    inside_band = m.dot(qp, qp) < radius * radius
+
+    # endpoint circle casts
+    hit1, f1, pt1, n1 = _ray_circle(p1, d, max_frac, v1, radius)
+    hit2, f2, pt2, n2 = _ray_circle(p1, d, max_frac, v2, radius)
+    circle_best = f1 <= f2
+    hit_c = jnp.where(circle_best, hit1, hit2)
+    f_c = jnp.where(circle_best, f1, f2)
+    pt_c = jnp.where(circle_best, pt1, pt2)
+    n_c = jnp.where(circle_best, n1, n2)
+
+    # side wall intersection
+    n = jnp.stack([a[1], -a[0]], axis=-1)
+    u, ray_len = m.get_length_and_normalize(d)
+    den = -a[0] * u[1] + u[0] * a[1]
+    safe_den = jnp.where(jnp.abs(den) > FLT_EPSILON, den, 1.0)
+    b1 = m.mul_sub(q, radius, n)
+    b2 = m.mul_add(q, radius, n)
+    inv_den = 1.0 / safe_den
+    s21 = (a[0] * b1[1] - b1[0] * a[1]) * inv_den
+    s22 = (a[0] * b2[1] - b2[0] * a[1]) * inv_den
+    first_is_1 = s21 < s22
+    s2 = jnp.where(first_is_1, s21, s22)
+    bsel = jnp.where(first_is_1, b1, b2)
+    n_side = jnp.where(first_is_1, n, -n)
+    s1 = (-bsel[0] * u[1] + u[0] * bsel[1]) * inv_den
+    side_valid = ((jnp.abs(den) > FLT_EPSILON) & (s2 >= 0)
+                  & (s2 <= max_frac * ray_len) & (s1 >= 0) & (s1 <= cap_len)
+                  & (cap_len > 0) & ~inside_band)
+    f_side = s2 / jnp.where(ray_len > 0, ray_len, 1.0)
+    pt_side = m.lerp(v1, v2, s1 / jnp.where(cap_len > 0, cap_len, 1.0)) \
+        + radius * n_side
+
+    # endpoints are fallbacks when the side param is out of range
+    use_side = side_valid
+    hit = jnp.where(use_side, True, hit_c & ~inside_band)
+    frac = jnp.where(use_side, f_side, f_c)
+    pt = jnp.where(use_side, pt_side, pt_c)
+    nrm = jnp.where(use_side, n_side, n_c)
+    # starting inside: report hit at origin, fraction 0 (excluded by callers
+    # that require frac > 0)
+    hit = hit | inside_band
+    frac = jnp.where(inside_band, 0.0, jnp.where(hit, frac, jnp.inf))
+    return hit, frac, pt, nrm
+
+
+def ray_shape_analytic(p1, d, max_frac, stype, verts, normals, count, radius):
+    """Closed-form-only dispatch (no GJK): rounded polygons are treated as
+    their sharp core. Used by the particle anti-tunneling pass where a GJK
+    cast per (particle, shape) would dominate the whole step."""
+    hit_c, f_c, pt_c, n_c = _ray_circle(p1, d, max_frac, verts[0], radius)
+    hit_k, f_k, pt_k, n_k = _ray_capsule(p1, d, max_frac, verts[0], verts[1],
+                                         radius)
+    hit_s, f_s, pt_s, n_s = _ray_segment(
+        p1, d, max_frac, verts[0], verts[1], stype == g.CHAIN_SEGMENT)
+    hit_p, f_p, pt_p, n_p = _ray_polygon_sharp(p1, d, max_frac, verts,
+                                               normals, count)
+    is_circle = stype == g.CIRCLE
+    is_cap = (stype == g.CAPSULE) & (radius > 0.0)
+    is_seg = (stype == g.SEGMENT) | (stype == g.CHAIN_SEGMENT) | (
+        (stype == g.CAPSULE) & (radius == 0.0))
+
+    def pick(c, k, s, p):
+        return jnp.where(is_circle, c,
+                         jnp.where(is_cap, k, jnp.where(is_seg, s, p)))
+
+    return (pick(hit_c, hit_k, hit_s, hit_p), pick(f_c, f_k, f_s, f_p),
+            pick(pt_c, pt_k, pt_s, pt_p), pick(n_c, n_k, n_s, n_p))
+
+
 def _ray_rounded(p1, d, max_frac, verts, count, radius):
     """Rounded shapes via conservative-advancement cast of the ray point
     (ref: Collision.cs:546-558, Capsule/Polygon with radius)."""

@@ -147,7 +147,30 @@ def prepare_contacts(state: WorldState, data: ContactData,
     )
 
 
+# TPU scatters serialize badly, especially under vmap; for moderate sizes a
+# one-hot matmul is the faster "scatter engine" (it runs on the MXU and sums
+# conflicts exactly). Above the limit we fall back to XLA scatter-adds.
+_MATMUL_LIMIT = 4_000_000
+
+
+def _use_matmul(nb, ch):
+    return nb * ch <= _MATMUL_LIMIT
+
+
+def _one_hot(idx, nb):
+    return (idx[:, None] == jnp.arange(nb)[None, :]).astype(jnp.float32)
+
+
 def _gather(bs: BodySolverState, cc: ContactConstraints):
+    nb = bs.v.shape[0]
+    ch = cc.body_a.shape[0]
+    if _use_matmul(nb, ch):
+        st = jnp.concatenate([bs.v, bs.w[:, None]], axis=1)  # (Nb, 3)
+        sa = jnp.dot(_one_hot(cc.body_a, nb), st,
+                     preferred_element_type=jnp.float32)
+        sb = jnp.dot(_one_hot(cc.body_b, nb), st,
+                     preferred_element_type=jnp.float32)
+        return sa[:, :2], sa[:, 2], sb[:, :2], sb[:, 2]
     return (bs.v[cc.body_a], bs.w[cc.body_a], bs.v[cc.body_b], bs.w[cc.body_b])
 
 
@@ -159,6 +182,16 @@ def _scatter(bs: BodySolverState, cc: ContactConstraints, mask,
     dwa = jnp.where(mask, wa - wa0, 0.0)
     dvb = jnp.where(mk, vb - vb0, 0.0)
     dwb = jnp.where(mask, wb - wb0, 0.0)
+    nb = bs.v.shape[0]
+    ch = cc.body_a.shape[0]
+    if _use_matmul(nb, ch):
+        da = jnp.concatenate([dva, dwa[:, None]], axis=1)  # (ch, 3)
+        db = jnp.concatenate([dvb, dwb[:, None]], axis=1)
+        upd = (jnp.dot(_one_hot(cc.body_a, nb).T, da,
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(_one_hot(cc.body_b, nb).T, db,
+                         preferred_element_type=jnp.float32))
+        return bs._replace(v=bs.v + upd[:, :2], w=bs.w + upd[:, 2])
     v = bs.v.at[cc.body_a].add(dva).at[cc.body_b].add(dvb)
     w = bs.w.at[cc.body_a].add(dwa).at[cc.body_b].add(dwb)
     return bs._replace(v=v, w=w)

@@ -25,9 +25,10 @@ from . import math2d as m
 from .broadphase import compute_shape_aabbs, find_pairs
 from .coloring import color_constraints
 from .narrowphase import ContactData, narrow_phase, update_store
-from .solver import (BodySolverState, integrate_positions,
-                     integrate_velocities, finalize_bodies, prepare_contacts,
-                     restitution_color, solve_color, warm_start_color)
+from .solver import (BodySolverState, ContactConstraints as ContactConstraintsT,
+                     integrate_positions, integrate_velocities,
+                     finalize_bodies, prepare_contacts, restitution_color,
+                     solve_color, warm_start_color)
 from .state import Capacity, WorldState, zero_events, zero_profile
 from .joints import (prepare_joints, warm_start_joints_color,
                      solve_joints_color)
@@ -130,41 +131,70 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     cc = prepare_contacts(state, data, bs, contact_color, h, inv_h)
     jc = prepare_joints(state, bs, joint_color, h, inv_h, joint_types)
 
-    # --- color-sorted chunk layout ----------------------------------------
-    # contacts are gathered into color-sorted order once; each color pass
-    # then processes one contiguous fixed-size chunk (the coloring capped
-    # bucket sizes at `chunk`), instead of a masked full-width sweep.
+    # --- fixed-stride bucket layout -----------------------------------------
+    # constraints are scattered once into a layout where color c owns rows
+    # [c*chunk, (c+1)*chunk) — bucket sizes are capped at `chunk` by the
+    # coloring. Slice starts are then world-INDEPENDENT, so under vmap every
+    # color pass stays a plain dynamic slice instead of degrading into
+    # per-world gathers/scatters. The overflow bucket (unbounded) lives in a
+    # tail region processed as one static slice with masking.
     p_cap = data.body_a.shape[0]
+    l0 = cap.max_colors * chunk
+    # overflow tail: small fixed budget processed unconditionally (a batched
+    # lax.cond would execute both branches under vmap anyway); overflow
+    # beyond the budget is dropped for the step and reported in the profile
+    ovf_cap = min(p_cap, 2 * chunk)
+    layout_len = l0 + ovf_cap
+
     sortable = jnp.where(cc.color >= 0, cc.color, cap.max_colors + 1)
     perm = jnp.argsort(sortable, stable=True)
-    cc = jax.tree.map(lambda x: x[perm], cc)
-    starts = jnp.searchsorted(sortable[perm], jnp.arange(cap.max_colors))
-    starts = jnp.minimum(starts, jnp.maximum(p_cap - chunk, 0)).astype(jnp.int32)
-    # the overflow bucket (present when overflow_colors > 0) may exceed the
-    # chunk cap, so it runs as a full masked pass
-    n_chunk_colors = num_colors - jnp.where(overflow_colors > 0, 1, 0)
+    rank = jnp.argsort(perm)  # rank of each pair in color-sorted order
+    starts_raw = jnp.searchsorted(sortable[perm], jnp.arange(cap.max_colors + 1))
+    ovf_color = num_colors - 1  # only meaningful when overflow_colors > 0
+    is_ovf_lane = (cc.color == ovf_color) & (overflow_colors > 0) & (cc.color >= 0)
+    slot = rank - starts_raw[jnp.clip(cc.color, 0, cap.max_colors)]
+    layout_idx = jnp.where(
+        cc.color < 0, layout_len,
+        jnp.where(is_ovf_lane,
+                  jnp.where(slot < ovf_cap, l0 + slot, layout_len),
+                  cc.color * chunk + slot))
 
-    def tslice(cc, start):
-        return jax.tree.map(
-            lambda x: lax.dynamic_slice_in_dim(x, start, min(chunk, p_cap), 0), cc)
+    def to_layout(x, fill=0):
+        shape = (layout_len,) + x.shape[1:]
+        out = jnp.full(shape, fill, x.dtype)
+        return out.at[layout_idx].set(x, mode="drop")
 
-    def tupdate(cc, ch, start):
-        return jax.tree.map(
-            lambda full, x: lax.dynamic_update_slice_in_dim(full, x, start, 0),
-            cc, ch)
+    cc = ContactConstraintsT(*[
+        to_layout(x, -1 if name == "color" else 0)
+        for name, x in zip(cc._fields, cc)])
+    layout_relax = to_layout(contact_relax)
 
     def contact_pass(fn, bs, cc, c, updates_cc=True):
-        start = starts[c]
-        ch = tslice(cc, start)
+        start = c * chunk  # world-independent
+        ch = jax.tree.map(
+            lambda x: lax.dynamic_slice_in_dim(x, start, chunk, 0), cc)
         out = fn(bs, ch, ch.color == c)
         if updates_cc:
             bs, ch = out
-            cc = tupdate(cc, ch, start)
+            cc = jax.tree.map(
+                lambda full, x: lax.dynamic_update_slice_in_dim(
+                    full, x, start, 0), cc, ch)
         else:
             bs = out
         return bs, cc
 
-    ovf_color = num_colors - 1  # only valid when overflow_colors > 0
+    def overflow_pass(fn, bs, cc):
+        ch = jax.tree.map(lambda x: x[l0:], cc)
+        bs, ch = fn(bs, ch, ch.color == ovf_color)
+        cc = jax.tree.map(
+            lambda full, x: full.at[l0:].set(x), cc, ch)
+        return bs, cc
+
+    def maybe_overflow(fn, bs, cc):
+        # always runs (cheap fixed tail); the mask kills it when no overflow
+        return overflow_pass(fn, bs, cc)
+
+    n_chunk_colors = num_colors - jnp.where(overflow_colors > 0, 1, 0)
 
     def substep(_, carry):
         bs, cc, jc = carry
@@ -189,13 +219,10 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
             return bs, cc, jc
 
         bs, cc, jc = lax.fori_loop(0, n_chunk_colors, solve, (bs, cc, jc))
-        bs, cc = lax.cond(
-            overflow_colors > 0,
-            lambda bs_cc: solve_color(bs_cc[0], bs_cc[1],
-                                      bs_cc[1].color == ovf_color, True,
-                                      inv_h, tn.contact_speed,
-                                      contact_relax[perm]),
-            lambda bs_cc: bs_cc, (bs, cc))
+        bs, cc = maybe_overflow(
+            lambda bs, ch, mk: solve_color(
+                bs, ch, mk, True, inv_h, tn.contact_speed,
+                layout_relax[l0:]), bs, cc)
         bs = integrate_positions(b, bs, h)
 
         def relax_pass(c, carry):
@@ -208,13 +235,10 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
             return bs, cc, jc
 
         bs, cc, jc = lax.fori_loop(0, n_chunk_colors, relax_pass, (bs, cc, jc))
-        bs, cc = lax.cond(
-            overflow_colors > 0,
-            lambda bs_cc: solve_color(bs_cc[0], bs_cc[1],
-                                      bs_cc[1].color == ovf_color, False,
-                                      inv_h, tn.contact_speed,
-                                      contact_relax[perm]),
-            lambda bs_cc: bs_cc, (bs, cc))
+        bs, cc = maybe_overflow(
+            lambda bs, ch, mk: solve_color(
+                bs, ch, mk, False, inv_h, tn.contact_speed,
+                layout_relax[l0:]), bs, cc)
         return bs, cc, jc
 
     bs, cc, jc = lax.fori_loop(0, substeps, substep, (bs, cc, jc))
@@ -228,19 +252,22 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
             bs, cc, c)
 
     bs, cc = lax.fori_loop(0, n_chunk_colors, restit, (bs, cc))
-    bs, cc = lax.cond(
-        overflow_colors > 0,
-        lambda bs_cc: restitution_color(bs_cc[0], bs_cc[1],
-                                        bs_cc[1].color == ovf_color,
-                                        tn.restitution_threshold),
-        lambda bs_cc: bs_cc, (bs, cc))
+    bs, cc = maybe_overflow(
+        lambda bs, ch, mk: restitution_color(
+            bs, ch, mk, tn.restitution_threshold), bs, cc)
 
-    # un-permute impulses back to pair order for the store
-    inv_perm = jnp.argsort(perm)
+    # gather impulses back to pair order for the store; inactive lanes keep
+    # their warm-matched impulses
+    gidx = jnp.clip(layout_idx, 0, layout_len - 1)
+    active_lane = layout_idx < layout_len
     data = data._replace(
-        normal_impulse=cc.normal_impulse[inv_perm],
-        tangent_impulse=cc.tangent_impulse[inv_perm],
-        rolling_impulse=cc.rolling_impulse[inv_perm],
+        normal_impulse=jnp.where(active_lane[:, None],
+                                 cc.normal_impulse[gidx], data.normal_impulse),
+        tangent_impulse=jnp.where(active_lane[:, None],
+                                  cc.tangent_impulse[gidx],
+                                  data.tangent_impulse),
+        rolling_impulse=jnp.where(active_lane, cc.rolling_impulse[gidx],
+                                  data.rolling_impulse),
     )
     new_store = update_store(data, cap.max_contact_pairs)
     state = dataclasses.replace(state, contacts=new_store,
@@ -248,7 +275,7 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
 
     # --- events -----------------------------------------------------------
     events = _contact_events(state, data, touching, cap)
-    events = _hit_events(state, data, cc, inv_perm, touching, events, cap)
+    events = _hit_events(state, data, cc, gidx, touching, events, cap)
     events = _joint_events(state, jc, inv_h, events, cap)
 
     # --- continuous collision (ref: src/Solver.cs:224-401) -----------------
@@ -331,15 +358,15 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap):
     )
 
 
-def _hit_events(state, data, cc, inv_perm, touching, events, cap):
+def _hit_events(state, data, cc, gidx, touching, events, cap):
     """Contact hit events (ref: src/Solver.cs:1151-1190): at hit speed above
     the threshold with a non-zero normal impulse."""
     sh = state.shapes
     tn = state.tuning
     enable = (sh.enable_hit_events[data.shape_a]
               | sh.enable_hit_events[data.shape_b])
-    rel_v = cc.relative_velocity[inv_perm]      # (P, 2)
-    tni = cc.total_normal_impulse[inv_perm]
+    rel_v = cc.relative_velocity[gidx]      # (P, 2)
+    tni = cc.total_normal_impulse[gidx]
     approach = -rel_v
     pt_ok = (approach > tn.hit_event_threshold) & (tni > 0.0)
     best_pt = jnp.argmax(jnp.where(pt_ok, approach, -jnp.inf), axis=1)
