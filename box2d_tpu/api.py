@@ -77,10 +77,20 @@ class World:
         if self.builder._particle_builder is not None:
             from .particles import ParticleConfig
             pcfg = ParticleConfig()
+        # flagship Pallas solver: TPU-only, joint-free scenes that fit VMEM
+        use_pallas = False
+        if jax.default_backend() not in ("cpu",) and not jtypes:
+            from .solver_pallas import fits_kernel
+            chunk = self.capacity.color_chunk or max(
+                128, ((self.capacity.max_contact_pairs // 16 + 127) // 128) * 128)
+            l0 = self.capacity.max_colors * chunk
+            ovf = ((min(self.capacity.max_contact_pairs, 2 * chunk) + 127)
+                   // 128) * 128
+            use_pallas = fits_kernel(self.capacity.max_bodies, l0 + ovf, chunk)
         self._step = make_step(self.capacity, classes, self.substeps, jtypes,
                                sensors,
                                continuous=self.builder.def_.enable_continuous,
-                               particle_cfg=pcfg)
+                               particle_cfg=pcfg, use_pallas=use_pallas)
         return self
 
     def step(self, dt: float = 1.0 / 60.0):

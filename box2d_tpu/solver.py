@@ -165,11 +165,15 @@ def _gather(bs: BodySolverState, cc: ContactConstraints):
     nb = bs.v.shape[0]
     ch = cc.body_a.shape[0]
     if _use_matmul(nb, ch):
+        # HIGHEST precision: TPU f32 matmuls default to bf16 passes, which
+        # would corrupt body-state bits through every gather
         st = jnp.concatenate([bs.v, bs.w[:, None]], axis=1)  # (Nb, 3)
         sa = jnp.dot(_one_hot(cc.body_a, nb), st,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         sb = jnp.dot(_one_hot(cc.body_b, nb), st,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         return sa[:, :2], sa[:, 2], sb[:, :2], sb[:, 2]
     return (bs.v[cc.body_a], bs.w[cc.body_a], bs.v[cc.body_b], bs.w[cc.body_b])
 
@@ -188,9 +192,11 @@ def _scatter(bs: BodySolverState, cc: ContactConstraints, mask,
         da = jnp.concatenate([dva, dwa[:, None]], axis=1)  # (ch, 3)
         db = jnp.concatenate([dvb, dwb[:, None]], axis=1)
         upd = (jnp.dot(_one_hot(cc.body_a, nb).T, da,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
                + jnp.dot(_one_hot(cc.body_b, nb).T, db,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST))
         return bs._replace(v=bs.v + upd[:, :2], w=bs.w + upd[:, 2])
     v = bs.v.at[cc.body_a].add(dva).at[cc.body_b].add(dvb)
     w = bs.w.at[cc.body_a].add(dwa).at[cc.body_b].add(dwb)

@@ -1,0 +1,467 @@
+"""Pallas TPU mega-kernel: the entire TGS-soft contact solve in ONE kernel.
+
+The XLA-level solver (solver.py) executes ~100 small fused kernels per step;
+on this hardware each kernel carries ~20us of fixed overhead, which dominates
+small and batched worlds. This kernel runs the full substep pipeline —
+integrate velocities -> warm start -> per-color solve(bias) -> integrate
+positions -> per-color relax -> restitution — inside a single `pallas_call`,
+with all state resident in VMEM.
+
+Layout (transposed, lane dimension = entity lanes):
+- body state   (8, Nb): vx, vy, w, dpx, dpy, dqc, dqs, active(pos-integrate)
+- body params  (12, Nb): inv_m, inv_I, ext_dvx, ext_dvy, ext_dw, damp_lin,
+                         damp_ang, lockx, locky, lockw, max_w, vel_active
+- constraints  (NF, L) static fields + (NA, L) impulse accumulators, in the
+  fixed-stride color-bucket layout built by world.py (color c owns columns
+  [c*chunk, (c+1)*chunk)).
+
+Gather/scatter run on the MXU via transposed one-hot matmuls at HIGHEST
+precision (f32 matmuls otherwise drop to bf16 passes on TPU and corrupt
+state): gather = body(8,Nb) @ onehot(Nb,chunk); scatter = dot_general over
+the chunk axis. This replaces both the reference's AoS<->SoA SIMD transposes
+(ref: src/ContactSolver.cs:415-479) and its work-stealing stage machine
+(ref: src/Solver.cs:37-56): coloring already made the passes conflict-free.
+
+Restrictions (fallback to the XLA path otherwise):
+- scenes without joints (joint math is not in-kernel yet)
+- Nb and the constraint layout must fit VMEM (see fits_kernel)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import math2d as m
+from .constants import MAX_ROTATION
+from .state import DYNAMIC, STATIC
+
+# static-field rows in the packed constraint matrix
+_F = dict(
+    nx=0, ny=1, friction=2, restitution=3, tangent_speed=4,
+    rolling_resistance=5, rolling_mass=6, soft_bias=7, soft_mass=8,
+    soft_imp=9,
+    ax0=10, ay0=11, bx0=12, by0=13,   # point 0 anchors
+    ax1=14, ay1=15, bx1=16, by1=17,   # point 1 anchors
+    sep0=18, sep1=19, nmass0=20, nmass1=21, tmass0=22, tmass1=23,
+    relv0=24, relv1=25, mask0=26, mask1=27,
+    inv_ma=28, inv_mb=29, inv_ia=30, inv_ib=31,
+)
+NF = 32
+# accumulator rows
+_A = dict(ni0=0, ni1=1, ti0=2, ti1=3, tni0=4, tni1=5, roll=6)
+NA = 7
+
+
+def fits_kernel(nb: int, layout_len: int, chunk: int) -> bool:
+    """VMEM budget check: onehot (Nb, chunk) + constraints (NF+NA, L)."""
+    budget = 8 * 1024 * 1024 / 4  # ~8MB of f32
+    return (nb * chunk + (NF + NA) * layout_len + 16 * nb) < budget
+
+
+def _row(ref_slice, name, table=_F):
+    return ref_slice[table[name]]
+
+
+def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
+                   scal_ref, idx_ref, data_ref, acc_ref,
+                   body_ref, param_ref,
+                   out_body_ref, out_acc_ref, oh_ref):
+    # scalars live in a (1, 8) VMEM row and are used as broadcastable (1, 1)
+    # slices (SMEM inputs break vmap batching of the kernel)
+    h = scal_ref[0:1, 0:1]
+    inv_h = scal_ref[0:1, 1:2]
+    contact_speed = scal_ref[0:1, 2:3]
+    restitution_threshold = scal_ref[0:1, 3:4]
+    max_lin = scal_ref[0:1, 4:5]
+
+    nb = body_ref.shape[1]
+    L = data_ref.shape[1]
+    ovf_len = L - l0
+
+    out_body_ref[:] = body_ref[:]
+    out_acc_ref[:] = acc_ref[:]
+
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+
+    def gather(cols, width):
+        """Returns (state (8, width), oh_a (nb,width), oh_b (nb,width))."""
+        ia = idx_ref[0:1, pl.ds(cols, width)]
+        ib = idx_ref[1:2, pl.ds(cols, width)]
+        oh_a = jnp.where(iota_nb == ia, 1.0, 0.0)
+        oh_b = jnp.where(iota_nb == ib, 1.0, 0.0)
+        return oh_a, oh_b
+
+    def dotf(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def dot_t(a, b):
+        # contract over the last dim of both: (r, w) x (n, w) -> (r, n)
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def contact_sweep(cols, width, use_bias, restitution_pass):
+        """One conflict-free sweep over constraint columns [cols, cols+width).
+        Reads/writes out_body_ref and out_acc_ref in place."""
+        d = data_ref[:, pl.ds(cols, width)]
+        a = out_acc_ref[:, pl.ds(cols, width)]
+        oh_a, oh_b = gather(cols, width)
+        body = out_body_ref[:]                      # (8, nb)
+        st_a = dotf(body, oh_a)                     # (8, width)
+        st_b = dotf(body, oh_b)
+
+        vax, vay, wa = st_a[0:1], st_a[1:2], st_a[2:3]
+        vbx, vby, wb = st_b[0:1], st_b[1:2], st_b[2:3]
+        dpx = st_b[3:4] - st_a[3:4]
+        dpy = st_b[4:5] - st_a[4:5]
+        dqca, dqsa = st_a[5:6], st_a[6:7]
+        dqcb, dqsb = st_b[5:6], st_b[6:7]
+
+        nx = d[_F["nx"]:_F["nx"] + 1]
+        ny = d[_F["ny"]:_F["ny"] + 1]
+        tx, ty = ny, -nx                             # right perp
+        inv_ma = d[_F["inv_ma"]:_F["inv_ma"] + 1]
+        inv_mb = d[_F["inv_mb"]:_F["inv_mb"] + 1]
+        inv_ia = d[_F["inv_ia"]:_F["inv_ia"] + 1]
+        inv_ib = d[_F["inv_ib"]:_F["inv_ib"] + 1]
+
+        ni = [a[_A["ni0"]:_A["ni0"] + 1], a[_A["ni1"]:_A["ni1"] + 1]]
+        ti = [a[_A["ti0"]:_A["ti0"] + 1], a[_A["ti1"]:_A["ti1"] + 1]]
+        tni = [a[_A["tni0"]:_A["tni0"] + 1], a[_A["tni1"]:_A["tni1"] + 1]]
+        roll = a[_A["roll"]:_A["roll"] + 1]
+        total_normal = jnp.zeros_like(roll)
+
+        def rot(qc, qs, x, y):
+            return qc * x - qs * y, qs * x + qc * y
+
+        for j in (0, 1):
+            rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+            ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+            rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+            rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+            mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+            nmass = d[_F[f"nmass{j}"]:_F[f"nmass{j}"] + 1]
+
+            if restitution_pass:
+                relv = d[_F[f"relv{j}"]:_F[f"relv{j}"] + 1]
+                restitution = d[_F["restitution"]:_F["restitution"] + 1]
+                vrx = (vbx - wb * rby) - (vax - wa * ray)
+                vry = (vby + wb * rbx) - (vay + wa * rax)
+                vn = vrx * nx + vry * ny
+                apply = ((restitution != 0.0)
+                         & (relv < -restitution_threshold)
+                         & (tni[j] > 0.0)) * mask
+                impulse = -nmass * (vn + restitution * relv)
+                new_imp = jnp.maximum(ni[j] + impulse, 0.0)
+                impulse = (new_imp - ni[j]) * apply
+                ni[j] = ni[j] + impulse
+                tni[j] = tni[j] + impulse
+            else:
+                # separation via substep deltas (ref ContactSolver.cs:199-209)
+                rrx_a, rry_a = rot(dqca, dqsa, rax, ray)
+                rrx_b, rry_b = rot(dqcb, dqsb, rbx, rby)
+                dsx = dpx + rrx_b - rrx_a
+                dsy = dpy + rry_b - rry_a
+                s = d[_F[f"sep{j}"]:_F[f"sep{j}"] + 1] + dsx * nx + dsy * ny
+                speculative = s > 0.0
+                soft_bias = d[_F["soft_bias"]:_F["soft_bias"] + 1]
+                soft_mass = d[_F["soft_mass"]:_F["soft_mass"] + 1]
+                soft_imp = d[_F["soft_imp"]:_F["soft_imp"] + 1]
+                if use_bias:
+                    bias = jnp.where(speculative, s * inv_h,
+                                     jnp.maximum(soft_mass * soft_bias * s,
+                                                 -contact_speed))
+                    mscale = jnp.where(speculative, 1.0, soft_mass)
+                    iscale = jnp.where(speculative, 0.0, soft_imp)
+                else:
+                    bias = jnp.where(speculative, s * inv_h, 0.0)
+                    mscale = jnp.ones_like(s)
+                    iscale = jnp.zeros_like(s)
+
+                vrx = (vbx - wb * rby) - (vax - wa * ray)
+                vry = (vby + wb * rbx) - (vay + wa * rax)
+                vn = vrx * nx + vry * ny
+                impulse = -nmass * (mscale * vn + bias) - iscale * ni[j]
+                new_imp = jnp.maximum(ni[j] + impulse, 0.0) * mask
+                impulse = new_imp - ni[j]
+                ni[j] = new_imp
+                tni[j] = tni[j] + new_imp
+                total_normal = total_normal + new_imp
+
+            px = impulse * nx
+            py = impulse * ny
+            vax = vax - inv_ma * px
+            vay = vay - inv_ma * py
+            wa = wa - inv_ia * (rax * py - ray * px)
+            vbx = vbx + inv_mb * px
+            vby = vby + inv_mb * py
+            wb = wb + inv_ib * (rbx * py - rby * px)
+
+        if not restitution_pass:
+            friction = d[_F["friction"]:_F["friction"] + 1]
+            tangent_speed = d[_F["tangent_speed"]:_F["tangent_speed"] + 1]
+            for j in (0, 1):
+                rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+                ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+                rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+                rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+                mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+                tmass = d[_F[f"tmass{j}"]:_F[f"tmass{j}"] + 1]
+                vrx = (vbx - wb * rby) - (vax - wa * ray)
+                vry = (vby + wb * rbx) - (vay + wa * rax)
+                vt = vrx * tx + vry * ty - tangent_speed
+                impulse = -tmass * vt
+                max_f = friction * ni[j]
+                new_imp = jnp.clip(ti[j] + impulse, -max_f, max_f) * mask
+                impulse = new_imp - ti[j]
+                ti[j] = new_imp
+                px = impulse * tx
+                py = impulse * ty
+                vax = vax - inv_ma * px
+                vay = vay - inv_ma * py
+                wa = wa - inv_ia * (rax * py - ray * px)
+                vbx = vbx + inv_mb * px
+                vby = vby + inv_mb * py
+                wb = wb + inv_ib * (rbx * py - rby * px)
+
+            rolling_mass = d[_F["rolling_mass"]:_F["rolling_mass"] + 1]
+            rolling_res = d[_F["rolling_resistance"]:_F["rolling_resistance"] + 1]
+            dl = -rolling_mass * (wb - wa)
+            max_l = rolling_res * total_normal
+            new_roll = jnp.clip(roll + dl, -max_l, max_l)
+            dl = new_roll - roll
+            roll = new_roll
+            wa = wa - inv_ia * dl
+            wb = wb + inv_ib * dl
+
+        # write accumulators back
+        acc_new = jnp.concatenate(
+            [ni[0], ni[1], ti[0], ti[1], tni[0], tni[1], roll], axis=0)
+        out_acc_ref[:, pl.ds(cols, width)] = acc_new
+
+        # scatter velocity deltas
+        da = jnp.concatenate([vax, vay, wa], axis=0) - st_a[0:3]
+        db = jnp.concatenate([vbx, vby, wb], axis=0) - st_b[0:3]
+        upd = dot_t(da, oh_a) + dot_t(db, oh_b)     # (3, nb)
+        out_body_ref[0:3, :] = out_body_ref[0:3, :] + upd
+
+    def warm_sweep(cols, width):
+        d = data_ref[:, pl.ds(cols, width)]
+        a = out_acc_ref[:, pl.ds(cols, width)]
+        oh_a, oh_b = gather(cols, width)
+        nx = d[_F["nx"]:_F["nx"] + 1]
+        ny = d[_F["ny"]:_F["ny"] + 1]
+        tx, ty = ny, -nx
+        inv_ma = d[_F["inv_ma"]:_F["inv_ma"] + 1]
+        inv_mb = d[_F["inv_mb"]:_F["inv_mb"] + 1]
+        inv_ia = d[_F["inv_ia"]:_F["inv_ia"] + 1]
+        inv_ib = d[_F["inv_ib"]:_F["inv_ib"] + 1]
+        dvax = jnp.zeros_like(nx)
+        dvay = jnp.zeros_like(nx)
+        dwa = jnp.zeros_like(nx)
+        dvbx = jnp.zeros_like(nx)
+        dvby = jnp.zeros_like(nx)
+        dwb = jnp.zeros_like(nx)
+        for j in (0, 1):
+            mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+            ni = a[_A[f"ni{j}"]:_A[f"ni{j}"] + 1] * mask
+            ti = a[_A[f"ti{j}"]:_A[f"ti{j}"] + 1] * mask
+            px = ni * nx + ti * tx
+            py = ni * ny + ti * ty
+            rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+            ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+            rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+            rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+            dvax = dvax - inv_ma * px
+            dvay = dvay - inv_ma * py
+            dwa = dwa - inv_ia * (rax * py - ray * px)
+            dvbx = dvbx + inv_mb * px
+            dvby = dvby + inv_mb * py
+            dwb = dwb + inv_ib * (rbx * py - rby * px)
+        roll = a[_A["roll"]:_A["roll"] + 1]
+        dwa = dwa - inv_ia * roll
+        dwb = dwb + inv_ib * roll
+        da = jnp.concatenate([dvax, dvay, dwa], axis=0)
+        db = jnp.concatenate([dvbx, dvby, dwb], axis=0)
+        upd = dot_t(da, oh_a) + dot_t(db, oh_b)
+        out_body_ref[0:3, :] = out_body_ref[0:3, :] + upd
+
+    def integrate_velocities():
+        body = out_body_ref[:]
+        prm = param_ref[:]
+        vel_active = prm[11:12]
+        v_new_x = prm[2:3] + prm[5:6] * body[0:1]
+        v_new_y = prm[3:4] + prm[5:6] * body[1:2]
+        w_new = prm[4:5] + prm[6:7] * body[2:3]
+        # speed caps (ref: src/Solver.cs:142-153)
+        vv = v_new_x * v_new_x + v_new_y * v_new_y
+        scale = jnp.where(vv > max_lin * max_lin,
+                          max_lin * jax.lax.rsqrt(jnp.maximum(vv, 1e-12)), 1.0)
+        v_new_x = v_new_x * scale
+        v_new_y = v_new_y * scale
+        w_new = jnp.clip(w_new, -prm[10:11], prm[10:11])
+        v_new_x = v_new_x * (1.0 - prm[7:8])
+        v_new_y = v_new_y * (1.0 - prm[8:9])
+        w_new = w_new * (1.0 - prm[9:10])
+        out_body_ref[0:1, :] = jnp.where(vel_active > 0, v_new_x, body[0:1])
+        out_body_ref[1:2, :] = jnp.where(vel_active > 0, v_new_y, body[1:2])
+        out_body_ref[2:3, :] = jnp.where(vel_active > 0, w_new, body[2:3])
+
+    def integrate_positions():
+        body = out_body_ref[:]
+        active = body[7:8]
+        dpx = body[3:4] + h * body[0:1]
+        dpy = body[4:5] + h * body[1:2]
+        da = h * body[2:3]
+        c0, s0 = body[5:6], body[6:7]
+        c1 = c0 - da * s0
+        s1 = s0 + da * c0
+        inv = jax.lax.rsqrt(jnp.maximum(c1 * c1 + s1 * s1, 1e-12))
+        out_body_ref[3:4, :] = jnp.where(active > 0, dpx, body[3:4])
+        out_body_ref[4:5, :] = jnp.where(active > 0, dpy, body[4:5])
+        out_body_ref[5:6, :] = jnp.where(active > 0, c1 * inv, body[5:6])
+        out_body_ref[6:7, :] = jnp.where(active > 0, s1 * inv, body[6:7])
+
+    def color_loop(use_bias, restitution_pass=False):
+        # static bound: empty buckets are all-masked no-ops (their idx rows
+        # are -1 so gathers/scatters see zero one-hots)
+        def body_fn(c, _):
+            contact_sweep(c * chunk, chunk, use_bias, restitution_pass)
+            return 0
+        lax.fori_loop(0, max_colors - 1, body_fn, 0, unroll=False)
+        # overflow tail
+        contact_sweep(l0, ovf_len, use_bias, restitution_pass)
+
+    for _ in range(nsub):
+        integrate_velocities()
+        warm_sweep(0, L)
+        color_loop(use_bias=True)
+        integrate_positions()
+        color_loop(use_bias=False)
+    color_loop(use_bias=True, restitution_pass=True)
+
+
+def run_solver_kernel(nsub, max_colors, chunk, l0,
+                      scalars, idx, data, acc, body, params):
+    """Invoke the kernel. Shapes: idx (2, L) i32, data (NF, L), acc (NA, L),
+    body (8, Nb), params (12, Nb), scalars (1, 8) f32."""
+    L = data.shape[1]
+    nb = body.shape[1]
+    kern = functools.partial(_solver_kernel, nsub, max_colors, chunk, l0)
+    out_body, out_acc = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((8, nb), jnp.float32),
+                   jax.ShapeDtypeStruct((NA, L), jnp.float32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # idx
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # data
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # acc
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # body
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # params
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )(scalars, idx, data, acc, body, params)
+    return out_body, out_acc
+
+
+# ---------------------------------------------------------------------------
+# packing from / unpacking to the XLA-level structures
+# ---------------------------------------------------------------------------
+
+def pack_constraints(cc):
+    """ContactConstraints (layout order, see world.py) -> (idx, data, acc)."""
+    z = jnp.zeros_like(cc.friction)
+    mask0 = cc.point_mask[:, 0].astype(jnp.float32)
+    mask1 = cc.point_mask[:, 1].astype(jnp.float32)
+    live = (cc.color >= 0).astype(jnp.float32)
+    data = jnp.stack([
+        cc.normal[:, 0], cc.normal[:, 1], cc.friction, cc.restitution,
+        cc.tangent_speed, cc.rolling_resistance, cc.rolling_mass,
+        cc.soft_bias, cc.soft_mass, cc.soft_imp,
+        cc.anchor_a[:, 0, 0], cc.anchor_a[:, 0, 1],
+        cc.anchor_b[:, 0, 0], cc.anchor_b[:, 0, 1],
+        cc.anchor_a[:, 1, 0], cc.anchor_a[:, 1, 1],
+        cc.anchor_b[:, 1, 0], cc.anchor_b[:, 1, 1],
+        cc.base_separation[:, 0], cc.base_separation[:, 1],
+        cc.normal_mass[:, 0], cc.normal_mass[:, 1],
+        cc.tangent_mass[:, 0], cc.tangent_mass[:, 1],
+        cc.relative_velocity[:, 0], cc.relative_velocity[:, 1],
+        mask0 * live, mask1 * live,
+        cc.inv_mass_a * live, cc.inv_mass_b * live,
+        cc.inv_i_a * live, cc.inv_i_b * live,
+    ], axis=0)
+    acc = jnp.stack([
+        cc.normal_impulse[:, 0], cc.normal_impulse[:, 1],
+        cc.tangent_impulse[:, 0], cc.tangent_impulse[:, 1],
+        cc.total_normal_impulse[:, 0], cc.total_normal_impulse[:, 1],
+        cc.rolling_impulse,
+    ], axis=0)
+    nb_sentinel = jnp.int32(-1)
+    live_i = cc.color >= 0
+    idx = jnp.stack([
+        jnp.where(live_i, cc.body_a, nb_sentinel),
+        jnp.where(live_i, cc.body_b, nb_sentinel),
+    ], axis=0)
+    return idx, data, acc
+
+
+def unpack_acc(cc, acc):
+    """Write kernel accumulators back into ContactConstraints."""
+    return cc._replace(
+        normal_impulse=acc[0:2].T,
+        tangent_impulse=acc[2:4].T,
+        total_normal_impulse=acc[4:6].T,
+        rolling_impulse=acc[6],
+    )
+
+
+def pack_bodies(bodies, bs, tuning, h, inv_dt):
+    """Bodies + BodySolverState -> (body (8, Nb), params (12, Nb))."""
+    from .state import ALLOW_FAST_ROTATION, LOCK_ANGULAR_Z, LOCK_LINEAR_X, \
+        LOCK_LINEAR_Y
+
+    b = bodies
+    pos_active = ((b.type != STATIC) & b.awake & b.enabled).astype(jnp.float32)
+    vel_active = ((b.type == DYNAMIC) & b.awake & b.enabled).astype(jnp.float32)
+    body = jnp.stack([
+        bs.v[:, 0], bs.v[:, 1], bs.w,
+        bs.dp[:, 0], bs.dp[:, 1], bs.dq[:, 0], bs.dq[:, 1],
+        pos_active,
+    ], axis=0)
+    g_scale = jnp.where(b.inv_mass > 0, b.gravity_scale, 0.0)
+    ext_dv = h * (b.inv_mass[:, None] * b.force
+                  + g_scale[:, None] * tuning.gravity[None, :])
+    ext_dw = h * b.inv_inertia * b.torque
+    max_w_allow = jnp.where((b.flags & ALLOW_FAST_ROTATION) != 0,
+                            jnp.float32(1e9), MAX_ROTATION * inv_dt)
+    params = jnp.stack([
+        b.inv_mass, b.inv_inertia, ext_dv[:, 0], ext_dv[:, 1], ext_dw,
+        1.0 / (1.0 + h * b.linear_damping),
+        1.0 / (1.0 + h * b.angular_damping),
+        ((b.flags & LOCK_LINEAR_X) != 0).astype(jnp.float32),
+        ((b.flags & LOCK_LINEAR_Y) != 0).astype(jnp.float32),
+        ((b.flags & LOCK_ANGULAR_Z) != 0).astype(jnp.float32),
+        max_w_allow,
+        vel_active,
+    ], axis=0)
+    return body, params
+
+
+def unpack_bodies(bs, body):
+    return bs._replace(
+        v=body[0:2].T, w=body[2],
+        dp=body[3:5].T, dq=body[5:7].T)

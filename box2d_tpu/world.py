@@ -43,7 +43,8 @@ def make_step(capacity: Capacity, classes_present: frozenset,
               joint_types: frozenset = frozenset(),
               sensor_ids: tuple = (),
               continuous: bool = True,
-              particle_cfg: ParticleConfig | None = None) -> Callable:
+              particle_cfg: ParticleConfig | None = None,
+              use_pallas: bool = False) -> Callable:
     """Build a jit-able step function for the given static configuration."""
 
     # NOTE: no buffer donation — identical zero-filled outputs (cleared
@@ -53,7 +54,8 @@ def make_step(capacity: Capacity, classes_present: frozenset,
     @jax.jit
     def step(state: WorldState, dt) -> WorldState:
         return _step(state, dt, capacity, classes_present, substeps,
-                     joint_types, sensor_ids, continuous, particle_cfg)
+                     joint_types, sensor_ids, continuous, particle_cfg,
+                     use_pallas)
 
     return step
 
@@ -61,7 +63,8 @@ def make_step(capacity: Capacity, classes_present: frozenset,
 def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
           substeps: int, joint_types: frozenset = frozenset(),
           sensor_ids: tuple = (), continuous: bool = True,
-          particle_cfg: ParticleConfig | None = None) -> WorldState:
+          particle_cfg: ParticleConfig | None = None,
+          use_pallas: bool = False) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -103,7 +106,10 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     all_ba = jnp.concatenate([data.body_a, jn.body_a])
     all_bb = jnp.concatenate([data.body_b, jn.body_b])
     all_active = jnp.concatenate([contact_live, joint_active])
-    chunk = cap.color_chunk or max(64, cap.max_contact_pairs // 16)
+    # chunk multiples of 128 keep dynamic lane-dim slices tile-aligned for
+    # the Pallas kernel (Mosaic requires it) and cost XLA nothing
+    chunk = cap.color_chunk or max(
+        128, ((cap.max_contact_pairs // 16 + 127) // 128) * 128)
     colors, ovf, overflow_colors = color_constraints(
         all_ba, all_bb, all_active, b.type, nb, cap.max_colors,
         color_cap=chunk)
@@ -143,7 +149,7 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     # overflow tail: small fixed budget processed unconditionally (a batched
     # lax.cond would execute both branches under vmap anyway); overflow
     # beyond the budget is dropped for the step and reported in the profile
-    ovf_cap = min(p_cap, 2 * chunk)
+    ovf_cap = ((min(p_cap, 2 * chunk) + 127) // 128) * 128
     layout_len = l0 + ovf_cap
 
     sortable = jnp.where(cc.color >= 0, cc.color, cap.max_colors + 1)
@@ -195,6 +201,27 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
         return overflow_pass(fn, bs, cc)
 
     n_chunk_colors = num_colors - jnp.where(overflow_colors > 0, 1, 0)
+
+    if use_pallas and not joint_types:
+        # flagship path: the whole substep pipeline in one Pallas kernel
+        from .solver_pallas import (pack_bodies, pack_constraints,
+                                    run_solver_kernel, unpack_acc,
+                                    unpack_bodies)
+
+        idxp, datap, accp = pack_constraints(cc)
+        bodyp, paramsp = pack_bodies(b, bs, tn, h, inv_dt)
+        scalars = jnp.stack([
+            h, inv_h, tn.contact_speed, tn.restitution_threshold,
+            tn.max_linear_speed, jnp.float32(0), jnp.float32(0),
+            jnp.float32(0)])[None, :]
+        out_body, out_acc = run_solver_kernel(
+            substeps, cap.max_colors, chunk, l0, scalars,
+            idxp, datap, accp, bodyp, paramsp)
+        bs = unpack_bodies(bs, out_body)
+        cc = unpack_acc(cc, out_acc)
+        return _step_tail(state, data, cc, bs, jc, layout_idx, layout_len,
+                          dt, inv_dt, inv_h, cap, pairs, num_colors,
+                          overflow_colors, touching, sensor_ids, continuous)
 
     def substep(_, carry):
         bs, cc, jc = carry
@@ -256,6 +283,16 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
         lambda bs, ch, mk: restitution_color(
             bs, ch, mk, tn.restitution_threshold), bs, cc)
 
+    return _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt,
+                      inv_dt, inv_h, cap, pairs, num_colors, overflow_colors,
+                      touching, sensor_ids, continuous)
+
+
+def _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt, inv_dt,
+               inv_h, cap, pairs, num_colors, overflow_colors, touching,
+               sensor_ids, continuous):
+    """Post-solve: store impulses, events, continuous, finalize, sleep,
+    sensors, profile. Shared by the XLA and Pallas solver paths."""
     # gather impulses back to pair order for the store; inactive lanes keep
     # their warm-matched impulses
     gidx = jnp.clip(layout_idx, 0, layout_len - 1)
