@@ -269,6 +269,41 @@ class World:
                     jnp.asarray(target, jnp.float32))))
         self.wake_body(int(jn.body_b[joint]))
 
+    # -- particles (post-compile) --------------------------------------------
+
+    def destroy_particle(self, index: int):
+        """Kill one particle (ref: ParticleSystem.DestroyParticle — the
+        zombie flag + compaction become a simple alive-mask clear here)."""
+        pt = self.state.particles
+        self.state = dataclasses.replace(
+            self.state,
+            particles=dataclasses.replace(
+                pt, alive=pt.alive.at[index].set(False)))
+
+    def destroy_particles_in_aabb(self, lo, hi):
+        """Kill all particles inside an AABB (region destroy)."""
+        pt = self.state.particles
+        lo = jnp.asarray(lo, jnp.float32)
+        hi = jnp.asarray(hi, jnp.float32)
+        inside = jnp.all((pt.pos >= lo) & (pt.pos <= hi), axis=1)
+        self.state = dataclasses.replace(
+            self.state,
+            particles=dataclasses.replace(pt, alive=pt.alive & ~inside))
+
+    def apply_particle_force(self, index: int, force):
+        pt = self.state.particles
+        self.state = dataclasses.replace(
+            self.state,
+            particles=dataclasses.replace(
+                pt, force=pt.force.at[index].add(
+                    jnp.asarray(force, jnp.float32))))
+
+    def destroy_body(self, body: int):
+        """Disable a body and its shapes (the masked analog of ref
+        api/Body.cs:109-164 DestroyBody; lanes are not reclaimed until the
+        scene is rebuilt)."""
+        self.set_body_enabled(body, False)
+
     def joint_constraint_force(self, joint: int, dt=1.0 / 60.0):
         """Approximate reaction force magnitude (ref: JointAPI
         GetConstraintForce). Uses last step's stored impulses."""

@@ -19,11 +19,11 @@ import numpy as np
 from . import geometry as g
 from . import types as t
 from .state import (ALLOW_FAST_ROTATION, DYNAMIC, ENABLE_SLEEP, IS_BULLET,
-                    JOINT_DISTANCE, JOINT_FILTER, JOINT_MOTOR, JOINT_MOUSE,
-                    JOINT_PRISMATIC, JOINT_REVOLUTE, JOINT_WELD, JOINT_WHEEL,
-                    KINEMATIC, LOCK_ANGULAR_Z, LOCK_LINEAR_X, LOCK_LINEAR_Y,
-                    STATIC, Bodies, Capacity, ContactStore, Events, Joints,
-                    Profile, Shapes, Tuning, WorldState, zero_events,
+                    JOINT_DISTANCE, JOINT_MOUSE, JOINT_PRISMATIC,
+                    JOINT_REVOLUTE, JOINT_WELD, JOINT_WHEEL,
+                    LOCK_ANGULAR_Z, LOCK_LINEAR_X, LOCK_LINEAR_Y,
+                    Bodies, Capacity, ContactStore, Joints,
+                    Shapes, Tuning, WorldState, zero_events,
                     zero_profile)
 
 

@@ -14,8 +14,6 @@ the reference (ref: :352-365).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ import numpy as np
 
 from . import geometry as g
 from . import math2d as m
-from .state import DYNAMIC, KINEMATIC, STATIC, WorldState
+from .state import KINEMATIC, STATIC, WorldState
 
 
 def draw_data(state: WorldState) -> dict:

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from . import math2d as m
-from .state import (DYNAMIC, JOINT_DISTANCE, JOINT_MOTOR, JOINT_MOUSE,
+from .state import (JOINT_DISTANCE, JOINT_MOTOR, JOINT_MOUSE,
                     JOINT_PRISMATIC, JOINT_REVOLUTE, JOINT_WELD, JOINT_WHEEL,
                     WorldState)
 
