@@ -60,9 +60,14 @@ NA = 7
 
 
 def fits_kernel(nb: int, layout_len: int, chunk: int) -> bool:
-    """VMEM budget check: onehot (Nb, chunk) + constraints (NF+NA, L)."""
-    budget = 8 * 1024 * 1024 / 4  # ~8MB of f32
-    return (nb * chunk + (NF + NA) * layout_len + 16 * nb) < budget
+    """VMEM budget check. The unified flag-driven sweep is instantiated once,
+    so the live peak is the resident constraint/body matrices plus one sweep
+    frame (~2 one-hot (nb, chunk) matrices and chunk-width temporaries; the
+    6x factor leaves margin for Mosaic's register spills / double buffers)."""
+    if layout_len % chunk != 0:
+        return False
+    budget = 12 * 1024 * 1024 / 4  # ~12MB of f32 (16MB VMEM minus slack)
+    return (6 * nb * chunk + (NF + 2 * NA + 8) * layout_len + 48 * nb) < budget
 
 
 def _row(ref_slice, name, table=_F):
@@ -83,7 +88,7 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
 
     nb = body_ref.shape[1]
     L = data_ref.shape[1]
-    ovf_len = L - l0
+    del l0, max_colors  # layout covered by uniform chunk windows (see below)
 
     out_body_ref[:] = body_ref[:]
     out_acc_ref[:] = acc_ref[:]
@@ -111,9 +116,19 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-    def contact_sweep(cols, width, use_bias, restitution_pass):
-        """One conflict-free sweep over constraint columns [cols, cols+width).
+    def contact_sweep(cols, warm_f, bias_f, rest_f):
+        """One conflict-free sweep over constraint columns [cols, cols+chunk),
+        behavior selected by TRACED 0/1 scalar flags. One flag-parameterized
+        sweep means ONE Mosaic instantiation for all four pass kinds — the
+        previous per-pass Python specializations each got their own VMEM
+        stack frame (~2MB of (nb, chunk) one-hots + temporaries apiece) and
+        blew the 16MB scoped-VMEM limit on large scenes.
+          warm_f=1: apply stored impulses (warm start), accumulators unchanged
+          bias_f=1: useBias solve (soft-constraint bias, first sweep)
+          rest_f=1: restitution pass (normal-only, threshold-gated)
+          all 0:    relax pass (no bias, mass scale 1)
         Reads/writes out_body_ref and out_acc_ref in place."""
+        width = chunk
         d = data_ref[:, pl.ds(cols, width)]
         a = out_acc_ref[:, pl.ds(cols, width)]
         oh_a, oh_b = gather(cols, width)
@@ -121,8 +136,6 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
         st_a = dotf(body, oh_a)                     # (8, width)
         st_b = dotf(body, oh_b)
 
-        vax, vay, wa = st_a[0:1], st_a[1:2], st_a[2:3]
-        vbx, vby, wb = st_b[0:1], st_b[1:2], st_b[2:3]
         dpx = st_b[3:4] - st_a[3:4]
         dpy = st_b[4:5] - st_a[4:5]
         dqca, dqsa = st_a[5:6], st_a[6:7]
@@ -140,75 +153,114 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
         ti = [a[_A["ti0"]:_A["ti0"] + 1], a[_A["ti1"]:_A["ti1"] + 1]]
         tni = [a[_A["tni0"]:_A["tni0"] + 1], a[_A["tni1"]:_A["tni1"] + 1]]
         roll = a[_A["roll"]:_A["roll"] + 1]
-        total_normal = jnp.zeros_like(roll)
 
         def rot(qc, qs, x, y):
             return qc * x - qs * y, qs * x + qc * y
 
-        for j in (0, 1):
-            rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
-            ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
-            rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
-            rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
-            mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
-            nmass = d[_F[f"nmass{j}"]:_F[f"nmass{j}"] + 1]
+        def scatter_deltas(dvax, dvay, dwa, dvbx, dvby, dwb):
+            da = jnp.concatenate([dvax, dvay, dwa], axis=0)
+            db = jnp.concatenate([dvbx, dvby, dwb], axis=0)
+            upd = dot_t(da, oh_a) + dot_t(db, oh_b)  # (3, nb)
+            out_body_ref[0:3, :] = out_body_ref[0:3, :] + upd
 
-            if restitution_pass:
-                relv = d[_F[f"relv{j}"]:_F[f"relv{j}"] + 1]
-                restitution = d[_F["restitution"]:_F["restitution"] + 1]
+        # Warm start and solve share the gathers above but branch on the
+        # traced flag (scf branches, still ONE instantiation): warm applies
+        # stored impulses with ~1/3 of the solve path's instruction count,
+        # which matters because these sweeps are issue-bound, not data-bound.
+        @pl.when(warm_f > 0.0)
+        def _warm():
+            dvax = jnp.zeros_like(nx)
+            dvay = jnp.zeros_like(nx)
+            dwa = jnp.zeros_like(nx)
+            dvbx = jnp.zeros_like(nx)
+            dvby = jnp.zeros_like(nx)
+            dwb = jnp.zeros_like(nx)
+            for j in (0, 1):
+                mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+                pn = ni[j] * mask
+                pt = ti[j] * mask
+                px = pn * nx + pt * tx
+                py = pn * ny + pt * ty
+                rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+                ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+                rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+                rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+                dvax = dvax - inv_ma * px
+                dvay = dvay - inv_ma * py
+                dwa = dwa - inv_ia * (rax * py - ray * px)
+                dvbx = dvbx + inv_mb * px
+                dvby = dvby + inv_mb * py
+                dwb = dwb + inv_ib * (rbx * py - rby * px)
+            dwa = dwa - inv_ia * roll
+            dwb = dwb + inv_ib * roll
+            scatter_deltas(dvax, dvay, dwa, dvbx, dvby, dwb)
+
+        @pl.when(warm_f == 0.0)
+        def _solve():
+            solve_f = 1.0 - rest_f   # warm_f == 0 in this branch
+            vax, vay, wa = st_a[0:1], st_a[1:2], st_a[2:3]
+            vbx, vby, wb = st_b[0:1], st_b[1:2], st_b[2:3]
+            total_normal = jnp.zeros_like(roll)
+            restitution = d[_F["restitution"]:_F["restitution"] + 1]
+            soft_bias = d[_F["soft_bias"]:_F["soft_bias"] + 1]
+            soft_mass = d[_F["soft_mass"]:_F["soft_mass"] + 1]
+            soft_imp = d[_F["soft_imp"]:_F["soft_imp"] + 1]
+
+            for j in (0, 1):
+                rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+                ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+                rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+                rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+                mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+                nmass = d[_F[f"nmass{j}"]:_F[f"nmass{j}"] + 1]
+
                 vrx = (vbx - wb * rby) - (vax - wa * ray)
                 vry = (vby + wb * rbx) - (vay + wa * rax)
                 vn = vrx * nx + vry * ny
-                apply = ((restitution != 0.0)
-                         & (relv < -restitution_threshold)
-                         & (tni[j] > 0.0)) * mask
-                impulse = -nmass * (vn + restitution * relv)
-                new_imp = jnp.maximum(ni[j] + impulse, 0.0)
-                impulse = (new_imp - ni[j]) * apply
-                ni[j] = ni[j] + impulse
-                tni[j] = tni[j] + impulse
-            else:
-                # separation via substep deltas (ref ContactSolver.cs:199-209)
+
+                # --- solve/relax candidate: separation via substep deltas
+                # (ref ContactSolver.cs:199-209); bias_f selects soft bias
                 rrx_a, rry_a = rot(dqca, dqsa, rax, ray)
                 rrx_b, rry_b = rot(dqcb, dqsb, rbx, rby)
                 dsx = dpx + rrx_b - rrx_a
                 dsy = dpy + rry_b - rry_a
                 s = d[_F[f"sep{j}"]:_F[f"sep{j}"] + 1] + dsx * nx + dsy * ny
                 speculative = s > 0.0
-                soft_bias = d[_F["soft_bias"]:_F["soft_bias"] + 1]
-                soft_mass = d[_F["soft_mass"]:_F["soft_mass"] + 1]
-                soft_imp = d[_F["soft_imp"]:_F["soft_imp"] + 1]
-                if use_bias:
-                    bias = jnp.where(speculative, s * inv_h,
-                                     jnp.maximum(soft_mass * soft_bias * s,
-                                                 -contact_speed))
-                    mscale = jnp.where(speculative, 1.0, soft_mass)
-                    iscale = jnp.where(speculative, 0.0, soft_imp)
-                else:
-                    bias = jnp.where(speculative, s * inv_h, 0.0)
-                    mscale = jnp.ones_like(s)
-                    iscale = jnp.zeros_like(s)
+                bias = jnp.where(
+                    speculative, s * inv_h,
+                    bias_f * jnp.maximum(soft_mass * soft_bias * s,
+                                         -contact_speed))
+                mscale = jnp.where(speculative, 1.0,
+                                   1.0 + bias_f * (soft_mass - 1.0))
+                iscale = jnp.where(speculative, 0.0, bias_f * soft_imp)
+                imp_s = -nmass * (mscale * vn + bias) - iscale * ni[j]
+                new_s = jnp.maximum(ni[j] + imp_s, 0.0) * mask
+                d_s = new_s - ni[j]
 
-                vrx = (vbx - wb * rby) - (vax - wa * ray)
-                vry = (vby + wb * rbx) - (vay + wa * rax)
-                vn = vrx * nx + vry * ny
-                impulse = -nmass * (mscale * vn + bias) - iscale * ni[j]
-                new_imp = jnp.maximum(ni[j] + impulse, 0.0) * mask
-                impulse = new_imp - ni[j]
-                ni[j] = new_imp
-                tni[j] = tni[j] + new_imp
-                total_normal = total_normal + new_imp
+                # --- restitution candidate (ref ContactSolver.cs:293-320)
+                relv = d[_F[f"relv{j}"]:_F[f"relv{j}"] + 1]
+                apply_r = ((restitution != 0.0)
+                           & (relv < -restitution_threshold)
+                           & (tni[j] > 0.0)) * mask
+                imp_r = -nmass * (vn + restitution * relv)
+                new_r = jnp.maximum(ni[j] + imp_r, 0.0)
+                d_r = (new_r - ni[j]) * apply_r
 
-            px = impulse * nx
-            py = impulse * ny
-            vax = vax - inv_ma * px
-            vay = vay - inv_ma * py
-            wa = wa - inv_ia * (rax * py - ray * px)
-            vbx = vbx + inv_mb * px
-            vby = vby + inv_mb * py
-            wb = wb + inv_ib * (rbx * py - rby * px)
+                # --- flag-combined applied impulse + accumulator updates
+                impulse = solve_f * d_s + rest_f * d_r
+                ni[j] = ni[j] + impulse
+                tni[j] = tni[j] + solve_f * new_s + rest_f * d_r
+                total_normal = total_normal + new_s  # read when solve_f=1
 
-        if not restitution_pass:
+                px = impulse * nx
+                py = impulse * ny
+                vax = vax - inv_ma * px
+                vay = vay - inv_ma * py
+                wa = wa - inv_ia * (rax * py - ray * px)
+                vbx = vbx + inv_mb * px
+                vby = vby + inv_mb * py
+                wb = wb + inv_ib * (rbx * py - rby * px)
+
             friction = d[_F["friction"]:_F["friction"] + 1]
             tangent_speed = d[_F["tangent_speed"]:_F["tangent_speed"] + 1]
             for j in (0, 1):
@@ -221,11 +273,11 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
                 vrx = (vbx - wb * rby) - (vax - wa * ray)
                 vry = (vby + wb * rbx) - (vay + wa * rax)
                 vt = vrx * tx + vry * ty - tangent_speed
-                impulse = -tmass * vt
                 max_f = friction * ni[j]
-                new_imp = jnp.clip(ti[j] + impulse, -max_f, max_f) * mask
-                impulse = new_imp - ti[j]
-                ti[j] = new_imp
+                new_t = jnp.clip(ti[j] - tmass * vt, -max_f, max_f) * mask
+                d_t = new_t - ti[j]
+                impulse = solve_f * d_t
+                ti[j] = ti[j] + impulse
                 px = impulse * tx
                 py = impulse * ty
                 vax = vax - inv_ma * px
@@ -236,66 +288,24 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
                 wb = wb + inv_ib * (rbx * py - rby * px)
 
             rolling_mass = d[_F["rolling_mass"]:_F["rolling_mass"] + 1]
-            rolling_res = d[_F["rolling_resistance"]:_F["rolling_resistance"] + 1]
-            dl = -rolling_mass * (wb - wa)
+            rolling_res = d[
+                _F["rolling_resistance"]:_F["rolling_resistance"] + 1]
             max_l = rolling_res * total_normal
-            new_roll = jnp.clip(roll + dl, -max_l, max_l)
-            dl = new_roll - roll
-            roll = new_roll
+            new_roll = jnp.clip(roll - rolling_mass * (wb - wa),
+                                -max_l, max_l)
+            dl = solve_f * (new_roll - roll)
             wa = wa - inv_ia * dl
             wb = wb + inv_ib * dl
 
-        # write accumulators back
-        acc_new = jnp.concatenate(
-            [ni[0], ni[1], ti[0], ti[1], tni[0], tni[1], roll], axis=0)
-        out_acc_ref[:, pl.ds(cols, width)] = acc_new
+            # write accumulators back
+            acc_new = jnp.concatenate(
+                [ni[0], ni[1], ti[0], ti[1], tni[0], tni[1], roll + dl],
+                axis=0)
+            out_acc_ref[:, pl.ds(cols, width)] = acc_new
 
-        # scatter velocity deltas
-        da = jnp.concatenate([vax, vay, wa], axis=0) - st_a[0:3]
-        db = jnp.concatenate([vbx, vby, wb], axis=0) - st_b[0:3]
-        upd = dot_t(da, oh_a) + dot_t(db, oh_b)     # (3, nb)
-        out_body_ref[0:3, :] = out_body_ref[0:3, :] + upd
-
-    def warm_sweep(cols, width):
-        d = data_ref[:, pl.ds(cols, width)]
-        a = out_acc_ref[:, pl.ds(cols, width)]
-        oh_a, oh_b = gather(cols, width)
-        nx = d[_F["nx"]:_F["nx"] + 1]
-        ny = d[_F["ny"]:_F["ny"] + 1]
-        tx, ty = ny, -nx
-        inv_ma = d[_F["inv_ma"]:_F["inv_ma"] + 1]
-        inv_mb = d[_F["inv_mb"]:_F["inv_mb"] + 1]
-        inv_ia = d[_F["inv_ia"]:_F["inv_ia"] + 1]
-        inv_ib = d[_F["inv_ib"]:_F["inv_ib"] + 1]
-        dvax = jnp.zeros_like(nx)
-        dvay = jnp.zeros_like(nx)
-        dwa = jnp.zeros_like(nx)
-        dvbx = jnp.zeros_like(nx)
-        dvby = jnp.zeros_like(nx)
-        dwb = jnp.zeros_like(nx)
-        for j in (0, 1):
-            mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
-            ni = a[_A[f"ni{j}"]:_A[f"ni{j}"] + 1] * mask
-            ti = a[_A[f"ti{j}"]:_A[f"ti{j}"] + 1] * mask
-            px = ni * nx + ti * tx
-            py = ni * ny + ti * ty
-            rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
-            ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
-            rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
-            rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
-            dvax = dvax - inv_ma * px
-            dvay = dvay - inv_ma * py
-            dwa = dwa - inv_ia * (rax * py - ray * px)
-            dvbx = dvbx + inv_mb * px
-            dvby = dvby + inv_mb * py
-            dwb = dwb + inv_ib * (rbx * py - rby * px)
-        roll = a[_A["roll"]:_A["roll"] + 1]
-        dwa = dwa - inv_ia * roll
-        dwb = dwb + inv_ib * roll
-        da = jnp.concatenate([dvax, dvay, dwa], axis=0)
-        db = jnp.concatenate([dvbx, dvby, dwb], axis=0)
-        upd = dot_t(da, oh_a) + dot_t(db, oh_b)
-        out_body_ref[0:3, :] = out_body_ref[0:3, :] + upd
+            # scatter velocity deltas
+            scatter_deltas(vax - st_a[0:1], vay - st_a[1:2], wa - st_a[2:3],
+                           vbx - st_b[0:1], vby - st_b[1:2], wb - st_b[2:3])
 
     def integrate_velocities():
         body = out_body_ref[:]
@@ -333,23 +343,41 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
         out_body_ref[5:6, :] = jnp.where(active > 0, c1 * inv, body[5:6])
         out_body_ref[6:7, :] = jnp.where(active > 0, s1 * inv, body[6:7])
 
-    def color_loop(use_bias, restitution_pass=False):
-        # static bound: empty buckets are all-masked no-ops (their idx rows
-        # are -1 so gathers/scatters see zero one-hots)
-        def body_fn(c, _):
-            contact_sweep(c * chunk, chunk, use_bias, restitution_pass)
-            return 0
-        lax.fori_loop(0, max_colors - 1, body_fn, 0, unroll=False)
-        # overflow tail
-        contact_sweep(l0, ovf_len, use_bias, restitution_pass)
+    # The whole pipeline runs as ONE flat stage loop so contact_sweep is
+    # traced exactly once (one Mosaic VMEM frame). ovf_cap is a chunk
+    # multiple (world.py), so uniform chunk-wide windows cover the entire
+    # layout [0, L): color buckets in order, then the overflow tail. Empty
+    # buckets/lanes are all-masked no-ops (idx rows are -1 -> zero one-hots).
+    # Stage sequence per substep (ref src/Solver.cs substep pipeline):
+    #   p=0: integrate velocities + warm start
+    #   p=1: solve with bias
+    #   p=2: integrate positions + relax (no bias)
+    # and after all substeps one restitution stage (p=3).
+    n_windows = L // chunk
 
-    for _ in range(nsub):
-        integrate_velocities()
-        warm_sweep(0, L)
-        color_loop(use_bias=True)
-        integrate_positions()
-        color_loop(use_bias=False)
-    color_loop(use_bias=True, restitution_pass=True)
+    def stage_fn(k, carry):
+        p = jnp.where(k == 3 * nsub, 3, lax.rem(k, 3))
+
+        @pl.when(p == 0)
+        def _():
+            integrate_velocities()
+
+        @pl.when(p == 2)
+        def _():
+            integrate_positions()
+
+        warm_f = jnp.where(p == 0, 1.0, 0.0)
+        bias_f = jnp.where(p == 1, 1.0, 0.0)
+        rest_f = jnp.where(p == 3, 1.0, 0.0)
+
+        def win(c, _):
+            contact_sweep(c * chunk, warm_f, bias_f, rest_f)
+            return 0
+
+        lax.fori_loop(0, n_windows, win, 0, unroll=False)
+        return carry
+
+    lax.fori_loop(0, 3 * nsub + 1, stage_fn, 0, unroll=False)
 
 
 def run_solver_kernel(nsub, max_colors, chunk, l0,
@@ -358,10 +386,19 @@ def run_solver_kernel(nsub, max_colors, chunk, l0,
     body (8, Nb), params (12, Nb), scalars (1, 8) f32."""
     L = data.shape[1]
     nb = body.shape[1]
+    assert L % chunk == 0, "layout (incl. overflow tail) must be chunk-aligned"
+    # Mosaic can't lower matmuls with a tiny lane dimension ("only constant
+    # accumulators supported" on the (3, nb) scatter reduction when nb < a
+    # full lane tile), so pad the body lane dim to 128; extra lanes are never
+    # referenced by idx and are sliced off below.
+    nb_pad = max(nb, 128)
+    if nb_pad != nb:
+        body = jnp.pad(body, ((0, 0), (0, nb_pad - nb)))
+        params = jnp.pad(params, ((0, 0), (0, nb_pad - nb)))
     kern = functools.partial(_solver_kernel, nsub, max_colors, chunk, l0)
     out_body, out_acc = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((8, nb), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((NA, L), jnp.float32)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scalars
@@ -375,6 +412,8 @@ def run_solver_kernel(nsub, max_colors, chunk, l0,
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
     )(scalars, idx, data, acc, body, params)
+    if nb_pad != nb:
+        out_body = out_body[:, :nb]
     return out_body, out_acc
 
 

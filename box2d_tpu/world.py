@@ -149,7 +149,9 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     # overflow tail: small fixed budget processed unconditionally (a batched
     # lax.cond would execute both branches under vmap anyway); overflow
     # beyond the budget is dropped for the step and reported in the profile
-    ovf_cap = ((min(p_cap, 2 * chunk) + 127) // 128) * 128
+    # rounded to a chunk multiple so the pallas kernel can sweep the whole
+    # layout (buckets + overflow tail) in uniform chunk-wide windows
+    ovf_cap = ((min(p_cap, 2 * chunk) + chunk - 1) // chunk) * chunk
     layout_len = l0 + ovf_cap
 
     sortable = jnp.where(cc.color >= 0, cc.color, cap.max_colors + 1)
