@@ -25,6 +25,20 @@ from .state import Capacity, WorldState
 from .world import make_step
 
 
+def _pairs_fallback(pts, cutoff):
+    """NumPy proximity pairs (used when the native scene core is absent)."""
+    a, b, dist = [], [], []
+    for i in range(len(pts)):
+        diff = pts[i + 1:] - pts[i]
+        dd = np.hypot(diff[:, 0], diff[:, 1])
+        for j in np.nonzero(dd < cutoff)[0]:
+            a.append(i)
+            b.append(i + 1 + int(j))
+            dist.append(float(dd[j]))
+    return (np.array(a, np.int32), np.array(b, np.int32),
+            np.array(dist, np.float32))
+
+
 class World:
     """A mutable scene wrapper around the pure-functional core."""
 
@@ -297,6 +311,166 @@ class World:
             particles=dataclasses.replace(
                 pt, force=pt.force.at[index].add(
                     jnp.asarray(force, jnp.float32))))
+
+    def join_particle_groups(self, group_a: int, group_b: int):
+        """Merge group_b into group_a, creating spring pairs / elastic
+        triads across the seam from CURRENT positions (ref:
+        particle/ParticleSystem.cs JoinParticleGroups + the join filter in
+        UpdatePairsAndTriads). Growing the pair/triad arrays changes their
+        shapes, so the next step() retraces once."""
+        from .particles import P_ELASTIC, P_SPRING, PARTICLE_STRIDE
+        from .native import build_pairs_native, build_triads_native
+
+        pt = self.state.particles
+        group = np.asarray(pt.group).copy()
+        alive = np.asarray(pt.alive)
+        pos = np.asarray(pt.pos)
+        pflags = np.asarray(pt.flags)
+        in_a = (group == group_a) & alive
+        in_b = (group == group_b) & alive
+        group[in_b] = group_a
+        gflags = np.asarray(pt.group_flags).copy()
+        gflags[group_a] |= gflags[group_b]
+        gstrength = np.asarray(pt.group_strength)
+        strength = float(min(gstrength[group_a], gstrength[group_b]))
+
+        idx = np.where(in_a | in_b)[0]
+        d = 2.0 * float(np.asarray(pt.params.radius))
+        new_pairs, new_triads = [], []
+        if len(idx) >= 2:
+            pts = pos[idx].astype(np.float32)
+            from_b = in_b[idx]
+            union_flags = int(np.bitwise_or.reduce(pflags[idx]))
+            if union_flags & P_SPRING:
+                res = build_pairs_native(pts, d * 1.2)
+                if res is None:
+                    res = _pairs_fallback(pts, d * 1.2)
+                la, lb, dist = res
+                for k in range(len(la)):
+                    a, b = int(la[k]), int(lb[k])
+                    if from_b[a] == from_b[b]:
+                        continue  # keep only seam-crossing connections
+                    fl = int(pflags[idx[a]] | pflags[idx[b]])
+                    if fl & P_SPRING:
+                        new_pairs.append((int(idx[a]), int(idx[b]), fl,
+                                          strength, float(dist[k])))
+            if union_flags & P_ELASTIC:
+                res = build_triads_native(pts, PARTICLE_STRIDE * d)
+                if res is not None:
+                    tri, rest = res
+                    for k in range(len(tri)):
+                        ta, tb, tc = (int(v) for v in tri[k])
+                        if from_b[ta] == from_b[tb] == from_b[tc]:
+                            continue
+                        fl = int(pflags[idx[ta]] | pflags[idx[tb]]
+                                 | pflags[idx[tc]])
+                        if fl & P_ELASTIC:
+                            new_triads.append(
+                                (int(idx[ta]), int(idx[tb]), int(idx[tc]),
+                                 fl, strength,
+                                 rest[k, 0], rest[k, 1], rest[k, 2]))
+
+        pt = dataclasses.replace(
+            pt, group=jnp.asarray(group),
+            group_flags=jnp.asarray(gflags))
+        if new_pairs:
+            pt = dataclasses.replace(
+                pt,
+                pair_a=jnp.concatenate([pt.pair_a, jnp.asarray(
+                    [p[0] for p in new_pairs], jnp.int32)]),
+                pair_b=jnp.concatenate([pt.pair_b, jnp.asarray(
+                    [p[1] for p in new_pairs], jnp.int32)]),
+                pair_flags=jnp.concatenate([pt.pair_flags, jnp.asarray(
+                    [p[2] for p in new_pairs], jnp.int32)]),
+                pair_strength=jnp.concatenate([pt.pair_strength, jnp.asarray(
+                    [p[3] for p in new_pairs], jnp.float32)]),
+                pair_distance=jnp.concatenate([pt.pair_distance, jnp.asarray(
+                    [p[4] for p in new_pairs], jnp.float32)]))
+        if new_triads:
+            pt = dataclasses.replace(
+                pt,
+                triad_a=jnp.concatenate([pt.triad_a, jnp.asarray(
+                    [t_[0] for t_ in new_triads], jnp.int32)]),
+                triad_b=jnp.concatenate([pt.triad_b, jnp.asarray(
+                    [t_[1] for t_ in new_triads], jnp.int32)]),
+                triad_c=jnp.concatenate([pt.triad_c, jnp.asarray(
+                    [t_[2] for t_ in new_triads], jnp.int32)]),
+                triad_flags=jnp.concatenate([pt.triad_flags, jnp.asarray(
+                    [t_[3] for t_ in new_triads], jnp.int32)]),
+                triad_strength=jnp.concatenate(
+                    [pt.triad_strength, jnp.asarray(
+                        [t_[4] for t_ in new_triads], jnp.float32)]),
+                triad_pa=jnp.concatenate([pt.triad_pa, jnp.asarray(
+                    np.stack([t_[5] for t_ in new_triads]), jnp.float32)]),
+                triad_pb=jnp.concatenate([pt.triad_pb, jnp.asarray(
+                    np.stack([t_[6] for t_ in new_triads]), jnp.float32)]),
+                triad_pc=jnp.concatenate([pt.triad_pc, jnp.asarray(
+                    np.stack([t_[7] for t_ in new_triads]), jnp.float32)]))
+        self.state = dataclasses.replace(self.state, particles=pt)
+        return group_a
+
+    def split_particle_group(self, group: int) -> list[int]:
+        """Split a group into its connected components over current
+        proximity (< diameter), like ref SplitParticleGroup's contact-graph
+        component labeling. The largest component keeps `group`; each other
+        component gets a fresh group id (group_flags/strength copied).
+        Returns the list of all resulting group ids."""
+        pt = self.state.particles
+        garr = np.asarray(pt.group).copy()
+        alive = np.asarray(pt.alive)
+        pos = np.asarray(pt.pos)
+        members = np.where((garr == group) & alive)[0]
+        if len(members) == 0:
+            return [group]
+        d = 2.0 * float(np.asarray(pt.params.radius))
+
+        # union-find over a cell hash (cell = diameter, check 3x3 window)
+        parent = {int(i): int(i) for i in members}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        cells: dict = {}
+        for i in members:
+            cells.setdefault((int(pos[i, 0] // d), int(pos[i, 1] // d)),
+                             []).append(int(i))
+        for (cx, cy), occupants in cells.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    other = cells.get((cx + dx, cy + dy))
+                    if other is None:
+                        continue
+                    for i in occupants:
+                        for j in other:
+                            if j <= i:
+                                continue
+                            if np.hypot(*(pos[i] - pos[j])) < d:
+                                ri, rj = find(i), find(j)
+                                if ri != rj:
+                                    parent[ri] = rj
+        comps: dict = {}
+        for i in members:
+            comps.setdefault(find(int(i)), []).append(int(i))
+        ordered = sorted(comps.values(), key=len, reverse=True)
+        gflags = np.asarray(pt.group_flags)
+        gstrength = np.asarray(pt.group_strength)
+        gids = [group]
+        for comp in ordered[1:]:
+            gid = len(gflags)
+            gflags = np.append(gflags, gflags[group])
+            gstrength = np.append(gstrength, gstrength[group])
+            garr[comp] = gid
+            gids.append(gid)
+        self.state = dataclasses.replace(
+            self.state,
+            particles=dataclasses.replace(
+                pt, group=jnp.asarray(garr),
+                group_flags=jnp.asarray(gflags),
+                group_strength=jnp.asarray(gstrength, jnp.float32)))
+        return gids
 
     def destroy_body(self, body: int):
         """Disable a body and its shapes (the masked analog of ref

@@ -653,7 +653,10 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
 
         # ---- elastic triads (ref SolveElastic) ----
         ta, tb, tc = pt.triad_a, pt.triad_b, pt.triad_c
-        el = (pt.triad_flags & P_ELASTIC) != 0
+        # dead particles sever their triads (ref zombifies triads whose
+        # member died, SolveZombie :2873-2906)
+        el = (((pt.triad_flags & P_ELASTIC) != 0)
+              & pt.alive[ta] & pt.alive[tb] & pt.alive[tc])
         pa_ = pos[ta] + dt * vel[ta]
         pb_ = pos[tb] + dt * vel[tb]
         pc_ = pos[tc] + dt * vel[tc]
@@ -673,7 +676,8 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
 
         # ---- springs (ref SolveSpring) ----
         sa, sb_ = pt.pair_a, pt.pair_b
-        spr = (pt.pair_flags & P_SPRING) != 0
+        spr = (((pt.pair_flags & P_SPRING) != 0)
+               & pt.alive[sa] & pt.alive[sb_])
         dvec = (pos[sb_] + dt * vel[sb_]) - (pos[sa] + dt * vel[sa])
         r1 = m.length(dvec)
         fs = (prm.spring_strength * inv_dt * pt.pair_strength

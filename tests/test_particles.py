@@ -96,3 +96,77 @@ def test_spring_group_holds_shape():
     # springs keep the blob coherent: extent stays near original 0.6
     ext = pos.max(axis=0) - pos.min(axis=0)
     assert ext[0] < 1.2 and ext[1] < 1.2
+
+
+def test_join_particle_groups_creates_seam_springs():
+    w = api.World()
+    floor = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(floor, t.ShapeDef(),
+                           g.box(10.0, 0.25, center=(0, -0.25)))
+    ps = w.create_particle_system(radius=0.1)
+    ga = ps.create_group_box(center=(-0.31, 1.0), half_w=0.3, half_h=0.3,
+                             flags=P_SPRING)
+    gb = ps.create_group_box(center=(0.31, 1.0), half_w=0.3, half_h=0.3,
+                             flags=P_SPRING)
+    w.compile()
+    w.step(1 / 60)
+    pt = w.state.particles
+    pairs_before = pt.pair_a.shape[0]
+    w.join_particle_groups(ga, gb)
+    pt = w.state.particles
+    # merged membership + seam springs added
+    assert int(np.sum(np.asarray(pt.group) == gb)) == 0
+    assert pt.pair_a.shape[0] > pairs_before
+    for _ in range(60):  # retraces once, then runs
+        w.step(1 / 60)
+    pos = np.asarray(w.state.particles.pos)[np.asarray(w.state.particles.alive)]
+    assert np.isfinite(pos).all()
+    # the joined blob stays one coherent piece
+    ext = pos.max(axis=0) - pos.min(axis=0)
+    assert ext[0] < 2.0 and ext[1] < 1.2
+
+
+def test_split_particle_group_labels_components():
+    w = api.World()
+    floor = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(floor, t.ShapeDef(),
+                           g.box(10.0, 0.25, center=(0, -0.25)))
+    ps = w.create_particle_system(radius=0.1)
+    gid = ps.create_group_box(center=(0.0, 1.0), half_w=0.7, half_h=0.2)
+    w.compile()
+    # carve the blob in two with a region destroy, then split
+    w.destroy_particles_in_aabb((-0.12, 0.0), (0.12, 2.0))
+    gids = w.split_particle_group(gid)
+    assert len(gids) == 2
+    pt = w.state.particles
+    grp = np.asarray(pt.group)[np.asarray(pt.alive)]
+    xs = np.asarray(pt.pos)[np.asarray(pt.alive)][:, 0]
+    # left and right halves carry different group ids
+    assert len(set(grp[xs < -0.15])) == 1
+    assert len(set(grp[xs > 0.15])) == 1
+    assert set(grp[xs < -0.15]) != set(grp[xs > 0.15])
+    for _ in range(30):
+        w.step(1 / 60)
+    assert np.isfinite(np.asarray(w.state.particles.pos)).all()
+
+
+def test_destroyed_particle_severs_springs():
+    w = api.World()
+    floor = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(floor, t.ShapeDef(),
+                           g.box(10.0, 0.25, center=(0, -0.25)))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 0.4), half_w=0.3, half_h=0.3,
+                        flags=P_SPRING)
+    w.compile()
+    w.step(1 / 60)
+    # kill the left half; survivors must not be yanked toward dead lanes
+    w.destroy_particles_in_aabb((-1.0, 0.0), (0.0, 2.0))
+    for _ in range(120):
+        w.step(1 / 60)
+    pt = w.state.particles
+    alive = np.asarray(pt.alive)
+    pos = np.asarray(pt.pos)[alive]
+    vel = np.asarray(pt.vel)[alive]
+    assert np.isfinite(pos).all()
+    assert np.abs(vel).max() < 5.0  # no spring explosion from dead anchors
