@@ -472,6 +472,15 @@ class World:
                 group_strength=jnp.asarray(gstrength, jnp.float32)))
         return gids
 
+    def stuck_particles(self, threshold: int = 5) -> np.ndarray:
+        """Indices of particles wedged against bodies: >= 2 body contacts
+        for more than `threshold` consecutive steps (ref:
+        ParticleSystem.DetectStuckParticle + GetStuckCandidates)."""
+        pt = self.state.particles
+        cons = np.asarray(pt.consecutive_contact_steps)
+        alive = np.asarray(pt.alive)
+        return np.where(alive & (cons > threshold))[0]
+
     def destroy_body(self, body: int):
         """Disable a body and its shapes (the masked analog of ref
         api/Body.cs:109-164 DestroyBody; lanes are not reclaimed until the

@@ -142,6 +142,9 @@ class Particles:
     triad_pa: Any  # (Tp, 2) rest offsets from triad midpoint
     triad_pb: Any
     triad_pc: Any
+    # stuck detection (ref: DetectStuckParticle :1520-1541): steps in a row
+    # with >= 2 body contacts; api.World.stuck_particles thresholds it
+    consecutive_contact_steps: Any  # (Np,) i32
     params: Any    # ParticleParams
 
 
@@ -307,6 +310,7 @@ class ParticleSystemBuilder:
             triad_pa=pad([t[5] for t in triads], tp, (2,)),
             triad_pb=pad([t[6] for t in triads], tp, (2,)),
             triad_pc=pad([t[7] for t in triads], tp, (2,)),
+            consecutive_contact_steps=np.zeros(cap, np.int32),
             params=default_params(self.radius, self.density),
         )
 
@@ -475,7 +479,7 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         return dv, dw
 
     def iteration(carry, _):
-        pt, body_dv, body_dw = carry
+        pt, body_dv, body_dw, _bc_cnt = carry
         pos = pt.pos
         vel = pt.vel
 
@@ -720,11 +724,20 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         pt2 = dataclasses.replace(pt, pos=pos, vel=vel, alive=alive,
                                   expiration=expiration, color=col,
                                   static_pressure=static_pressure)
-        return (pt2, body_dv, body_dw), None
+        return (pt2, body_dv, body_dw,
+                jnp.sum(bc_ok, axis=1).astype(jnp.int32)), None
 
-    (pt, body_dv, body_dw), _ = jax.lax.scan(
-        iteration, (pt, body_dv, body_dw), None, length=cfg.iterations)
-    pt = dataclasses.replace(pt, force=jnp.zeros_like(pt.force))
+    bc_cnt0 = jnp.zeros(pt.pos.shape[0], jnp.int32)
+    (pt, body_dv, body_dw, bc_cnt), _ = jax.lax.scan(
+        iteration, (pt, body_dv, body_dw, bc_cnt0), None,
+        length=cfg.iterations)
+    # stuck detection (ref DetectStuckParticle :1520-1541): particles with
+    # >= 2 body contacts this step extend their streak, others reset
+    stuck_now = pt.alive & (bc_cnt >= 2)
+    pt = dataclasses.replace(
+        pt, force=jnp.zeros_like(pt.force),
+        consecutive_contact_steps=jnp.where(
+            stuck_now, pt.consecutive_contact_steps + 1, 0))
     return pt, body_dv, body_dw
 
 

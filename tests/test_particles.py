@@ -170,3 +170,28 @@ def test_destroyed_particle_severs_springs():
     vel = np.asarray(pt.vel)[alive]
     assert np.isfinite(pos).all()
     assert np.abs(vel).max() < 5.0  # no spring explosion from dead anchors
+
+
+def test_stuck_particle_detection_in_narrow_slot():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(ground, t.ShapeDef(),
+                           g.box(2.0, 0.25, center=(0, -0.25)))
+    # slot walls 0.18 apart: a radius-0.1 particle inside touches BOTH
+    w.create_polygon_shape(ground, t.ShapeDef(),
+                           g.box(0.25, 1.0, center=(-0.34, 1.0)))
+    w.create_polygon_shape(ground, t.ShapeDef(),
+                           g.box(0.25, 1.0, center=(0.34, 1.0)))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 1.2), half_w=0.04, half_h=0.25)
+    # a free particle far from the slot: only ever 1 contact (the floor)
+    free_idx = ps.create_particle((1.5, 0.05))
+    w.compile()
+    for _ in range(90):
+        w.step(1 / 60)
+    stuck = w.stuck_particles(threshold=10)
+    # the wedged column reports as stuck; the free particle never does
+    assert len(stuck) > 0
+    assert free_idx not in set(stuck)
+    pos = np.asarray(w.state.particles.pos)
+    assert (np.abs(pos[stuck, 0]) < 0.1).all()
