@@ -35,11 +35,17 @@ def main():
         w = scenes.tumbler(count=int(os.environ.get("BENCH_COUNT", "800")))
     elif scene_name == "joint_farm":
         w = scenes.joint_farm(ragdolls=int(os.environ.get("BENCH_COUNT", "100")))
+    elif scene_name == "bullet_barrage":
+        w = scenes.bullet_barrage(bullets=int(os.environ.get("BENCH_COUNT", "100")))
+    elif scene_name == "dam_break":
+        w = scenes.dam_break(int(os.environ.get("BENCH_COUNT", "2000")))
     else:
         raise SystemExit(f"unknown scene {scene_name}")
     w.compile()
 
     dyn_bodies = int(np.sum(np.asarray(w.state.bodies.type) == 2))
+    particles = (int(np.sum(np.asarray(w.state.particles.alive)))
+                 if w.state.particles is not None else 0)
 
     # warmup / compile
     for _ in range(3):
@@ -53,12 +59,21 @@ def main():
     dt_wall = time.perf_counter() - t0
 
     steps_per_sec = steps / dt_wall
-    body_steps = steps_per_sec * dyn_bodies
-    vs = body_steps / REF_BODY_STEPS_PER_SEC if REF_BODY_STEPS_PER_SEC else 0.0
+    if scene_name == "dam_break":
+        # particle scenes report particle-steps/s (BASELINE.json's metric)
+        value = steps_per_sec * particles
+        metric = f"particle-steps/sec (dam_break, {particles} particles)"
+        unit = "particle-steps/s"
+    else:
+        value = steps_per_sec * dyn_bodies
+        tag = f"{scene_name}-{rows}" if scene_name == "pyramid" else scene_name
+        metric = f"body-steps/sec ({tag}, {dyn_bodies} bodies)"
+        unit = "body-steps/s"
+    vs = value / REF_BODY_STEPS_PER_SEC if REF_BODY_STEPS_PER_SEC else 0.0
     print(json.dumps({
-        "metric": f"body-steps/sec ({scene_name}-{rows}, {dyn_bodies} bodies)",
-        "value": round(body_steps, 1),
-        "unit": "body-steps/s",
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
         "vs_baseline": round(vs, 3),
     }))
 
