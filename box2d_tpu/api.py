@@ -89,8 +89,10 @@ class World:
         sensors = sensor_shape_ids(self.builder._shapes)
         pcfg = None
         if self.builder._particle_builder is not None:
-            from .particles import ParticleConfig
-            pcfg = ParticleConfig()
+            from .particles import P_BARRIER, ParticleConfig
+            pb = self.builder._particle_builder
+            pcfg = ParticleConfig(
+                has_barrier=any(f & P_BARRIER for f in pb.flags))
         # flagship Pallas solver: TPU-only, joint-free scenes that fit VMEM
         use_pallas = False
         if jax.default_backend() not in ("cpu",) and not jtypes:
@@ -98,8 +100,9 @@ class World:
             chunk = self.capacity.color_chunk or max(
                 128, ((self.capacity.max_contact_pairs // 16 + 127) // 128) * 128)
             l0 = self.capacity.max_colors * chunk
-            ovf = ((min(self.capacity.max_contact_pairs, 2 * chunk) + 127)
-                   // 128) * 128
+            # mirrors world.py's chunk-multiple overflow rounding
+            ovf = ((min(self.capacity.max_contact_pairs, 2 * chunk)
+                    + chunk - 1) // chunk) * chunk
             use_pallas = fits_kernel(self.capacity.max_bodies, l0 + ovf, chunk)
         self._step = make_step(self.capacity, classes, self.substeps, jtypes,
                                sensors,

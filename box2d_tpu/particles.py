@@ -157,6 +157,7 @@ class ParticleConfig(NamedTuple):
     iterations: int = 4   # ref: api/World.cs:92 hardcodes 4
     static_pressure_iterations: int = 8
     depth_iterations: int = 16
+    has_barrier: bool = False  # trace-gates the (pairs x particles) pass
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +213,7 @@ class ParticleSystemBuilder:
         for p in grid:
             self.create_particle(p, velocity, flags, gid, lifetime, color)
         last = len(self.pos)
-        if flags & (P_SPRING | P_ELASTIC):
+        if flags & (P_SPRING | P_ELASTIC | P_BARRIER):
             self._build_pairs_triads(first, last, flags, strength)
         return gid
 
@@ -225,7 +226,9 @@ class ParticleSystemBuilder:
         n = len(pts)
         from .native import build_pairs_native, build_triads_native
 
-        if flags & P_SPRING:
+        # barrier groups also get pairs: each pair is a barrier segment
+        # (ref k_pairFlags = spring | barrier, ParticleSystem.cs:762)
+        if flags & (P_SPRING | P_BARRIER):
             res = build_pairs_native(pts, d * 1.2)
             if res is not None:
                 a, b, dist = res
@@ -706,6 +709,10 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         vel = _solve_collision(pt, pos, vel, state, bs_idx, bs_valid,
                                dt, inv_dt, prm)
 
+        # ---- barrier segments block crossing (ref SolveBarrier) ----
+        if cfg.has_barrier:
+            vel = _solve_barrier(pt, pos, vel, dt, inv_dt, mass)
+
         # ---- color mixing (ref SolveColorMixing :2243) ----
         col = pt.color
         mix = ((c_flags & P_COLOR_MIXING) != 0) & c_ok
@@ -739,6 +746,99 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         consecutive_contact_steps=jnp.where(
             stuck_now, pt.consecutive_contact_steps + 1, 0))
     return pt, body_dv, body_dw
+
+
+def _solve_barrier(pt: Particles, pos, vel, dt, inv_dt, mass):
+    """Barrier pass (ref: SolveBarrier :1670-1760): every pair flagged
+    P_BARRIER is a moving segment; any particle whose relative trajectory
+    crosses it within dt is stopped AT the segment — velocity set to the
+    barrier point's velocity. Unlike the reference we do NOT re-apply the
+    removed momentum as a force: with this pass running last in the
+    iteration, re-added momentum compounds into free-fall velocity against
+    static barriers and eventually tunnels; absorbing it (like a rigid
+    wall does) is stable, and particle-particle pressure against the
+    barrier particles still transmits support. Returns the new velocity.
+
+    Dense (pairs x particles) evaluation instead of the reference's
+    AABB-query loop; lanes are masked by flags/groups, and the whole pass
+    is trace-gated by ParticleConfig.has_barrier."""
+    ba, bb = pt.pair_a, pt.pair_b
+    is_bar = (((pt.pair_flags & P_BARRIER) != 0)
+              & pt.alive[ba] & pt.alive[bb])                 # (Pb,)
+    np_ = pos.shape[0]
+    pa, pb = pos[ba], pos[bb]                                # (Pb, 2)
+    va, vb = vel[ba], vel[bb]
+
+    def cr(a, b):
+        return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+    # per (pair, particle) relative kinematics: segment point at (s, t) is
+    # qa + s*e(t) + t*wa with e(t) = e0 + t*de, all relative to the particle
+    qa = pa[:, None, :] - pos[None, :, :]                    # (Pb, Np, 2)
+    wa = va[:, None, :] - vel[None, :, :]
+    e0 = (pb - pa)[:, None, :]
+    de = (vb - va)[:, None, :]
+    c0 = cr(qa, e0)
+    c1 = cr(qa, de) + cr(wa, e0)
+    c2 = cr(wa, de)
+    eps = 1e-9
+    # candidate crossing times: linear root + both quadratic roots
+    t_lin = _safe_div(-c0, c1)
+    disc = c1 * c1 - 4.0 * c0 * c2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_q1 = _safe_div(-c1 - sq, 2.0 * c2)
+    t_q2 = _safe_div(-c1 + sq, 2.0 * c2)
+    lin = jnp.abs(c2) < eps
+    ok_lin = lin & (jnp.abs(c1) > eps)
+    ok_q = ~lin & (disc >= 0.0)
+    cand_t = jnp.stack([t_lin, t_q1, t_q2], axis=-1)         # (Pb, Np, 3)
+    cand_ok = jnp.stack([ok_lin, ok_q, ok_q], axis=-1)
+
+    et = e0[:, :, None, :] + cand_t[..., None] * de[:, :, None, :]
+    pr = qa[:, :, None, :] + cand_t[..., None] * wa[:, :, None, :]
+    s = _safe_div(-jnp.sum(pr * et, axis=-1),
+                  jnp.sum(et * et, axis=-1))                 # (Pb, Np, 3)
+    same_group = pt.group[ba][:, None] == pt.group[None, :]
+    valid = (cand_ok & (cand_t >= 0.0) & (cand_t <= dt)
+             & (s >= 0.0) & (s <= 1.0)
+             & is_bar[:, None, None]
+             & (~same_group)[:, :, None]
+             & pt.alive[None, :, None])
+    t_sel = jnp.where(valid, cand_t, jnp.inf)
+    # earliest hit over candidates, then over pairs
+    t_pair = jnp.min(t_sel, axis=-1)                         # (Pb, Np)
+    s_pair = jnp.take_along_axis(
+        s, jnp.argmin(t_sel, axis=-1)[..., None], axis=-1)[..., 0]
+    k = jnp.argmin(t_pair, axis=0)                           # (Np,)
+    hit = jnp.isfinite(jnp.min(t_pair, axis=0))
+    lanes = jnp.arange(np_)
+    s_hit = s_pair[k, lanes]
+    # barrier point velocity at the hit
+    v_s = va[k] + s_hit[:, None] * (vb[k] - va[k])
+    dvel = jnp.where(hit[:, None], v_s - vel, 0.0)
+    vel = vel + dvel
+
+    # proximity guard: the trajectory test misses slow pressure-driven
+    # seepage (crossing time >> dt each substep), so particles pressed
+    # within one radius of a barrier segment also lose their approach
+    # component toward it (two-sided)
+    radius = pt.params.radius
+    e2 = jnp.maximum(jnp.sum(e0 * e0, axis=-1), 1e-12)
+    s_c = jnp.clip(-jnp.sum(qa * e0, axis=-1) / e2, 0.0, 1.0)  # (Pb, Np)
+    cl = qa + s_c[..., None] * e0          # particle -> closest seg point
+    d2 = jnp.sum(cl * cl, axis=-1)
+    near = (is_bar[:, None] & (~same_group) & pt.alive[None, :]
+            & (d2 < radius * radius))
+    d2m = jnp.where(near, d2, jnp.inf)
+    kn = jnp.argmin(d2m, axis=0)                               # (Np,)
+    has_near = jnp.isfinite(jnp.min(d2m, axis=0))
+    n_vec = _safe_div_vec(cl[kn, lanes], jnp.sqrt(
+        jnp.maximum(d2[kn, lanes], 1e-12)))
+    s_n = s_c[kn, lanes]
+    v_seg = va[kn] + s_n[:, None] * (vb[kn] - va[kn])
+    appr = jnp.sum((vel - v_seg) * n_vec, axis=-1)             # > 0: toward
+    cut = jnp.where(has_near & (appr > 0.0), appr, 0.0)
+    return vel - cut[:, None] * n_vec
 
 
 def _solve_rigid(pt: Particles, pos, vel, mass, dt, inv_dt):

@@ -195,3 +195,34 @@ def test_stuck_particle_detection_in_narrow_slot():
     assert free_idx not in set(stuck)
     pos = np.asarray(w.state.particles.pos)
     assert (np.abs(pos[stuck, 0]) < 0.1).all()
+
+
+def test_barrier_line_blocks_falling_particles():
+    from box2d_tpu.particles import P_BARRIER
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(ground, t.ShapeDef(),
+                           g.box(3.0, 0.25, center=(0, -0.25)))
+    # side walls so the liquid can't spill around the barrier's ends
+    w.create_polygon_shape(ground, t.ShapeDef(),
+                           g.box(0.25, 2.0, center=(-1.25, 1.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(),
+                           g.box(0.25, 2.0, center=(1.25, 1.5)))
+    ps = w.create_particle_system(radius=0.05)
+    # one-particle-thin barrier line at y=1 (wall -> static segments)
+    ps.create_group_box(center=(0.0, 1.0), half_w=1.1, half_h=0.05,
+                        flags=P_BARRIER | P_WALL)
+    # water column dropped from above
+    ps.create_group_box(center=(0.0, 1.6), half_w=0.4, half_h=0.4)
+    w.compile()
+    for _ in range(180):
+        w.step(1 / 60)
+    pt = w.state.particles
+    alive = np.asarray(pt.alive)
+    flags = np.asarray(pt.flags)
+    pos = np.asarray(pt.pos)
+    water = alive & ((flags & P_BARRIER) == 0)
+    assert np.isfinite(pos[water]).all()
+    # nothing tunnels through the barrier line (the water column rests on
+    # a ONE-PARTICLE-thin shelf; without the barrier pass it pours through)
+    assert pos[water, 1].min() > 0.9
