@@ -475,6 +475,96 @@ class World:
                 group_strength=jnp.asarray(gstrength, jnp.float32)))
         return gids
 
+    def apply_wind_force(self, shape: int, wind, drag: float, lift: float,
+                         air_density: float = 1.225, wake: bool = True):
+        """Aerodynamic wind force on one shape (ref: api/Shape.cs:455-476
+        ApplyWindForce + the per-shape implementations in
+        include/Collision.cs — circle :172, capsule :353, polygon :608).
+        Like the reference API gate, only circle/segment/polygon shapes
+        receive force, and only on awake (or woken) dynamic bodies. Note:
+        the reference's polygon variant crosses LOCAL edge vectors with the
+        WORLD wind direction (frame mixing, Collision.cs:604-617); here
+        edges are rotated to world first."""
+        from . import geometry as geo
+        sh = self.state.shapes
+        b = self.state.bodies
+        stype = int(np.asarray(sh.type[shape]))
+        if stype not in (geo.CIRCLE, geo.SEGMENT, geo.POLYGON):
+            return
+        bi = int(np.asarray(sh.body[shape]))
+        if int(np.asarray(b.type[bi])) != 2:  # DYNAMIC
+            return
+        if not bool(np.asarray(b.awake[bi])):
+            if not wake:
+                return
+            self.wake_body(bi)
+            b = self.state.bodies
+        c, s = (float(v) for v in np.asarray(b.rot[bi]))
+        R = np.array([[c, -s], [s, c]], np.float64)
+        lc = np.asarray(b.local_center[bi], np.float64)
+        centroid = np.asarray(sh.centroid[shape], np.float64)
+        lever = R @ (centroid - lc)
+        w = float(np.asarray(b.w[bi]))
+        shape_vel = (np.asarray(b.v[bi], np.float64)
+                     + w * np.array([-lever[1], lever[0]]))
+        rel = float(drag) * np.asarray(wind, np.float64) - shape_vel
+        speed = float(np.hypot(*rel))
+        if speed == 0.0:
+            return
+        direction = rel / speed
+        cr = lambda a, bb_: a[0] * bb_[1] - a[1] * bb_[0]
+        csv = lambda sc, v: sc * np.array([-v[1], v[0]])
+        mag0 = 0.5 * float(air_density) * speed * speed
+        verts = np.asarray(sh.verts[shape], np.float64)
+        radius = float(np.asarray(sh.radius[shape]))
+        if stype == geo.CIRCLE:
+            force = mag0 * (2.0 * radius) * direction
+            torque = cr(lever, force)
+        elif stype == geo.SEGMENT:
+            d = R @ (verts[1] - verts[0])
+            area = 2.0 * radius + abs(cr(d, direction))
+            dl = np.hypot(*d)
+            n = (np.array([-d[1], d[0]]) / dl) if dl > 0 else np.zeros(2)
+            if np.dot(n, direction) > 0:
+                n = -n
+            lift_dir = csv(cr(n, direction), direction)
+            force = mag0 * area * (direction + float(lift) * lift_dir)
+            torque = cr(lever + radius * n, force)
+        else:  # polygon: per windward edge (ref Collision.cs:604-617)
+            count = int(np.asarray(sh.count[shape]))
+            force = np.zeros(2)
+            torque = 0.0
+            for i in range(count):
+                v1 = verts[i - 1]
+                v2 = verts[i]
+                d = R @ (v2 - v1)
+                area = cr(d, direction)
+                if area <= 0:
+                    continue
+                dl = np.hypot(*d)
+                n = np.array([d[1], -d[0]]) / dl  # right perp
+                lift_dir = csv(cr(n, direction), direction)
+                f = mag0 * area * (direction + float(lift) * lift_dir)
+                edge_lever = R @ (0.5 * (v1 + v2) - lc)
+                force = force + f
+                torque += cr(edge_lever, f)
+        self.state = dataclasses.replace(
+            self.state,
+            bodies=dataclasses.replace(
+                b,
+                force=b.force.at[bi].add(
+                    jnp.asarray(force, jnp.float32)),
+                torque=b.torque.at[bi].add(jnp.float32(torque))))
+
+    def set_contact_softening(self, enabled: bool):
+        """Toggle mass-ratio contact softening (ref: WorldDef
+        enableContactSoftening, include/Types.cs:106)."""
+        self.state = dataclasses.replace(
+            self.state,
+            tuning=dataclasses.replace(
+                self.state.tuning,
+                enable_contact_softening=jnp.bool_(enabled)))
+
     def stuck_particles(self, threshold: int = 5) -> np.ndarray:
         """Indices of particles wedged against bodies: >= 2 body contacts
         for more than `threshold` consecutive steps (ref:

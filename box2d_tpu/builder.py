@@ -323,6 +323,7 @@ class WorldBuilder:
             enable_continuous=jnp.bool_(d.enable_continuous),
             enable_warm_starting=jnp.bool_(True),
             enable_speculative=jnp.bool_(True),
+            enable_contact_softening=jnp.bool_(d.enable_contact_softening),
         )
 
         particles = (self._particle_builder.build()

@@ -100,6 +100,21 @@ def prepare_contacts(state: WorldState, data: ContactData,
     soft_mass = jnp.where(is_static, soft_s[1], soft_c[1])
     soft_imp = jnp.where(is_static, soft_s[2], soft_c[2])
 
+    # optional mass-ratio contact softening for dynamic pairs (ref
+    # ContactSolver.cs:524-533): a large mass mismatch scales hertz and
+    # damping by ratio = max(0.5, m_small/m_big), softening the contact
+    inv_lo = jnp.minimum(ma, mb)
+    inv_hi = jnp.maximum(ma, mb)
+    ratio = jnp.where(inv_lo == inv_hi, 1.0,
+                      jnp.maximum(0.5, inv_lo / jnp.where(inv_hi > 0,
+                                                          inv_hi, 1.0)))
+    soft_r = m.softness(ratio * contact_hertz,
+                        ratio * tn.contact_damping_ratio, h)
+    softened = tn.enable_contact_softening & ~is_static
+    soft_bias = jnp.where(softened, soft_r[0], soft_bias)
+    soft_mass = jnp.where(softened, soft_r[1], soft_mass)
+    soft_imp = jnp.where(softened, soft_r[2], soft_imp)
+
     k = ia + ib
     rolling_mass = jnp.where(k > 0, 1.0 / jnp.where(k > 0, k, 1.0), 0.0)
 

@@ -221,6 +221,7 @@ class Tuning:
     enable_continuous: Any
     enable_warm_starting: Any
     enable_speculative: Any
+    enable_contact_softening: Any
 
 
 @_pytree

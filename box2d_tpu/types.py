@@ -40,6 +40,8 @@ class WorldDef:
     joint_damping_ratio: float = k.DEFAULT_JOINT_DAMPING_RATIO
     enable_sleep: bool = True
     enable_continuous: bool = True
+    # mass-ratio contact softening (ref: include/Types.cs:106)
+    enable_contact_softening: bool = False
 
 
 @dataclasses.dataclass

@@ -152,3 +152,44 @@ def test_vmap_worlds_match_single():
                                np.asarray(s1.bodies.center), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sb.bodies.center[1]),
                                np.asarray(sb.bodies.center[2]), atol=0)
+
+
+def test_wind_force_pushes_circle_downwind():
+    w = api.World(t.WorldDef(gravity=(0.0, 0.0)))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.0)))
+    sh = w.create_circle_shape(b, t.ShapeDef(), (0.0, 0.0), 0.3)
+    w.compile()
+    w.apply_wind_force(sh, wind=(10.0, 0.0), drag=1.0, lift=0.0)
+    w.step(1 / 60)
+    v = np.asarray(w.state.bodies.v[b])
+    assert v[0] > 0.0 and abs(v[1]) < 1e-6
+
+
+def test_wind_force_polygon_lift_deflects():
+    w = api.World(t.WorldDef(gravity=(0.0, 0.0)))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.0),
+                                angle=0.3))
+    sh = w.create_polygon_shape(b, t.ShapeDef(), g.box(0.5, 0.05))
+    w.compile()
+    w.apply_wind_force(sh, wind=(10.0, 0.0), drag=1.0, lift=1.0)
+    w.step(1 / 60)
+    v = np.asarray(w.state.bodies.v[b])
+    assert v[0] > 0.0          # drag pushes downwind
+    assert abs(v[1]) > 1e-5    # lift deflects the tilted plate off-axis
+
+
+def test_contact_softening_keeps_mismatched_stack_finite():
+    w = api.World(t.WorldDef(enable_contact_softening=True))
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(10.0, 0.5))
+    light = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 0.25)))
+    w.create_polygon_shape(light, t.ShapeDef(density=1.0), g.box(0.25, 0.25))
+    heavy = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.5)))
+    w.create_polygon_shape(heavy, t.ShapeDef(density=100.0), g.box(1.0, 1.0))
+    w.compile()
+    for _ in range(180):
+        w.step(1 / 60)
+    pos = np.asarray(w.state.bodies.center)
+    assert np.isfinite(pos).all()
+    assert pos[light][1] > 0.1      # light box not squashed through floor
+    assert pos[heavy][1] > pos[light][1]
