@@ -565,6 +565,52 @@ class World:
                 self.state.tuning,
                 enable_contact_softening=jnp.bool_(enabled)))
 
+    def overlap_particles(self, lo, hi) -> np.ndarray:
+        """Indices of alive particles inside an AABB (the callback-free
+        analog of ref ParticleSystem.QueryAABB, particle/World.cs:64-76)."""
+        pt = self.state.particles
+        lo = np.asarray(lo, np.float32)
+        hi = np.asarray(hi, np.float32)
+        pos = np.asarray(pt.pos)
+        inside = (np.asarray(pt.alive)
+                  & np.all((pos >= lo) & (pos <= hi), axis=1))
+        return np.where(inside)[0]
+
+    def cast_ray_particles(self, origin, translation):
+        """Closest particle hit by a ray segment (callback-free analog of
+        ref ParticleSystem.RayCast, particle/World.cs:78-98). Returns
+        (index, fraction, point, normal); index -1 if no hit."""
+        pt = self.state.particles
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(translation, np.float64)
+        r = float(np.asarray(pt.params.radius))
+        pos = np.asarray(pt.pos, np.float64)
+        alive = np.asarray(pt.alive)
+        # |o + t d - p|^2 = r^2  ->  t^2 (d.d) + 2 t d.(o-p) + |o-p|^2 - r^2
+        q = o[None, :] - pos
+        a = float(d @ d)
+        b2_ = q @ d
+        c_ = np.sum(q * q, axis=1) - r * r
+        disc = b2_ * b2_ - a * c_
+        ok = alive & (disc >= 0) & (a > 0)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t = np.where(ok, (-b2_ - sq) / max(a, 1e-12), np.inf)
+        t = np.where((t >= 0) & (t <= 1), t, np.inf)
+        i = int(np.argmin(t))
+        if not np.isfinite(t[i]):
+            return -1, 1.0, None, None
+        point = o + t[i] * d
+        n = point - pos[i]
+        nl = np.hypot(*n)
+        n = n / nl if nl > 0 else np.array([0.0, 1.0])
+        return i, float(t[i]), point.astype(np.float32), n.astype(np.float32)
+
+    def byte_count(self) -> int:
+        """Device bytes held by the world state (ref: WorldAPI
+        GetByteCount, api/World.cs:835-842)."""
+        return sum(x.nbytes for x in jax.tree.leaves(self.state)
+                   if hasattr(x, "nbytes"))
+
     def stuck_particles(self, threshold: int = 5) -> np.ndarray:
         """Indices of particles wedged against bodies: >= 2 body contacts
         for more than `threshold` consecutive steps (ref:
@@ -579,6 +625,92 @@ class World:
         api/Body.cs:109-164 DestroyBody; lanes are not reclaimed until the
         scene is rebuilt)."""
         self.set_body_enabled(body, False)
+
+    def set_body_type(self, body: int, type_: int):
+        """Change a body's type at runtime (ref: api/Body.cs:185-267
+        SetType). The reference migrates solver sets, destroys contacts,
+        and re-inserts proxies with forced pair creation; here type is a
+        traced lane and the broadphase re-pairs statelessly every step, so
+        only mass data (ref UpdateBodyMassData, src/Body.cs:255-353) and
+        wake state need updating. The body's origin is preserved."""
+        from .state import DYNAMIC as DYN, LOCK_ANGULAR_Z
+        b = self.state.bodies
+        origin = np.asarray(b.origin[body], np.float64)
+        c, s = (float(v) for v in np.asarray(b.rot[body]))
+        lc = np.zeros(2)
+        inv_m = 0.0
+        inv_i = 0.0
+        mass = 0.0
+        ic = 0.0
+        if type_ == DYN:
+            mc = np.zeros(2)
+            io = 0.0
+            for rec in self.builder._shapes:
+                if rec["body"] != body:
+                    continue
+                md = g.compute_mass(rec["geom"], rec["density"])
+                mass += md.mass
+                mc = mc + md.mass * md.center
+                io += md.rotational_inertia + md.mass * float(
+                    md.center @ md.center)
+            if mass > 0:
+                lc = mc / mass
+                ic = io - mass * float(lc @ lc)
+                inv_m = 1.0 / mass
+                locked = int(np.asarray(b.flags[body])) & LOCK_ANGULAR_Z
+                if ic <= 0 or locked:
+                    ic = 0.0
+                inv_i = 1.0 / ic if ic > 0 else 0.0
+            else:
+                mass = 1.0  # shapeless dynamic body: unit mass (ref)
+                inv_m = 1.0
+        new_center = origin + np.array([c * lc[0] - s * lc[1],
+                                        s * lc[0] + c * lc[1]])
+        zero_v = type_ == 0  # static bodies lose their velocity
+        self.state = dataclasses.replace(
+            self.state,
+            bodies=dataclasses.replace(
+                b,
+                type=b.type.at[body].set(type_),
+                mass=b.mass.at[body].set(mass),
+                inertia=b.inertia.at[body].set(ic),
+                inv_mass=b.inv_mass.at[body].set(inv_m),
+                inv_inertia=b.inv_inertia.at[body].set(inv_i),
+                local_center=b.local_center.at[body].set(
+                    jnp.asarray(lc, jnp.float32)),
+                center=b.center.at[body].set(
+                    jnp.asarray(new_center, jnp.float32)),
+                v=b.v.at[body].set(jnp.where(zero_v, 0.0, b.v[body])),
+                w=b.w.at[body].set(jnp.where(zero_v, 0.0, b.w[body]))))
+        self.wake_body(body)
+
+    def set_filter(self, shape: int, filter_: "t.Filter"):
+        """Update a shape's collision filter at runtime (ref:
+        api/Shape.cs:157-169 SetFilter — the reference re-pairs proxies;
+        the stateless broadphase applies the new filter next step)."""
+        sh = self.state.shapes
+        self.state = dataclasses.replace(
+            self.state,
+            shapes=dataclasses.replace(
+                sh,
+                filter_category=sh.filter_category.at[shape].set(
+                    filter_.category_bits),
+                filter_mask=sh.filter_mask.at[shape].set(filter_.mask_bits),
+                filter_group=sh.filter_group.at[shape].set(
+                    filter_.group_index)))
+        self.wake_body(int(np.asarray(sh.body[shape])))
+        # wake current touching partners: a disappearing contact doesn't
+        # trigger the wake-on-new-touch path (ref re-pairs proxies, which
+        # wakes through contact destruction)
+        cs = self.state.contacts
+        key = np.asarray(cs.key)
+        touching = np.asarray(cs.touching)
+        S = self.capacity.max_shapes
+        sa, sb = key // S, key % S
+        for k in np.where((key >= 0) & touching
+                          & ((sa == shape) | (sb == shape)))[0]:
+            other = int(sb[k] if sa[k] == shape else sa[k])
+            self.wake_body(int(np.asarray(sh.body[other])))
 
     def joint_constraint_force(self, joint: int, dt=1.0 / 60.0):
         """Approximate reaction force magnitude (ref: JointAPI

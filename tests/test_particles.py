@@ -226,3 +226,27 @@ def test_barrier_line_blocks_falling_particles():
     # nothing tunnels through the barrier line (the water column rests on
     # a ONE-PARTICLE-thin shelf; without the barrier pass it pours through)
     assert pos[water, 1].min() > 0.9
+
+
+def test_particle_queries_and_byte_count():
+    w = api.World()
+    floor = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_polygon_shape(floor, t.ShapeDef(),
+                           g.box(10.0, 0.25, center=(0, -0.25)))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 1.0), half_w=0.5, half_h=0.5)
+    w.compile()
+    w.step(1 / 60)
+    hits = w.overlap_particles((-0.2, 0.4), (0.2, 1.6))
+    assert len(hits) > 0
+    pos = np.asarray(w.state.particles.pos)
+    assert (np.abs(pos[hits, 0]) <= 0.2 + 1e-6).all()
+    # ray from the left hits the blob's left edge
+    i, frac, point, normal = w.cast_ray_particles((-3.0, 1.0), (6.0, 0.0))
+    assert i >= 0 and 0.0 < frac < 1.0
+    assert point[0] < 0.0        # left half
+    assert normal[0] < 0.0       # surface normal faces the ray
+    # ray that misses everything
+    i2, frac2, _, _ = w.cast_ray_particles((-3.0, 5.0), (6.0, 0.0))
+    assert i2 == -1 and frac2 == 1.0
+    assert w.byte_count() > 10000

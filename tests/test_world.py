@@ -193,3 +193,37 @@ def test_contact_softening_keeps_mismatched_stack_finite():
     assert np.isfinite(pos).all()
     assert pos[light][1] > 0.1      # light box not squashed through floor
     assert pos[heavy][1] > pos[light][1]
+
+
+def test_set_body_type_static_to_dynamic_falls():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(10.0, 0.5))
+    b = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 3.0)))
+    w.create_polygon_shape(b, t.ShapeDef(density=2.0), g.box(0.5, 0.5))
+    w.compile()
+    for _ in range(30):
+        w.step(1 / 60)
+    assert abs(w.body_position(b)[1] - 3.0) < 1e-5  # static: no fall
+    w.set_body_type(b, t.DYNAMIC)
+    assert abs(w.body_mass(b) - 2.0 * 1.0) < 1e-4   # 1x1 box, density 2
+    for _ in range(120):
+        w.step(1 / 60)
+    assert abs(w.body_position(b)[1] - 0.5) < 0.03  # fell and rests
+
+
+def test_set_filter_disables_collision():
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    gs = w.create_polygon_shape(ground, t.ShapeDef(), g.box(10.0, 0.5))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 2.0)))
+    w.create_polygon_shape(b, t.ShapeDef(), g.box(0.3, 0.3))
+    w.compile()
+    for _ in range(90):
+        w.step(1 / 60)
+    assert abs(w.body_position(b)[1] - 0.3) < 0.03  # rests on ground
+    # mask out the ground: the box falls through
+    w.set_filter(gs, t.Filter(category_bits=0x2, mask_bits=0x2))
+    for _ in range(60):
+        w.step(1 / 60)
+    assert w.body_position(b)[1] < -0.5
