@@ -48,6 +48,8 @@ class World:
         self.state: WorldState | None = None
         self.capacity: Capacity | None = None
         self._step = None
+        self._run = None
+        self._run_len = 0
 
     # -- construction (pre-compile) ----------------------------------------
 
@@ -114,6 +116,28 @@ class World:
         if self._step is None:
             self.compile()
         self.state = self._step(self.state, jnp.float32(dt))
+        return self.state
+
+    def run(self, steps: int, dt: float = 1.0 / 60.0):
+        """Advance `steps` frames in ONE device dispatch (lax.scan over the
+        step). Per-call dispatch latency dominates small worlds — on a
+        remote-tunneled chip each step() round trip costs ~ms — so batching
+        frames is the single biggest small-scene throughput lever. Events
+        and profile reflect only the FINAL frame; callers that consume
+        per-frame events should use step()."""
+        if self._step is None:
+            self.compile()
+        if self._run is None or self._run_len != steps:
+            inner = self._step
+
+            def multi(state, dt_):
+                return jax.lax.scan(
+                    lambda s, _: (inner(s, dt_), None),
+                    state, None, length=steps)[0]
+
+            self._run = jax.jit(multi)
+            self._run_len = steps
+        self.state = self._run(self.state, jnp.float32(dt))
         return self.state
 
     # -- accessors (ref: api/Body.cs getters) -------------------------------
