@@ -95,17 +95,23 @@ class World:
             pb = self.builder._particle_builder
             pcfg = ParticleConfig(
                 has_barrier=any(f & P_BARRIER for f in pb.flags))
-        # flagship Pallas solver: TPU-only, joint-free scenes that fit VMEM
-        use_pallas = False
+        # flagship Pallas solver: TPU-only, joint-free scenes.
+        # mode 1 = VMEM-resident mega-kernel (small worlds, vmap-friendly),
+        # mode 2 = HBM-streaming tiled kernel (large scenes), 0 = XLA path.
+        use_pallas = 0
         if jax.default_backend() not in ("cpu",) and not jtypes:
-            from .solver_pallas import fits_kernel
+            from .solver_pallas import fits_kernel, fits_tiled, window_width
             chunk = self.capacity.color_chunk or max(
                 128, ((self.capacity.max_contact_pairs // 16 + 127) // 128) * 128)
             l0 = self.capacity.max_colors * chunk
             # mirrors world.py's chunk-multiple overflow rounding
             ovf = ((min(self.capacity.max_contact_pairs, 2 * chunk)
                     + chunk - 1) // chunk) * chunk
-            use_pallas = fits_kernel(self.capacity.max_bodies, l0 + ovf, chunk)
+            if fits_kernel(self.capacity.max_bodies, l0 + ovf, chunk):
+                use_pallas = 1
+            elif fits_tiled(self.capacity.max_bodies, l0 + ovf,
+                            window_width(chunk)):
+                use_pallas = 2
         self._step = make_step(self.capacity, classes, self.substeps, jtypes,
                                sensors,
                                continuous=self.builder.def_.enable_continuous,
@@ -706,6 +712,17 @@ class World:
                     jnp.asarray(new_center, jnp.float32)),
                 v=b.v.at[body].set(jnp.where(zero_v, 0.0, b.v[body])),
                 w=b.w.at[body].set(jnp.where(zero_v, 0.0, b.w[body]))))
+        # a type flip can invalidate persisted graph colors (two constraints
+        # were allowed to share this body's color while it was static);
+        # release all colors — they re-form over the next few steps
+        self.state = dataclasses.replace(
+            self.state,
+            contacts=dataclasses.replace(
+                self.state.contacts,
+                color=jnp.full_like(self.state.contacts.color, -1)),
+            joints=dataclasses.replace(
+                self.state.joints,
+                color=jnp.full_like(self.state.joints.color, -1)))
         self.wake_body(body)
 
     def set_filter(self, shape: int, filter_: "t.Filter"):

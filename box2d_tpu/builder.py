@@ -304,6 +304,7 @@ class WorldBuilder:
             tangent_impulse=jnp.zeros((C, 2), jnp.float32),
             rolling_impulse=jnp.zeros(C, jnp.float32),
             touching=jnp.zeros(C, bool),
+            color=jnp.full(C, -1, jnp.int32),
         )
 
         joints = self._build_joints(J)
@@ -419,6 +420,7 @@ class WorldBuilder:
             max_spring_torque=col("max_spring_torque"),
             force_threshold=col("force_threshold", 3.4e38),
             torque_threshold=col("torque_threshold", 3.4e38),
+            color=jnp.full(J, -1, jnp.int32),
             impulse=jnp.zeros((J, 2), jnp.float32),
             spring_impulse=jz,
             spring_impulse2=jnp.zeros((J, 2), jnp.float32),

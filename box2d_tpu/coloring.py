@@ -138,12 +138,155 @@ def color_constraints(
     overflow = active & (color < 0)
     color = jnp.where(overflow, max_colors - 1, color)
 
-    # compact color indices: remap used colors to a dense 0..k range
-    # (order-preserving, so dyn-dyn still solves before dyn-static and the
-    # overflow color stays last); the solver then loops only k times.
+    color = dense_remap(color, active, max_colors)
+    return color, overflow, jnp.sum(overflow).astype(jnp.int32)
+
+
+def dense_remap(color, active, max_colors):
+    """Remap used colors to a dense 0..k range (order-preserving, so dyn-dyn
+    still solves before dyn-static and the overflow color stays last); the
+    solver then loops only k times."""
     used_c = jnp.zeros(max_colors, jnp.int32)
     used_c = used_c.at[jnp.where(active, color, 0)].max(
         jnp.where(active, 1, 0).astype(jnp.int32))
     rank = jnp.cumsum(used_c) - 1
-    color = jnp.where(active, rank[jnp.clip(color, 0, max_colors - 1)], -1)
-    return color, overflow, jnp.sum(overflow).astype(jnp.int32)
+    return jnp.where(active, rank[jnp.clip(color, 0, max_colors - 1)], -1)
+
+
+def repair_colors(
+    body_a: jnp.ndarray,      # (N,) i32
+    body_b: jnp.ndarray,      # (N,) i32
+    active: jnp.ndarray,      # (N,) bool — solved this step
+    reserved: jnp.ndarray,    # (N,) bool — prev_color stays claimed even if
+    #                           inactive (sleeping touching pairs, idle joints)
+    prev_color: jnp.ndarray,  # (N,) i32 raw inherited colors, -1 = none
+    body_type: jnp.ndarray,   # (Nb,) i32
+    num_bodies: int,
+    max_colors: int = 24,
+    dyn_colors: int = 16,
+    max_rounds: int = 16,
+    repair_cap: int = 4096,
+    color_cap: int | None = None,
+):
+    """Incremental constraint-graph coloring — the TPU analog of the
+    reference's persistent graph with O(1) contact add/remove
+    (ref: src/ConstraintGraph.cs:69-128,135-220).
+
+    Invariant: two constraints that were both live (and hence conflict-free)
+    keep their colors, and the live set only changes by insertion/removal —
+    so inherited colors never conflict with each other. Only UNCOLORED active
+    constraints need work: they are compacted into a `repair_cap` buffer and
+    colored by a few Jones-Plassmann rounds against the per-body used-color
+    masks built from the inherited colors. Steady state (no new contacts)
+    exits the round loop immediately; a fresh scene drains over a few steps
+    through the overflow color (mass-splitting relaxation), exactly like the
+    reference's overflow color absorbs coloring pressure.
+
+    Returns raw (not dense-remapped) colors (N,): inherited colors pass
+    through for inactive lanes; active uncolored lanes that found no color
+    this step stay -1 (caller maps them to the overflow color for the solve
+    and stores -1 so they retry next step).
+    """
+    assert max_colors <= 32
+    n = body_a.shape[0]
+    M = min(repair_cap, n)
+    big = jnp.iinfo(jnp.int32).max
+    bit_range = jnp.arange(32, dtype=jnp.int32)
+
+    dyn = body_type == DYNAMIC
+    slot_of = lambda b, isdyn: jnp.where(isdyn, b, num_bodies)
+
+    # --- register inherited colors: per-body used masks + per-color counts --
+    hold = (active | reserved) & (prev_color >= 0)
+    bit = jnp.where(hold, 1 << jnp.clip(prev_color, 0, 31), 0)
+    dyn_a = dyn[body_a]
+    dyn_b = dyn[body_b]
+    used0 = jnp.zeros(num_bodies + 1, jnp.int32)
+    # colors of a body's constraints are distinct (the invariant), so the
+    # scatter-adds below never collide on a bit
+    used0 = used0.at[slot_of(body_a, dyn_a)].add(jnp.where(dyn_a, bit, 0))
+    used0 = used0.at[slot_of(body_b, dyn_b)].add(jnp.where(dyn_b, bit, 0))
+    used0 = used0.at[num_bodies].set(0)
+    live_colored = active & (prev_color >= 0)
+    counts0 = jnp.zeros(max_colors, jnp.int32).at[
+        jnp.where(live_colored, prev_color, max_colors)].add(
+        1, mode="drop")
+
+    # --- compact uncolored active lanes into the repair buffer -------------
+    todo = active & (prev_color < 0)
+    pos = jnp.cumsum(todo) - 1
+    lane = jnp.full(M, -1, jnp.int32).at[
+        jnp.where(todo & (pos < M), pos, M)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    cval = lane >= 0
+    lane_c = jnp.maximum(lane, 0)
+    ca = body_a[lane_c]
+    cb = body_b[lane_c]
+    cdyn_a = dyn[ca] & cval
+    cdyn_b = dyn[cb] & cval
+    both_dyn = cdyn_a & cdyn_b
+    cslot_a = slot_of(ca, cdyn_a)
+    cslot_b = slot_of(cb, cdyn_b)
+    lo = jnp.where(both_dyn, 0, dyn_colors)
+    hi = jnp.where(both_dyn, dyn_colors, max_colors - 1)
+    cap = color_cap if color_cap is not None else n
+    # priority: hashed lane id (high bits) + compact position (unique tiebreak)
+    midx = jnp.arange(M, dtype=jnp.int32)
+    pri_of = ((((lane_c * jnp.int32(-1640531527)) >> 16) & 0x3FF) << 16) | midx
+
+    def round_fn(carry):
+        ccol, used, counts, _ = carry
+        cand = cval & (ccol < 0)
+        full_bits = jnp.sum(
+            jnp.where(counts >= cap, 1 << jnp.arange(max_colors), 0))
+        forbidden = used[cslot_a] | used[cslot_b] | full_bits
+        free = (
+            ((forbidden[:, None] >> bit_range[None, :]) & 1) == 0
+        ) & (bit_range[None, :] >= lo[:, None]) & (bit_range[None, :] < hi[:, None])
+        has_free = jnp.any(free, axis=1)
+        proposal = jnp.argmax(free, axis=1).astype(jnp.int32)
+        cand = cand & has_free
+
+        pri = jnp.where(cand, (proposal << 26) | pri_of, big)
+        claims = jnp.full(num_bodies + 1, big, jnp.int32)
+        claims = claims.at[cslot_a].min(pri)
+        claims = claims.at[cslot_b].min(pri)
+        win = cand & (~cdyn_a | (claims[cslot_a] == pri)) \
+            & (~cdyn_b | (claims[cslot_b] == pri))
+
+        # per-color cap: keep only the first (cap - count) winners per color
+        seg = jnp.where(win, proposal, max_colors)
+        onehots = seg[:, None] == jnp.arange(max_colors)[None, :]
+        ordinal = (jnp.cumsum(onehots, axis=0) - 1)[
+            midx, jnp.clip(seg, 0, max_colors - 1)]
+        room = cap - counts[jnp.clip(seg, 0, max_colors - 1)]
+        win = win & (ordinal < room)
+
+        ccol = jnp.where(win, proposal, ccol)
+        counts = counts + jnp.sum(
+            jnp.where(win[:, None], onehots, False), axis=0).astype(jnp.int32)
+        wbit = jnp.where(win, 1 << proposal, 0)
+        used = used.at[cslot_a].add(jnp.where(cdyn_a, wbit, 0))
+        used = used.at[cslot_b].add(jnp.where(cdyn_b, wbit, 0))
+        used = used.at[num_bodies].set(0)
+        return ccol, used, counts, jnp.any(cand)
+
+    def cond_fn(st):
+        i, carry = st
+        return (i < max_rounds) & carry[3]
+
+    def body_fn(st):
+        i, carry = st
+        return i + 1, round_fn(carry)
+
+    ccol0 = jnp.full(M, -1, jnp.int32)
+    any_todo = jnp.any(cval)
+    _, (ccol, _, _, _) = lax.while_loop(
+        cond_fn, body_fn,
+        (jnp.int32(0), (ccol0, used0, counts0, any_todo)))
+
+    # scatter repaired colors back to full width
+    color = prev_color
+    color = color.at[jnp.where(cval & (ccol >= 0), lane_c, n)].set(
+        jnp.where(cval, ccol, -1), mode="drop")
+    return color

@@ -79,6 +79,7 @@ class ContactData(NamedTuple):
     tangent_impulse: jnp.ndarray  # (P, 2)
     rolling_impulse: jnp.ndarray  # (P,)
     was_touching: jnp.ndarray     # (P,) bool — previous-step touching
+    prev_color: jnp.ndarray       # (P,) i32 inherited graph color (-1 none)
 
 
 def narrow_phase(state: WorldState, pairs: PairBuffer,
@@ -187,14 +188,15 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
                     jnp.minimum(sa, sb) * S + jnp.maximum(sa, sb),
                     -1)
 
-    ni, ti, ri, was_touching = _match_warm_start(state.contacts, key, out.ids)
+    ni, ti, ri, was_touching, prev_color = _match_warm_start(
+        state.contacts, key, out.ids)
 
     return ContactData(
         shape_a=sa, shape_b=sb, body_a=body_a, body_b=body_b, key=key,
         manifold=out, friction=friction, restitution=restitution,
         rolling_resistance=rr, tangent_speed=tangent_speed,
         normal_impulse=ni, tangent_impulse=ti, rolling_impulse=ri,
-        was_touching=was_touching,
+        was_touching=was_touching, prev_color=prev_color,
     )
 
 
@@ -206,7 +208,10 @@ def _match_warm_start(store: ContactStore, new_key, new_ids):
     old_sortable = jnp.where(store.key < 0, big, store.key)
     order = jnp.argsort(old_sortable)
     sorted_old = old_sortable[order]
-    pos = jnp.searchsorted(sorted_old, jnp.where(new_key < 0, big - 1, new_key))
+    # method="sort" = one fused sort instead of the default binary-search
+    # scan (log C sequential gather rounds — measured 8x slower on TPU)
+    pos = jnp.searchsorted(sorted_old, jnp.where(new_key < 0, big - 1, new_key),
+                           method="sort")
     pos = jnp.clip(pos, 0, C - 1)
     found = (sorted_old[pos] == new_key) & (new_key >= 0)
     old_idx = jnp.where(found, order[pos], 0)
@@ -226,17 +231,27 @@ def _match_warm_start(store: ContactStore, new_key, new_ids):
     ni1, ti1 = match_point(1)
     rolling = jnp.where(found, store.rolling_impulse[old_idx], 0.0)
     was_touching = found & store.touching[old_idx]
+    prev_color = jnp.where(found, store.color[old_idx], -1)
     return (jnp.stack([ni0, ni1], axis=1), jnp.stack([ti0, ti1], axis=1),
-            rolling, was_touching)
+            rolling, was_touching, prev_color)
 
 
-def update_store(data: ContactData, capacity_pairs: int) -> ContactStore:
-    """Write the post-solve impulses back into the persistent store."""
+def update_store(data: ContactData, capacity_pairs: int,
+                 color=None) -> ContactStore:
+    """Write the post-solve impulses back into the persistent store.
+
+    color: (P,) raw graph colors to persist; touching pairs keep theirs
+    (live ones get this step's assignment, sleeping ones keep the inherited
+    reservation), separated pairs release (-1)."""
+    touching = data.manifold.point_count > 0
+    if color is None:
+        color = jnp.full_like(data.key, -1)
     return ContactStore(
         key=data.key,
         ids=data.manifold.ids,
         normal_impulse=data.normal_impulse,
         tangent_impulse=data.tangent_impulse,
         rolling_impulse=data.rolling_impulse,
-        touching=data.manifold.point_count > 0,
+        touching=touching,
+        color=jnp.where(touching, color, -1),
     )

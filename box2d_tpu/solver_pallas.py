@@ -52,8 +52,9 @@ _F = dict(
     sep0=18, sep1=19, nmass0=20, nmass1=21, tmass0=22, tmass1=23,
     relv0=24, relv1=25, mask0=26, mask1=27,
     inv_ma=28, inv_mb=29, inv_ia=30, inv_ib=31,
+    relax=32,   # overflow mass-splitting impulse scale (1 elsewhere)
 )
-NF = 32
+NF = 33
 # accumulator rows
 _A = dict(ni0=0, ni1=1, ti0=2, ti1=3, tni0=4, tni1=5, roll=6)
 NA = 7
@@ -205,6 +206,7 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
             soft_bias = d[_F["soft_bias"]:_F["soft_bias"] + 1]
             soft_mass = d[_F["soft_mass"]:_F["soft_mass"] + 1]
             soft_imp = d[_F["soft_imp"]:_F["soft_imp"] + 1]
+            relaxv = d[_F["relax"]:_F["relax"] + 1]
 
             for j in (0, 1):
                 rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
@@ -233,7 +235,8 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
                 mscale = jnp.where(speculative, 1.0,
                                    1.0 + bias_f * (soft_mass - 1.0))
                 iscale = jnp.where(speculative, 0.0, bias_f * soft_imp)
-                imp_s = -nmass * (mscale * vn + bias) - iscale * ni[j]
+                imp_s = (-nmass * (mscale * vn + bias)
+                         - iscale * ni[j]) * relaxv
                 new_s = jnp.maximum(ni[j] + imp_s, 0.0) * mask
                 d_s = new_s - ni[j]
 
@@ -274,7 +277,8 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
                 vry = (vby + wb * rbx) - (vay + wa * rax)
                 vt = vrx * tx + vry * ty - tangent_speed
                 max_f = friction * ni[j]
-                new_t = jnp.clip(ti[j] - tmass * vt, -max_f, max_f) * mask
+                new_t = jnp.clip(ti[j] - tmass * vt * relaxv,
+                                 -max_f, max_f) * mask
                 d_t = new_t - ti[j]
                 impulse = solve_f * d_t
                 ti[j] = ti[j] + impulse
@@ -291,7 +295,7 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
             rolling_res = d[
                 _F["rolling_resistance"]:_F["rolling_resistance"] + 1]
             max_l = rolling_res * total_normal
-            new_roll = jnp.clip(roll - rolling_mass * (wb - wa),
+            new_roll = jnp.clip(roll - rolling_mass * (wb - wa) * relaxv,
                                 -max_l, max_l)
             dl = solve_f * (new_roll - roll)
             wa = wa - inv_ia * dl
@@ -421,12 +425,16 @@ def run_solver_kernel(nsub, max_colors, chunk, l0,
 # packing from / unpacking to the XLA-level structures
 # ---------------------------------------------------------------------------
 
-def pack_constraints(cc):
-    """ContactConstraints (layout order, see world.py) -> (idx, data, acc)."""
+def pack_constraints(cc, relax=None):
+    """ContactConstraints (layout order, see world.py) -> (idx, data, acc).
+
+    relax: optional (L,) overflow mass-splitting impulse scale (defaults 1)."""
     z = jnp.zeros_like(cc.friction)
     mask0 = cc.point_mask[:, 0].astype(jnp.float32)
     mask1 = cc.point_mask[:, 1].astype(jnp.float32)
     live = (cc.color >= 0).astype(jnp.float32)
+    if relax is None:
+        relax = jnp.ones_like(cc.friction)
     data = jnp.stack([
         cc.normal[:, 0], cc.normal[:, 1], cc.friction, cc.restitution,
         cc.tangent_speed, cc.rolling_resistance, cc.rolling_mass,
@@ -442,6 +450,7 @@ def pack_constraints(cc):
         mask0 * live, mask1 * live,
         cc.inv_mass_a * live, cc.inv_mass_b * live,
         cc.inv_i_a * live, cc.inv_i_b * live,
+        jnp.maximum(relax, jnp.float32(0.0)),
     ], axis=0)
     acc = jnp.stack([
         cc.normal_impulse[:, 0], cc.normal_impulse[:, 1],
@@ -504,3 +513,418 @@ def unpack_bodies(bs, body):
     return bs._replace(
         v=body[0:2].T, w=body[2],
         dp=body[3:5].T, dq=body[5:7].T)
+
+
+# ===========================================================================
+# Tiled / HBM-streaming kernel for LARGE scenes
+# ===========================================================================
+#
+# The resident kernel above keeps everything in VMEM, which caps it at a few
+# thousand bodies. This variant scales to ~50k bodies / ~150k constraint
+# lanes:
+#
+# - body state (8, Nb) + params (12, Nb) and the impulse accumulators
+#   (NA, L) stay VMEM-resident (they are small);
+# - the static constraint matrix (NF, L) — the big array — STREAMS from HBM
+#   one window at a time via the grid pipeline (auto double-buffered);
+# - grid = (stage, window). A scalar-prefetched window LIST visits only
+#   non-empty color-bucket windows; padded tail entries repeat the last
+#   active window's block index so Mosaic elides their DMA entirely;
+# - gather/scatter one-hot matmuls are tiled over body blocks of TB lanes,
+#   restricted per window to the scalar-prefetched [tile_lo, tile_hi) range
+#   of body tiles its constraints actually touch (lanes are body-sorted
+#   within a bucket by world.py, so ranges stay narrow);
+# - the dq.c body row is stored SHIFTED by -1 (identity == 0), so bodies
+#   outside the gathered tile range read as zeros == identity rotation with
+#   zero velocity — exactly correct for static bodies, which therefore never
+#   widen a window's tile range (only dynamic endpoints count).
+#
+# This replaces the role of the reference's SIMD contact solver at scale
+# (ref: src/ContactSolver.cs:362-1026) without its AoS<->SoA transposes:
+# coloring makes windows conflict-free, tiling keeps the one-hots in VMEM.
+
+DEFAULT_WINDOW = 512
+DEFAULT_BODY_TILE = 512
+
+
+def window_width(chunk: int, target: int = DEFAULT_WINDOW) -> int:
+    """Largest multiple of 128 <= target that divides the color chunk."""
+    w = min(chunk, target)
+    while w > 128 and chunk % w != 0:
+        w -= 128
+    return max(w, 128) if chunk % max(w, 128) == 0 else 128
+
+
+def fits_tiled(nb: int, layout_len: int, w: int = DEFAULT_WINDOW,
+               tb: int = DEFAULT_BODY_TILE) -> bool:
+    """VMEM budget for the tiled kernel: resident body/params/acc/idx plus
+    pipelined data windows and one gather tile frame."""
+    nb_pad = ((max(nb, 128) + tb - 1) // tb) * tb
+    words = (28 * nb_pad            # body in/out + params
+             + (2 * NA + 2) * layout_len   # acc in/out + idx(int32)
+             + 3 * NF * w           # streamed data windows (pipelined)
+             + 4 * tb * w           # gather/scatter one-hot tiles
+             + 48 * w + 65536)      # temporaries + slack
+    return words * 4 < 12 * 1024 * 1024
+
+
+def _tiled_kernel(nsub: int, w: int, tb: int,
+                  win_ref, tlo_ref, thi_ref, nact_ref,
+                  scal_ref, idx_ref, data_ref, acc_ref,
+                  body_ref, param_ref,
+                  out_body_ref, out_acc_ref):
+    h = scal_ref[0:1, 0:1]
+    inv_h = scal_ref[0:1, 1:2]
+    contact_speed = scal_ref[0:1, 2:3]
+    restitution_threshold = scal_ref[0:1, 3:4]
+    max_lin = scal_ref[0:1, 4:5]
+
+    s = pl.program_id(0)
+    wi = pl.program_id(1)
+
+    @pl.when((s == 0) & (wi == 0))
+    def _init():
+        out_body_ref[:] = body_ref[:]
+        out_acc_ref[:] = acc_ref[:]
+
+    # stage kind: p=0 integrate-velocities+warm, p=1 solve(bias),
+    # p=2 integrate-positions+relax, p=3 restitution (final stage)
+    p = jnp.where(s == 3 * nsub, 3, lax.rem(s, 3))
+
+    @pl.when((wi == 0) & (p == 0))
+    def _intv():
+        body = out_body_ref[:]
+        prm = param_ref[:]
+        vel_active = prm[11:12]
+        v_new_x = prm[2:3] + prm[5:6] * body[0:1]
+        v_new_y = prm[3:4] + prm[5:6] * body[1:2]
+        w_new = prm[4:5] + prm[6:7] * body[2:3]
+        vv = v_new_x * v_new_x + v_new_y * v_new_y
+        scale = jnp.where(
+            vv > max_lin * max_lin,
+            max_lin * jax.lax.rsqrt(jnp.maximum(vv, 1e-12)), 1.0)
+        v_new_x = v_new_x * scale * (1.0 - prm[7:8])
+        v_new_y = v_new_y * scale * (1.0 - prm[8:9])
+        w_new = jnp.clip(w_new, -prm[10:11], prm[10:11]) * (1.0 - prm[9:10])
+        out_body_ref[0:1, :] = jnp.where(vel_active > 0, v_new_x, body[0:1])
+        out_body_ref[1:2, :] = jnp.where(vel_active > 0, v_new_y, body[1:2])
+        out_body_ref[2:3, :] = jnp.where(vel_active > 0, w_new, body[2:3])
+
+    @pl.when((wi == 0) & (p == 2))
+    def _intp():
+        body = out_body_ref[:]
+        active = body[7:8]
+        dpx = body[3:4] + h * body[0:1]
+        dpy = body[4:5] + h * body[1:2]
+        da = h * body[2:3]
+        # dq.c row is stored shifted by -1 (identity == all-zeros)
+        c0, s0 = body[5:6] + 1.0, body[6:7]
+        c1 = c0 - da * s0
+        s1 = s0 + da * c0
+        inv = jax.lax.rsqrt(jnp.maximum(c1 * c1 + s1 * s1, 1e-12))
+        out_body_ref[3:4, :] = jnp.where(active > 0, dpx, body[3:4])
+        out_body_ref[4:5, :] = jnp.where(active > 0, dpy, body[4:5])
+        out_body_ref[5:6, :] = jnp.where(active > 0, c1 * inv - 1.0,
+                                         body[5:6])
+        out_body_ref[6:7, :] = jnp.where(active > 0, s1 * inv, body[6:7])
+
+    def dotf(a_, b_):
+        return jax.lax.dot_general(
+            a_, b_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def dot_t(a_, b_):
+        return jax.lax.dot_general(
+            a_, b_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(wi < nact_ref[0])
+    def _sweep():
+        col = pl.multiple_of(win_ref[wi] * w, w)
+        tlo = tlo_ref[wi]
+        thi = thi_ref[wi]
+        ia = idx_ref[0:1, pl.ds(col, w)]
+        ib = idx_ref[1:2, pl.ds(col, w)]
+        d = data_ref[:]                       # streamed (NF, w) window
+        a = out_acc_ref[:, pl.ds(col, w)]     # resident accumulator window
+
+        iota_tb = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
+
+        def gather_tile(t, st):
+            base = pl.multiple_of(t * tb, tb)
+            bt = out_body_ref[:, pl.ds(base, tb)]
+            oh_a = jnp.where(iota_tb + base == ia, 1.0, 0.0)
+            oh_b = jnp.where(iota_tb + base == ib, 1.0, 0.0)
+            return st + jnp.concatenate([dotf(bt, oh_a), dotf(bt, oh_b)], 0)
+
+        st = lax.fori_loop(tlo, thi, gather_tile,
+                           jnp.zeros((16, w), jnp.float32))
+        st_a, st_b = st[:8], st[8:]
+
+        dpx = st_b[3:4] - st_a[3:4]
+        dpy = st_b[4:5] - st_a[4:5]
+        dqca, dqsa = st_a[5:6] + 1.0, st_a[6:7]
+        dqcb, dqsb = st_b[5:6] + 1.0, st_b[6:7]
+
+        nx = d[_F["nx"]:_F["nx"] + 1]
+        ny = d[_F["ny"]:_F["ny"] + 1]
+        tx, ty = ny, -nx
+        inv_ma = d[_F["inv_ma"]:_F["inv_ma"] + 1]
+        inv_mb = d[_F["inv_mb"]:_F["inv_mb"] + 1]
+        inv_ia = d[_F["inv_ia"]:_F["inv_ia"] + 1]
+        inv_ib = d[_F["inv_ib"]:_F["inv_ib"] + 1]
+        relaxv = d[_F["relax"]:_F["relax"] + 1]
+
+        ni = [a[_A["ni0"]:_A["ni0"] + 1], a[_A["ni1"]:_A["ni1"] + 1]]
+        ti = [a[_A["ti0"]:_A["ti0"] + 1], a[_A["ti1"]:_A["ti1"] + 1]]
+        tni = [a[_A["tni0"]:_A["tni0"] + 1], a[_A["tni1"]:_A["tni1"] + 1]]
+        roll = a[_A["roll"]:_A["roll"] + 1]
+
+        def rot(qc, qs, x, y):
+            return qc * x - qs * y, qs * x + qc * y
+
+        def warm_fn(_):
+            dvax = jnp.zeros((1, w), jnp.float32)
+            dvay = jnp.zeros((1, w), jnp.float32)
+            dwa = -inv_ia * roll
+            dvbx = jnp.zeros((1, w), jnp.float32)
+            dvby = jnp.zeros((1, w), jnp.float32)
+            dwb = inv_ib * roll
+            for j in (0, 1):
+                mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+                pn = ni[j] * mask
+                pt = ti[j] * mask
+                px = pn * nx + pt * tx
+                py = pn * ny + pt * ty
+                rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+                ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+                rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+                rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+                dvax = dvax - inv_ma * px
+                dvay = dvay - inv_ma * py
+                dwa = dwa - inv_ia * (rax * py - ray * px)
+                dvbx = dvbx + inv_mb * px
+                dvby = dvby + inv_mb * py
+                dwb = dwb + inv_ib * (rbx * py - rby * px)
+            return (jnp.concatenate([dvax, dvay, dwa], 0),
+                    jnp.concatenate([dvbx, dvby, dwb], 0), a)
+
+        def solve_fn(_):
+            bias_f = jnp.where(p == 1, 1.0, 0.0)
+            rest_f = jnp.where(p == 3, 1.0, 0.0)
+            solve_f = 1.0 - rest_f
+            vax, vay, wa = st_a[0:1], st_a[1:2], st_a[2:3]
+            vbx, vby, wb = st_b[0:1], st_b[1:2], st_b[2:3]
+            nni = [ni[0], ni[1]]
+            nti = [ti[0], ti[1]]
+            ntni = [tni[0], tni[1]]
+            total_normal = jnp.zeros_like(roll)
+            restitution = d[_F["restitution"]:_F["restitution"] + 1]
+            soft_bias = d[_F["soft_bias"]:_F["soft_bias"] + 1]
+            soft_mass = d[_F["soft_mass"]:_F["soft_mass"] + 1]
+            soft_imp = d[_F["soft_imp"]:_F["soft_imp"] + 1]
+
+            for j in (0, 1):
+                rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+                ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+                rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+                rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+                mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+                nmass = d[_F[f"nmass{j}"]:_F[f"nmass{j}"] + 1]
+
+                vrx = (vbx - wb * rby) - (vax - wa * ray)
+                vry = (vby + wb * rbx) - (vay + wa * rax)
+                vn = vrx * nx + vry * ny
+
+                rrx_a, rry_a = rot(dqca, dqsa, rax, ray)
+                rrx_b, rry_b = rot(dqcb, dqsb, rbx, rby)
+                dsx = dpx + rrx_b - rrx_a
+                dsy = dpy + rry_b - rry_a
+                sep = (d[_F[f"sep{j}"]:_F[f"sep{j}"] + 1]
+                       + dsx * nx + dsy * ny)
+                speculative = sep > 0.0
+                bias = jnp.where(
+                    speculative, sep * inv_h,
+                    bias_f * jnp.maximum(soft_mass * soft_bias * sep,
+                                         -contact_speed))
+                mscale = jnp.where(speculative, 1.0,
+                                   1.0 + bias_f * (soft_mass - 1.0))
+                iscale = jnp.where(speculative, 0.0, bias_f * soft_imp)
+                imp_s = (-nmass * (mscale * vn + bias)
+                         - iscale * nni[j]) * relaxv
+                new_s = jnp.maximum(nni[j] + imp_s, 0.0) * mask
+                d_s = new_s - nni[j]
+
+                relv = d[_F[f"relv{j}"]:_F[f"relv{j}"] + 1]
+                apply_r = ((restitution != 0.0)
+                           & (relv < -restitution_threshold)
+                           & (ntni[j] > 0.0)) * mask
+                imp_r = -nmass * (vn + restitution * relv)
+                new_r = jnp.maximum(nni[j] + imp_r, 0.0)
+                d_r = (new_r - nni[j]) * apply_r
+
+                impulse = solve_f * d_s + rest_f * d_r
+                nni[j] = nni[j] + impulse
+                ntni[j] = ntni[j] + solve_f * new_s + rest_f * d_r
+                total_normal = total_normal + new_s
+
+                px = impulse * nx
+                py = impulse * ny
+                vax = vax - inv_ma * px
+                vay = vay - inv_ma * py
+                wa = wa - inv_ia * (rax * py - ray * px)
+                vbx = vbx + inv_mb * px
+                vby = vby + inv_mb * py
+                wb = wb + inv_ib * (rbx * py - rby * px)
+
+            friction = d[_F["friction"]:_F["friction"] + 1]
+            tangent_speed = d[_F["tangent_speed"]:_F["tangent_speed"] + 1]
+            for j in (0, 1):
+                rax = d[_F[f"ax{j}"]:_F[f"ax{j}"] + 1]
+                ray = d[_F[f"ay{j}"]:_F[f"ay{j}"] + 1]
+                rbx = d[_F[f"bx{j}"]:_F[f"bx{j}"] + 1]
+                rby = d[_F[f"by{j}"]:_F[f"by{j}"] + 1]
+                mask = d[_F[f"mask{j}"]:_F[f"mask{j}"] + 1]
+                tmass = d[_F[f"tmass{j}"]:_F[f"tmass{j}"] + 1]
+                vrx = (vbx - wb * rby) - (vax - wa * ray)
+                vry = (vby + wb * rbx) - (vay + wa * rax)
+                vt = vrx * tx + vry * ty - tangent_speed
+                max_f = friction * nni[j]
+                new_t = jnp.clip(nti[j] - tmass * vt * relaxv,
+                                 -max_f, max_f) * mask
+                impulse = solve_f * (new_t - nti[j])
+                nti[j] = nti[j] + impulse
+                px = impulse * tx
+                py = impulse * ty
+                vax = vax - inv_ma * px
+                vay = vay - inv_ma * py
+                wa = wa - inv_ia * (rax * py - ray * px)
+                vbx = vbx + inv_mb * px
+                vby = vby + inv_mb * py
+                wb = wb + inv_ib * (rbx * py - rby * px)
+
+            rolling_mass = d[_F["rolling_mass"]:_F["rolling_mass"] + 1]
+            rolling_res = d[
+                _F["rolling_resistance"]:_F["rolling_resistance"] + 1]
+            max_l = rolling_res * total_normal
+            new_roll = jnp.clip(roll - rolling_mass * (wb - wa) * relaxv,
+                                -max_l, max_l)
+            dl = solve_f * (new_roll - roll)
+            wa = wa - inv_ia * dl
+            wb = wb + inv_ib * dl
+
+            acc_new = jnp.concatenate(
+                [nni[0], nni[1], nti[0], nti[1], ntni[0], ntni[1],
+                 roll + dl], 0)
+            dva = jnp.concatenate(
+                [vax - st_a[0:1], vay - st_a[1:2], wa - st_a[2:3]], 0)
+            dvb = jnp.concatenate(
+                [vbx - st_b[0:1], vby - st_b[1:2], wb - st_b[2:3]], 0)
+            return dva, dvb, acc_new
+
+        dva, dvb, acc_new = lax.cond(p == 0, warm_fn, solve_fn, None)
+        out_acc_ref[:, pl.ds(col, w)] = acc_new
+
+        def scatter_tile(t, _):
+            base = pl.multiple_of(t * tb, tb)
+            oh_a = jnp.where(iota_tb + base == ia, 1.0, 0.0)
+            oh_b = jnp.where(iota_tb + base == ib, 1.0, 0.0)
+            upd = dot_t(dva, oh_a) + dot_t(dvb, oh_b)   # (3, tb)
+            out_body_ref[0:3, pl.ds(base, tb)] = (
+                out_body_ref[0:3, pl.ds(base, tb)] + upd)
+            return 0
+
+        lax.fori_loop(tlo, thi, scatter_tile, 0)
+
+
+def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
+                    w: int, tb: int = DEFAULT_BODY_TILE):
+    """Active-window list + per-window body-tile ranges, all in layout order.
+
+    live: (L,) bool; body_a/b: (L,) i32; dyn_a/b: (L,) bool (dynamic
+    endpoint — only dynamic bodies bound the gather tile range; statics
+    read as zeros == identity via the shifted-dq representation)."""
+    n_win = layout_len // w
+    lane_win = jnp.arange(layout_len, dtype=jnp.int32) // w
+    win = jnp.where(live, lane_win, n_win)
+    occ = jnp.zeros(n_win, jnp.int32).at[win].max(
+        live.astype(jnp.int32), mode="drop")
+    pos = jnp.cumsum(occ) - 1
+    nact = jnp.sum(occ).astype(jnp.int32)
+    wl = jnp.zeros(n_win, jnp.int32).at[
+        jnp.where(occ > 0, pos, n_win)].set(
+        jnp.arange(n_win, dtype=jnp.int32), mode="drop")
+    last = wl[jnp.maximum(nact - 1, 0)]
+    wl = jnp.where(jnp.arange(n_win) < nact, wl, last)
+
+    big = jnp.int32(2**30)
+    lo_cand = jnp.minimum(jnp.where(dyn_a, body_a, big),
+                          jnp.where(dyn_b, body_b, big)) // tb
+    hi_cand = jnp.maximum(jnp.where(dyn_a, body_a, -1),
+                          jnp.where(dyn_b, body_b, -1)) // tb + 1
+    tlo_w = jnp.full(n_win, big, jnp.int32).at[win].min(
+        jnp.where(live, lo_cand, big), mode="drop")
+    thi_w = jnp.zeros(n_win, jnp.int32).at[win].max(
+        jnp.where(live, hi_cand, 0), mode="drop")
+    tlo = jnp.minimum(tlo_w[wl], thi_w[wl])
+    thi = thi_w[wl]
+    return wl, tlo, thi, nact[None]
+
+
+def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
+                            params, win_list, tile_lo, tile_hi, nact,
+                            w: int = DEFAULT_WINDOW,
+                            tb: int = DEFAULT_BODY_TILE):
+    """Invoke the HBM-streaming tiled kernel. Shapes as run_solver_kernel;
+    body row 5 (dq.c) must be pre-shifted by -1 (see pack_bodies_tiled)."""
+    L = data.shape[1]
+    nb = body.shape[1]
+    assert L % w == 0 and chunk % w == 0
+    nb_pad = ((max(nb, 128) + tb - 1) // tb) * tb
+    if nb_pad != nb:
+        body = jnp.pad(body, ((0, 0), (0, nb_pad - nb)))
+        params = jnp.pad(params, ((0, 0), (0, nb_pad - nb)))
+    n_win = L // w
+    stages = 3 * nsub + 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(stages, n_win),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # idx
+            pl.BlockSpec(                             # data: streamed window
+                (NF, w),
+                lambda s, wi, win_r, lo_r, hi_r, na_r: (0, win_r[wi]),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # acc (initial)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # body (initial)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # params
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+    )
+    kern = functools.partial(_tiled_kernel, nsub, w, tb)
+    out_body, out_acc = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((NA, L), jnp.float32)),
+    )(win_list, tile_lo, tile_hi, nact,
+      scalars, idx, data, acc, body, params)
+    if nb_pad != nb:
+        out_body = out_body[:, :nb]
+    return out_body, out_acc
+
+
+def pack_bodies_tiled(bodies, bs, tuning, h, inv_dt):
+    """pack_bodies with the dq.c row shifted by -1 (identity == zeros), so
+    out-of-tile-range bodies gather as exact static/identity state."""
+    body, params = pack_bodies(bodies, bs, tuning, h, inv_dt)
+    return body.at[5, :].add(-1.0), params
+
+
+def unpack_bodies_tiled(bs, body):
+    return unpack_bodies(bs, body.at[5, :].add(1.0))

@@ -143,6 +143,11 @@ class ContactStore:
     tangent_impulse: Any  # (C, 2)
     rolling_impulse: Any  # (C,)
     touching: Any        # (C,) bool — for begin/end events
+    color: Any           # (C,) i32 persistent graph color (-1 = none); the
+    #   TPU analog of the reference's incremental constraint graph
+    #   (ref: src/ConstraintGraph.cs:135-220 O(1) add/remove): a pair that
+    #   stays touching keeps its color, so per-step coloring only repairs
+    #   the (few) new pairs instead of recoloring the whole graph
 
 
 @_pytree
@@ -192,6 +197,7 @@ class Joints:
     max_spring_torque: Any   # (J,)
     force_threshold: Any   # (J,) joint event force threshold
     torque_threshold: Any  # (J,)
+    color: Any           # (J,) i32 persistent graph color (-1 = none)
     # accumulated impulses (warm starting)
     impulse: Any         # (J, 2) main linear/(perp,angle) impulse
     spring_impulse: Any  # (J,) axial/angular spring impulse

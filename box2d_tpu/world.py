@@ -23,7 +23,7 @@ from jax import lax
 
 from . import math2d as m
 from .broadphase import compute_shape_aabbs, find_pairs
-from .coloring import color_constraints
+from .coloring import dense_remap, repair_colors
 from .narrowphase import ContactData, narrow_phase, update_store
 from .solver import (BodySolverState, ContactConstraints as ContactConstraintsT,
                      integrate_positions, integrate_velocities,
@@ -96,7 +96,11 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
 
     # --- constraint graph coloring (contacts + joints share colors) ------
     # constraints whose endpoints are all asleep/static are skipped entirely
-    # (the masked analog of the reference's sleeping solver sets)
+    # (the masked analog of the reference's sleeping solver sets).
+    # Colors PERSIST across steps (the analog of the reference's incremental
+    # graph, src/ConstraintGraph.cs:135-220): touching pairs keep last step's
+    # color (carried by the warm-start match), joints keep theirs in state;
+    # only new pairs are colored, via a few compacted repair rounds.
     awake_dyn = b.awake & (b.type == 2)
     jn = state.joints
     joint_active = (jn.enabled & (jn.type >= 0) & _joint_needs_solve(jn)
@@ -106,17 +110,37 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     all_ba = jnp.concatenate([data.body_a, jn.body_a])
     all_bb = jnp.concatenate([data.body_b, jn.body_b])
     all_active = jnp.concatenate([contact_live, joint_active])
+    # inherited colors; sleeping-but-touching pairs and idle joints keep
+    # their colors RESERVED so a wake can't create conflicts
+    all_prev = jnp.concatenate([jnp.where(touching, data.prev_color, -1),
+                                jn.color])
+    all_reserved = jnp.concatenate([touching, jn.enabled & (jn.type >= 0)])
     # chunk multiples of 128 keep dynamic lane-dim slices tile-aligned for
     # the Pallas kernel (Mosaic requires it) and cost XLA nothing
     chunk = cap.color_chunk or max(
         128, ((cap.max_contact_pairs // 16 + 127) // 128) * 128)
-    colors, ovf, overflow_colors = color_constraints(
-        all_ba, all_bb, all_active, b.type, nb, cap.max_colors,
-        color_cap=chunk)
+    raw_colors = repair_colors(
+        all_ba, all_bb, all_active, all_reserved, all_prev, b.type, nb,
+        cap.max_colors, color_cap=chunk,
+        repair_cap=min(max(512, cap.max_contact_pairs // 4),
+                       all_ba.shape[0]))
+    ovf = all_active & (raw_colors < 0)
+    overflow_colors = jnp.sum(ovf).astype(jnp.int32)
+    colors = dense_remap(
+        jnp.where(all_active,
+                  jnp.where(ovf, cap.max_colors - 1, raw_colors), -1),
+        all_active, cap.max_colors)
     p = data.body_a.shape[0]
     contact_color = jnp.where(contact_live, colors[:p], -1)
     joint_color = jnp.where(joint_active, colors[p:], -1)
     num_colors = jnp.maximum(jnp.max(jnp.where(all_active, colors, -1)) + 1, 0)
+
+    # persist raw colors: touching contacts keep theirs (overflow lanes store
+    # -1 and retry next step), joints always keep theirs
+    contact_color_store = raw_colors[:p]
+    new_joints = dataclasses.replace(
+        state.joints, color=jnp.where(joint_active, raw_colors[p:], jn.color))
+    state = dataclasses.replace(state, joints=new_joints)
 
     # mass-splitting scale for the overflow color (conflicting constraints
     # are Jacobi-averaged instead of the reference's serial sweep)
@@ -154,17 +178,33 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     ovf_cap = ((min(p_cap, 2 * chunk) + chunk - 1) // chunk) * chunk
     layout_len = l0 + ovf_cap
 
-    sortable = jnp.where(cc.color >= 0, cc.color, cap.max_colors + 1)
+    # secondary key = min DYNAMIC body index: lanes inside a bucket are laid
+    # out body-sorted, so the tiled kernel's per-window gather tile ranges
+    # stay narrow (statics don't count — they read as identity, see
+    # solver_pallas.window_metadata)
+    _M = jnp.int32(1 << 20)
+    dyn_t = b.type == 2
+    minb = jnp.minimum(
+        jnp.where(dyn_t[cc.body_a], cc.body_a, _M - 1),
+        jnp.where(dyn_t[cc.body_b], cc.body_b, _M - 1))
+    sortable = jnp.where(cc.color >= 0, cc.color * _M + minb,
+                         (cap.max_colors + 1) * _M)
     perm = jnp.argsort(sortable, stable=True)
     rank = jnp.argsort(perm)  # rank of each pair in color-sorted order
-    starts_raw = jnp.searchsorted(sortable[perm], jnp.arange(cap.max_colors + 1))
+    starts_raw = jnp.searchsorted(sortable[perm],
+                                  jnp.arange(cap.max_colors + 1) * _M)
     ovf_color = num_colors - 1  # only meaningful when overflow_colors > 0
-    is_ovf_lane = (cc.color == ovf_color) & (overflow_colors > 0) & (cc.color >= 0)
     slot = rank - starts_raw[jnp.clip(cc.color, 0, cap.max_colors)]
+    # tail lanes: the official overflow color PLUS any lane whose bucket
+    # exceeded the chunk (possible when sleeping pairs wake into a bucket
+    # that filled up meanwhile — inherited colors bypass the repair cap)
+    is_ovf_lane = (((cc.color == ovf_color) & (overflow_colors > 0))
+                   | (slot >= chunk)) & (cc.color >= 0)
+    tail_rank = jnp.cumsum(is_ovf_lane) - 1
     layout_idx = jnp.where(
         cc.color < 0, layout_len,
         jnp.where(is_ovf_lane,
-                  jnp.where(slot < ovf_cap, l0 + slot, layout_len),
+                  jnp.where(tail_rank < ovf_cap, l0 + tail_rank, layout_len),
                   cc.color * chunk + slot))
 
     def to_layout(x, fill=0):
@@ -193,7 +233,9 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
 
     def overflow_pass(fn, bs, cc):
         ch = jax.tree.map(lambda x: x[l0:], cc)
-        bs, ch = fn(bs, ch, ch.color == ovf_color)
+        # the tail holds the official overflow color AND bucket-demoted
+        # lanes (any color); every live lane routed here must be solved
+        bs, ch = fn(bs, ch, ch.color >= 0)
         cc = jax.tree.map(
             lambda full, x: full.at[l0:].set(x), cc, ch)
         return bs, cc
@@ -205,25 +247,44 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     n_chunk_colors = num_colors - jnp.where(overflow_colors > 0, 1, 0)
 
     if use_pallas and not joint_types:
-        # flagship path: the whole substep pipeline in one Pallas kernel
-        from .solver_pallas import (pack_bodies, pack_constraints,
-                                    run_solver_kernel, unpack_acc,
-                                    unpack_bodies)
+        # flagship path: the whole substep pipeline in one Pallas kernel.
+        # mode 1 = VMEM-resident mega-kernel (small scenes / batched worlds),
+        # mode 2 = HBM-streaming tiled kernel (large scenes).
+        from .solver_pallas import (pack_bodies, pack_bodies_tiled,
+                                    pack_constraints, run_solver_kernel,
+                                    run_solver_kernel_tiled, unpack_acc,
+                                    unpack_bodies, unpack_bodies_tiled,
+                                    window_metadata, window_width)
 
-        idxp, datap, accp = pack_constraints(cc)
-        bodyp, paramsp = pack_bodies(b, bs, tn, h, inv_dt)
+        idxp, datap, accp = pack_constraints(cc, layout_relax)
         scalars = jnp.stack([
             h, inv_h, tn.contact_speed, tn.restitution_threshold,
             tn.max_linear_speed, jnp.float32(0), jnp.float32(0),
             jnp.float32(0)])[None, :]
-        out_body, out_acc = run_solver_kernel(
-            substeps, cap.max_colors, chunk, l0, scalars,
-            idxp, datap, accp, bodyp, paramsp)
-        bs = unpack_bodies(bs, out_body)
+        if use_pallas == 2:
+            bodyp, paramsp = pack_bodies_tiled(b, bs, tn, h, inv_dt)
+            live_lane = cc.color >= 0
+            dyn_a = dyn_t[cc.body_a] & live_lane
+            dyn_b = dyn_t[cc.body_b] & live_lane
+            w_win = window_width(chunk)
+            wl, tlo, thi, nactp = window_metadata(
+                live_lane, cc.body_a, cc.body_b, dyn_a, dyn_b,
+                layout_len, w_win)
+            out_body, out_acc = run_solver_kernel_tiled(
+                substeps, chunk, scalars, idxp, datap, accp, bodyp,
+                paramsp, wl, tlo, thi, nactp, w=w_win)
+            bs = unpack_bodies_tiled(bs, out_body)
+        else:
+            bodyp, paramsp = pack_bodies(b, bs, tn, h, inv_dt)
+            out_body, out_acc = run_solver_kernel(
+                substeps, cap.max_colors, chunk, l0, scalars,
+                idxp, datap, accp, bodyp, paramsp)
+            bs = unpack_bodies(bs, out_body)
         cc = unpack_acc(cc, out_acc)
         return _step_tail(state, data, cc, bs, jc, layout_idx, layout_len,
                           dt, inv_dt, inv_h, cap, pairs, num_colors,
-                          overflow_colors, touching, sensor_ids, continuous)
+                          overflow_colors, touching, sensor_ids, continuous,
+                          contact_color_store)
 
     def substep(_, carry):
         bs, cc, jc = carry
@@ -287,12 +348,12 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
 
     return _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt,
                       inv_dt, inv_h, cap, pairs, num_colors, overflow_colors,
-                      touching, sensor_ids, continuous)
+                      touching, sensor_ids, continuous, contact_color_store)
 
 
 def _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt, inv_dt,
                inv_h, cap, pairs, num_colors, overflow_colors, touching,
-               sensor_ids, continuous):
+               sensor_ids, continuous, contact_color_store=None):
     """Post-solve: store impulses, events, continuous, finalize, sleep,
     sensors, profile. Shared by the XLA and Pallas solver paths."""
     # gather impulses back to pair order for the store; inactive lanes keep
@@ -308,7 +369,7 @@ def _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt, inv_dt,
         rolling_impulse=jnp.where(active_lane, cc.rolling_impulse[gidx],
                                   data.rolling_impulse),
     )
-    new_store = update_store(data, cap.max_contact_pairs)
+    new_store = update_store(data, cap.max_contact_pairs, contact_color_store)
     state = dataclasses.replace(state, contacts=new_store,
                                 joints=_store_joint_impulses(state.joints, jc))
 
