@@ -1,13 +1,24 @@
 #!/usr/bin/env python
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
-Default config: pyramid-20 (231 bodies informing the body-steps/sec metric,
-matching BASELINE.json's first driver config). Set BENCH_SCENE/BENCH_ROWS/
-BENCH_STEPS env vars to vary.
+Headline (default): pyramid-140 — 9,870 dynamic bodies, the BASELINE.md
+north-star scale — stepped through `World.run` (lax.scan over frames, ONE
+device dispatch), reported as body-steps/sec.
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline reports the
-ratio against REF_BODY_STEPS_PER_SEC below once a measured C# baseline lands;
-0.0 means "no baseline measured yet".
+Env vars:
+  BENCH_SCENE  pyramid|tumbler|joint_farm|bullet_barrage|dam_break|batch
+  BENCH_ROWS   pyramid rows (default 140)
+  BENCH_COUNT  entity count for the other scenes
+  BENCH_STEPS  timed frames (default 240)
+  BENCH_ALL=1  run the full five-scene sweep + the vmapped batch and write
+               BENCH_FULL.json (one JSON object per scene); headline last
+
+vs_baseline: the C# reference cannot run in this image (no .NET runtime,
+BASELINE.md). The stand-in denominator is this engine's own XLA path pinned
+to ONE CPU thread (same physics, single-core, measured via
+tools/cpu_baseline.py) — a conservative proxy for the reference's
+single-threaded rigid-body step rate (README.md:16 "single-threaded by
+default"). 0.0 means no proxy measured for that scene yet.
 """
 
 import json
@@ -15,67 +26,151 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-# measured reference throughput (body-steps/sec) once available
-REF_BODY_STEPS_PER_SEC = 0.0
+# single-core CPU XLA-path proxies (body-steps/s or particle-steps/s),
+# measured with tools/cpu_baseline.py on this host; see BASELINE.md
+CPU_BASELINE = {
+    "pyramid-20": 0.0,
+    "pyramid-140": 0.0,
+    "tumbler": 0.0,
+    "joint_farm": 0.0,
+    "bullet_barrage": 0.0,
+    "dam_break": 0.0,
+    "batch": 0.0,
+}
 
 
-def main():
-    scene_name = os.environ.get("BENCH_SCENE", "pyramid")
-    rows = int(os.environ.get("BENCH_ROWS", "20"))
-    steps = int(os.environ.get("BENCH_STEPS", "240"))
-
+def build(scene_name, rows, count):
     from box2d_tpu import scenes
 
     if scene_name == "pyramid":
         w = scenes.pyramid(rows=rows)
+        tag = f"pyramid-{rows}"
     elif scene_name == "tumbler":
-        w = scenes.tumbler(count=int(os.environ.get("BENCH_COUNT", "800")))
+        w = scenes.tumbler(count=count or 800)
+        tag = "tumbler"
     elif scene_name == "joint_farm":
-        w = scenes.joint_farm(ragdolls=int(os.environ.get("BENCH_COUNT", "100")))
+        w = scenes.joint_farm(ragdolls=count or 100)
+        tag = "joint_farm"
     elif scene_name == "bullet_barrage":
-        w = scenes.bullet_barrage(bullets=int(os.environ.get("BENCH_COUNT", "100")))
+        w = scenes.bullet_barrage(bullets=count or 100)
+        tag = "bullet_barrage"
     elif scene_name == "dam_break":
-        w = scenes.dam_break(int(os.environ.get("BENCH_COUNT", "2000")))
+        w = scenes.dam_break(count or 2000)
+        tag = "dam_break"
     else:
         raise SystemExit(f"unknown scene {scene_name}")
-    w.compile()
+    return w, tag
 
+
+def measure_world(w, tag, steps):
+    """Scan-path (lax.scan over frames) throughput for one world."""
+    w.compile()
     dyn_bodies = int(np.sum(np.asarray(w.state.bodies.type) == 2))
     particles = (int(np.sum(np.asarray(w.state.particles.alive)))
                  if w.state.particles is not None else 0)
-
-    # warmup / compile
-    for _ in range(3):
-        w.step(1 / 60)
+    w.run(steps, 1 / 60)  # compile + warm
     jax.block_until_ready(w.state.bodies.center)
-
     t0 = time.perf_counter()
-    for _ in range(steps):
-        w.step(1 / 60)
+    w.run(steps, 1 / 60)
     jax.block_until_ready(w.state.bodies.center)
     dt_wall = time.perf_counter() - t0
-
     steps_per_sec = steps / dt_wall
-    if scene_name == "dam_break":
-        # particle scenes report particle-steps/s (BASELINE.json's metric)
+    if tag == "dam_break":
         value = steps_per_sec * particles
-        metric = f"particle-steps/sec (dam_break, {particles} particles)"
         unit = "particle-steps/s"
+        metric = f"particle-steps/sec ({tag}, {particles} particles)"
     else:
         value = steps_per_sec * dyn_bodies
-        tag = f"{scene_name}-{rows}" if scene_name == "pyramid" else scene_name
-        metric = f"body-steps/sec ({tag}, {dyn_bodies} bodies)"
         unit = "body-steps/s"
-    vs = value / REF_BODY_STEPS_PER_SEC if REF_BODY_STEPS_PER_SEC else 0.0
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value, 1),
-        "unit": unit,
-        "vs_baseline": round(vs, 3),
-    }))
+        metric = f"body-steps/sec ({tag}, {dyn_bodies} bodies)"
+    base = CPU_BASELINE.get(tag, 0.0)
+    return {
+        "metric": metric, "value": round(value, 1), "unit": unit,
+        "steps_per_sec": round(steps_per_sec, 2),
+        "vs_baseline": round(value / base, 3) if base else 0.0,
+    }
+
+
+def measure_batch(n_worlds=64, rows=20, steps=240):
+    """vmapped batch of independent worlds (the RL/training configuration)."""
+    import jax.numpy as jnp
+    from box2d_tpu import scenes
+    from box2d_tpu.narrowphase import classes_for_shape_types
+    from box2d_tpu.world import _step
+
+    w = scenes.pyramid(rows=rows)
+    state, cap = w.builder.build()
+    classes = classes_for_shape_types(s["geom"].type for s in w.builder._shapes)
+    use_pallas = 0
+    if jax.default_backend() not in ("cpu",):
+        from box2d_tpu.solver_pallas import fits_kernel
+        chunk = cap.color_chunk or max(
+            128, ((cap.max_contact_pairs // 16 + 127) // 128) * 128)
+        l0 = cap.max_colors * chunk
+        ovf = ((min(cap.max_contact_pairs, 2 * chunk) + chunk - 1)
+               // chunk) * chunk
+        use_pallas = 1 if fits_kernel(cap.max_bodies, l0 + ovf, chunk) else 0
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_worlds,) + x.shape), state)
+
+    def one(s):
+        return _step(s, jnp.float32(1 / 60), cap, classes, 4,
+                     frozenset(), (), True, None, use_pallas)
+
+    @jax.jit
+    def run(b):
+        return jax.lax.scan(lambda s, _: (jax.vmap(one)(s), None),
+                            b, None, length=steps)[0]
+
+    dyn_bodies = int(np.sum(np.asarray(state.bodies.type) == 2)) * n_worlds
+    batch = run(batch)
+    jax.block_until_ready(batch.bodies.center)
+    t0 = time.perf_counter()
+    batch = run(batch)
+    jax.block_until_ready(batch.bodies.center)
+    dt_wall = time.perf_counter() - t0
+    steps_per_sec = steps / dt_wall
+    value = steps_per_sec * dyn_bodies
+    base = CPU_BASELINE.get("batch", 0.0)
+    return {
+        "metric": f"body-steps/sec ({n_worlds}x pyramid-{rows} vmapped, "
+                  f"{dyn_bodies} bodies)",
+        "value": round(value, 1), "unit": "body-steps/s",
+        "steps_per_sec": round(steps_per_sec, 2),
+        "vs_baseline": round(value / base, 3) if base else 0.0,
+    }
+
+
+def main():
+    steps = int(os.environ.get("BENCH_STEPS", "240"))
+    rows = int(os.environ.get("BENCH_ROWS", "140"))
+    count = int(os.environ.get("BENCH_COUNT", "0"))
+
+    if os.environ.get("BENCH_ALL"):
+        results = {}
+        for scene, kw in [("pyramid", dict(rows=20)),
+                          ("pyramid", dict(rows=140)),
+                          ("tumbler", {}), ("joint_farm", {}),
+                          ("bullet_barrage", {}), ("dam_break", {})]:
+            w, tag = build(scene, kw.get("rows", rows), count)
+            results[tag] = measure_world(w, tag, steps)
+        results["batch"] = measure_batch(steps=steps)
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(results["pyramid-140"]))
+        return
+
+    scene_name = os.environ.get("BENCH_SCENE", "pyramid")
+    if scene_name == "batch":
+        out = measure_batch(steps=steps)
+    else:
+        w, tag = build(scene_name, rows, count)
+        out = measure_world(w, tag, steps)
+    print(json.dumps({k: out[k] for k in
+                      ("metric", "value", "unit", "vs_baseline")}))
 
 
 if __name__ == "__main__":

