@@ -82,6 +82,41 @@ def _pair_should_collide(state: WorldState, sa, sb):
     return (ba != bb) & one_dynamic & group_pass & alive_a & alive_b
 
 
+def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs):
+    """Persistent-pair fast path (ref: src/BroadPhase.cs BufferMove/pairSet):
+    reuse the stored pair buffer unless some alive shape's tight AABB escaped
+    its stored fat AABB, aliveness changed, or a host mutator set `dirty`.
+    Returns (PairBuffer, new BroadphaseStore). Under vmap the cond lowers to
+    both branches; single-world TPU scenes at rest skip the entire pair
+    search (~25 ms/step at 10k shapes)."""
+    from .state import BroadphaseStore
+
+    bp = state.broadphase
+    sh = state.shapes
+    b = state.bodies
+    alive = sh.enabled & b.enabled[sh.body] & ~sh.is_sensor
+    inside = ((aabbs[:, 0] >= bp.fat[:, 0]) & (aabbs[:, 1] >= bp.fat[:, 1])
+              & (aabbs[:, 2] <= bp.fat[:, 2]) & (aabbs[:, 3] <= bp.fat[:, 3]))
+    rebuild = (bp.dirty | jnp.any(alive & ~inside)
+               | jnp.any(alive != bp.alive))
+
+    def do(_):
+        pb = find_pairs(state, cap, aabbs)
+        fat = jnp.concatenate([aabbs[:, :2] - AABB_MARGIN,
+                               aabbs[:, 2:] + AABB_MARGIN], -1)
+        return pb.shape_a, pb.shape_b, pb.valid, pb.count, pb.overflow, fat
+
+    def keep(_):
+        return (bp.shape_a, bp.shape_b, bp.valid, bp.count, bp.overflow,
+                bp.fat)
+
+    sa, sb, valid, count, ovf, fat = jax.lax.cond(rebuild, do, keep, None)
+    new_bp = BroadphaseStore(
+        fat=fat, alive=alive, shape_a=sa, shape_b=sb, valid=valid,
+        count=count, overflow=ovf, dirty=jnp.asarray(False))
+    return PairBuffer(sa, sb, valid, count, ovf), new_bp
+
+
 def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     if aabbs is None:
         aabbs = compute_shape_aabbs(state)
@@ -109,6 +144,11 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     bigs = bigs[:min(B, S)]
     B = bigs.shape[0]
     big_valid = alive[bigs]
+    # big shapes are EXCLUDED from the grid-window pass below, so each
+    # big-small pair is emitted exactly once here; big-big pairs are
+    # canonicalized to a < b (uniqueness by construction replaces the
+    # dedupe sort, see the merge section)
+    is_big = jnp.zeros(S, bool).at[bigs].set(big_valid)
     all_ids = jnp.arange(S)
     bg_a = jnp.broadcast_to(bigs[:, None], (B, S)).reshape(-1)
     bg_b = jnp.broadcast_to(all_ids[None, :], (B, S)).reshape(-1)
@@ -118,44 +158,60 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
         jnp.concatenate([fat_lo[None, :, :].repeat(B, 0),
                          fat_hi[None, :, :].repeat(B, 0)], -1).reshape(-1, 4))
         & jnp.broadcast_to(big_valid[:, None], (B, S)).reshape(-1)
-        & alive[bg_b] & (bg_a != bg_b))
+        & alive[bg_b] & (bg_a != bg_b)
+        & (~is_big[bg_b] | (bg_a < bg_b)))
 
     # ---- grid-cell window pass ---------------------------------------------
-    # shapes sorted by (row, column) cell key; overlapping non-big pairs have
-    # center distance <= cell, so they sit in the same or adjacent cells:
-    # forward same-row window + a row-above window cover all of them once.
+    # NON-BIG shapes sorted by (row, column) cell key; overlapping non-big
+    # pairs have center distance <= cell, so they sit in the same or adjacent
+    # cells: forward same-row window + a row-above window cover all of them,
+    # and each unordered pair is emitted exactly once (forward-only within a
+    # row; row-above only from the lower shape). Bigs are covered by the
+    # big-shape pass against everything.
+    #
+    # TPU cost note: random gathers run at ~3-9ns/element, so the pass
+    # gathers the per-shape data into SORTED order once ((S,5) elements)
+    # and then expresses the same-row window as W STATIC SHIFTS of the
+    # sorted arrays — pure elementwise compares, zero gathers. Only the
+    # row-above window (non-uniform start offsets) pays a gather, at W
+    # lanes per shape.
+    alive_w = alive & ~is_big
     inv_c = 1.0 / cell
     xi = jnp.floor(center[:, 0] * inv_c).astype(jnp.int32)
     yi = jnp.floor(center[:, 1] * inv_c).astype(jnp.int32)
-    key = jnp.where(alive, ((yi + 0x8000) << 16) | ((xi + 0x8000) & 0xFFFF),
+    key = jnp.where(alive_w, ((yi + 0x8000) << 16) | ((xi + 0x8000) & 0xFFFF),
                     jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key)
     skey = key[order]
     srow = skey >> 16
+    s_box = jnp.concatenate([fat_lo, fat_hi], -1)[order]   # (S, 4) sorted
+    s_alive = alive_w[order]
 
+    def pad_shift(x, k, fill):
+        # x shifted up by k with fill — a static slice + pad, not a gather
+        return jnp.concatenate(
+            [x[k:], jnp.full((k,) + x.shape[1:], fill, x.dtype)], 0)
+
+    same_ok = []
+    for k in range(1, W + 1):
+        ok_k = (m.aabb_overlaps(s_box, pad_shift(s_box, k, 0.0))
+                & (pad_shift(srow, k, -1) == srow)
+                & s_alive & pad_shift(s_alive, k, False))
+        same_ok.append(ok_k)
+    same_ok = jnp.stack(same_ok, axis=1)                   # (S, W)
     pos = jnp.arange(S)
-    raw_same = pos[:, None] + jnp.arange(1, W + 1)[None, :]
-    cand_same = jnp.clip(raw_same, 0, S - 1)
+    same_b_pos = pos[:, None] + jnp.arange(1, W + 1)[None, :]
+
     up_key = skey + (1 << 16) - 1  # key(y+1, x-1)
     start_up = jnp.searchsorted(skey, up_key)
     raw_up = start_up[:, None] + jnp.arange(W)[None, :]
     cand_up = jnp.clip(raw_up, 0, S - 1)
+    up_ok = (m.aabb_overlaps(s_box[:, None, :], s_box[cand_up])
+             & (srow[cand_up] == srow[:, None] + 1)
+             & (raw_up < S) & s_alive[:, None] & s_alive[cand_up])
 
-    cand = jnp.concatenate([cand_same, cand_up], axis=1)  # (S, 2W)
-    in_rng = jnp.concatenate([raw_same, raw_up], axis=1) < S
-    row_ok = jnp.concatenate([
-        srow[cand_same] == srow[:, None],
-        srow[cand_up] == srow[:, None] + 1,
-    ], axis=1)
-    ia = jnp.broadcast_to(order[:, None], cand.shape)
-    ib = order[cand]
-    ov = (m.aabb_overlaps(
-        jnp.concatenate([fat_lo[ia], fat_hi[ia]], -1),
-        jnp.concatenate([fat_lo[ib], fat_hi[ib]], -1))
-        & in_rng & row_ok & alive[ia] & alive[ib])
-    win_a = ia.reshape(-1)
-    win_b = ib.reshape(-1)
-    win_ok = ov.reshape(-1)
+    cand = jnp.concatenate([jnp.clip(same_b_pos, 0, S - 1), cand_up], axis=1)
+    ov = jnp.concatenate([same_ok, up_ok], axis=1)         # (S, 2W)
 
     # ---- overflow detection ------------------------------------------------
     # window can only miss pairs when more than W shapes occupy the scanned
@@ -164,29 +220,46 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     same_over = (run_end - pos - 1) > W
     up_end = jnp.searchsorted(skey, skey + (1 << 16) + 2)  # (y+1, x-1..x+1)
     up_over = (up_end - start_up) > W
-    overflow_shapes = jnp.sum((same_over | up_over) & alive[order])
+    overflow_shapes = jnp.sum((same_over | up_over) & alive_w[order])
 
-    # ---- merge, canonicalize, dedupe, filter -------------------------------
-    all_a = jnp.concatenate([win_a, bg_a])
-    all_b = jnp.concatenate([win_b, bg_b])
-    all_ok = jnp.concatenate([win_ok, bg_ok])
-    lo_id = jnp.minimum(all_a, all_b)
-    hi_id = jnp.maximum(all_a, all_b)
-    # int32 pair keys are exact for S < ~46000 shapes
-    assert S < 46000, "pair keys need 64-bit for this many shapes"
-    big_key = jnp.iinfo(jnp.int32).max
-    key = jnp.where(all_ok, lo_id * S + hi_id, big_key)
-    key = jnp.sort(key)
-    uniq = key != jnp.concatenate([jnp.full((1,), -1, key.dtype), key[:-1]])
-    valid = uniq & (key != big_key)
+    # ---- compact -----------------------------------------------------------
+    # every candidate is emitted EXACTLY once by construction (see the
+    # uniqueness notes on the two passes above), so no dedupe sort is
+    # needed. Compaction is two-level: a per-shape rank (axis-1 cumsum,
+    # vectorized across rows) + one short (S,) cumsum for row bases —
+    # a flat cumsum over all S*(2W+B) emission lanes costs multiple ms on
+    # TPU. Window lanes carry SORTED positions; the map through `order`
+    # happens after compaction, on P lanes instead of S*2W.
+    rank_w = jnp.cumsum(ov, axis=1) - 1                    # (S, 2W)
+    cnt_w = rank_w[:, -1] + 1          # == per-row total
+    base_w = jnp.cumsum(cnt_w) - cnt_w                     # exclusive
+    slot_w = jnp.where(ov, base_w[:, None] + rank_w, P)
+    count_win = base_w[-1] + cnt_w[-1]
 
-    posn = jnp.cumsum(valid) - 1
-    count = jnp.sum(valid)
-    out_key = jnp.full((P,), -1, jnp.int32)
-    out_key = out_key.at[jnp.where(valid, posn, P)].set(key, mode="drop")
-    pair_valid = out_key >= 0
-    shape_a = jnp.where(pair_valid, out_key // S, 0)
-    shape_b = jnp.where(pair_valid, out_key % S, 0)
+    flat_slot_w = slot_w.reshape(-1)
+    pos_a_t = jnp.full((P,), -1, jnp.int32).at[flat_slot_w].set(
+        jnp.broadcast_to(pos[:, None], cand.shape).reshape(-1), mode="drop")
+    pos_b_t = jnp.full((P,), -1, jnp.int32).at[flat_slot_w].set(
+        cand.reshape(-1), mode="drop")
+
+    bg_ok2 = bg_ok.reshape(B, S)
+    rank_b = jnp.cumsum(bg_ok2, axis=1) - 1
+    cnt_b = rank_b[:, -1] + 1          # == per-row total
+    base_b = count_win + jnp.cumsum(cnt_b) - cnt_b
+    slot_b = jnp.where(bg_ok2, base_b[:, None] + rank_b, P).reshape(-1)
+    count = count_win + jnp.sum(cnt_b)
+
+    id_a_t = jnp.full((P,), -1, jnp.int32).at[slot_b].set(bg_a, mode="drop")
+    id_b_t = jnp.full((P,), -1, jnp.int32).at[slot_b].set(bg_b, mode="drop")
+
+    # resolve: window lanes map sorted-position -> shape id; big lanes are
+    # already shape ids
+    from_win = pos_a_t >= 0
+    raw_a = jnp.where(from_win, order[jnp.clip(pos_a_t, 0, S - 1)], id_a_t)
+    raw_b = jnp.where(from_win, order[jnp.clip(pos_b_t, 0, S - 1)], id_b_t)
+    pair_valid = from_win | (id_a_t >= 0)
+    shape_a = jnp.where(pair_valid, jnp.minimum(raw_a, raw_b), 0)
+    shape_b = jnp.where(pair_valid, jnp.maximum(raw_a, raw_b), 0)
 
     pair_valid = pair_valid & _pair_should_collide(state, shape_a, shape_b)
 

@@ -23,8 +23,8 @@ from .state import (ALLOW_FAST_ROTATION, DYNAMIC, ENABLE_SLEEP, IS_BULLET,
                     JOINT_REVOLUTE, JOINT_WELD, JOINT_WHEEL,
                     LOCK_ANGULAR_Z, LOCK_LINEAR_X, LOCK_LINEAR_Y,
                     Bodies, Capacity, ContactStore, Joints,
-                    Shapes, Tuning, WorldState, zero_events,
-                    zero_profile)
+                    Shapes, Tuning, WorldState, zero_broadphase,
+                    zero_events, zero_profile)
 
 
 class WorldBuilder:
@@ -163,6 +163,8 @@ class WorldBuilder:
                 max_shapes=max(ns, 1),
                 max_joints=max(nj, 1),
                 max_contact_pairs=max(4 * ns, 64),
+                max_verts=max([2] + [int(s["geom"].count)
+                                     for s in self._shapes]),
             )
         Nb, S, J = capacity.max_bodies, capacity.max_shapes, capacity.max_joints
         assert nb <= Nb and ns <= S and nj <= J
@@ -296,7 +298,8 @@ class WorldBuilder:
             enabled=jnp.asarray(np.arange(S) < ns),
         )
 
-        C = capacity.max_contact_pairs
+        from .narrowphase import table_size
+        C = table_size(capacity.max_contact_pairs)
         contacts = ContactStore(
             key=jnp.full(C, -1, jnp.int32),
             ids=jnp.zeros((C, 2), jnp.int32),
@@ -336,6 +339,7 @@ class WorldBuilder:
             sensor_overlap=jnp.full(capacity.sensor_pair_capacity, -1, jnp.int32),
             particles=particles,
             step_count=jnp.int32(0),
+            broadphase=zero_broadphase(S, capacity.max_contact_pairs),
         )
         return state, capacity
 

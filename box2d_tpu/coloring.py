@@ -196,6 +196,24 @@ def repair_colors(
     dyn = body_type == DYNAMIC
     slot_of = lambda b, isdyn: jnp.where(isdyn, b, num_bodies)
 
+    # steady state (every active constraint already colored) skips the whole
+    # repair machinery via lax.cond — on a resting or slowly-changing scene
+    # this removes ~6 ms/step of scatter/cumsum work at 39k lanes. Under
+    # vmap the cond lowers to a select (both branches execute), which is
+    # exactly the old always-on behavior.
+    todo_full = active & (prev_color < 0)
+    return lax.cond(jnp.any(todo_full),
+                    lambda _: _repair_colors_impl(
+                        body_a, body_b, active, reserved, prev_color,
+                        dyn, slot_of, num_bodies, max_colors, dyn_colors,
+                        max_rounds, M, color_cap, big, bit_range, n),
+                    lambda _: prev_color,
+                    None)
+
+
+def _repair_colors_impl(body_a, body_b, active, reserved, prev_color,
+                        dyn, slot_of, num_bodies, max_colors, dyn_colors,
+                        max_rounds, M, color_cap, big, bit_range, n):
     # --- register inherited colors: per-body used masks + per-color counts --
     hold = (active | reserved) & (prev_color >= 0)
     bit = jnp.where(hold, 1 << jnp.clip(prev_color, 0, 31), 0)

@@ -80,13 +80,31 @@ class ContactData(NamedTuple):
     rolling_impulse: jnp.ndarray  # (P,)
     was_touching: jnp.ndarray     # (P,) bool — previous-step touching
     prev_color: jnp.ndarray       # (P,) i32 inherited graph color (-1 none)
+    store_slot: jnp.ndarray       # (P,) i32 hash-store slot to reuse (-1 new)
 
 
 def narrow_phase(state: WorldState, pairs: PairBuffer,
-                 classes_present: frozenset) -> ContactData:
+                 classes_present: frozenset,
+                 max_verts: int = 8) -> ContactData:
+    """max_verts: scene-wide max polygon vertex count (Capacity.max_verts).
+    Vertex/normal tables are sliced to this width BEFORE the per-pair
+    gather — TPU gathers cost ~3-9ns/element, and for box-only scenes this
+    halves the dominant gather volume — then zero-padded back to the fixed
+    8-lane manifold math (pad lanes are masked by `count`)."""
     sh = state.shapes
     b = state.bodies
     S = sh.type.shape[0]
+    V = max(2, min(max_verts, sh.verts.shape[1]))
+    if V < sh.verts.shape[1]:
+        def pad8(x):
+            return jnp.pad(
+                x, ((0, 0), (0, sh.verts.shape[1] - V)) +
+                ((0, 0),) * (x.ndim - 2))
+    else:
+        def pad8(x):
+            return x
+    verts_t = sh.verts[:, :V]
+    normals_t = sh.normals[:, :V]
 
     ta0 = sh.type[pairs.shape_a]
     tb0 = sh.type[pairs.shape_b]
@@ -105,9 +123,9 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
     pa, qa = origin[body_a], b.rot[body_a]
     pb, qb = origin[body_b], b.rot[body_b]
 
-    va, na = sh.verts[sa], sh.normals[sa]
+    va, na = pad8(verts_t[sa]), pad8(normals_t[sa])
     ca, ra = sh.count[sa], sh.radius[sa]
-    vb, nb = sh.verts[sb], sh.normals[sb]
+    vb, nb = pad8(verts_t[sb]), pad8(normals_t[sb])
     cb, rb = sh.count[sb], sh.radius[sb]
 
     P = sa.shape[0]
@@ -188,7 +206,7 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
                     jnp.minimum(sa, sb) * S + jnp.maximum(sa, sb),
                     -1)
 
-    ni, ti, ri, was_touching, prev_color = _match_warm_start(
+    ni, ti, ri, was_touching, prev_color, store_slot = _match_warm_start(
         state.contacts, key, out.ids)
 
     return ContactData(
@@ -197,24 +215,45 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
         rolling_resistance=rr, tangent_speed=tangent_speed,
         normal_impulse=ni, tangent_impulse=ti, rolling_impulse=ri,
         was_touching=was_touching, prev_color=prev_color,
+        store_slot=store_slot,
     )
+
+
+_PROBES = 4
+
+
+def table_size(capacity_pairs: int) -> int:
+    """Hash-table slots for the persistent contact store: next power of two
+    >= 2x the pair capacity (load factor <= 0.5 at a full pair buffer)."""
+    t = 1024
+    while t < 2 * capacity_pairs:
+        t *= 2
+    return t
+
+
+def _probe_slots(key, t: int):
+    """(P, _PROBES) probe slots per pair key: Knuth multiplicative hash +
+    linear probing. The open-addressed store replaces the reference's
+    persistent pairSet/Contact objects (ref: src/BroadPhase.cs:50,
+    src/Contact.cs:134-227) with O(1) elementwise ops — a sort-based match
+    here cost ~100 sequential bitonic passes per step on TPU."""
+    k = t.bit_length() - 1
+    h = ((key.astype(jnp.uint32) * jnp.uint32(2654435761))
+         >> jnp.uint32(32 - k)).astype(jnp.int32)
+    return (h[:, None] + jnp.arange(_PROBES, dtype=jnp.int32)[None, :]) \
+        & (t - 1)
 
 
 def _match_warm_start(store: ContactStore, new_key, new_ids):
     """Transfer impulses from the previous step's store by (key, point id)
-    (ref: src/Contact.cs:385-413)."""
-    C = store.key.shape[0]
-    big = jnp.iinfo(jnp.int32).max
-    old_sortable = jnp.where(store.key < 0, big, store.key)
-    order = jnp.argsort(old_sortable)
-    sorted_old = old_sortable[order]
-    # method="sort" = one fused sort instead of the default binary-search
-    # scan (log C sequential gather rounds — measured 8x slower on TPU)
-    pos = jnp.searchsorted(sorted_old, jnp.where(new_key < 0, big - 1, new_key),
-                           method="sort")
-    pos = jnp.clip(pos, 0, C - 1)
-    found = (sorted_old[pos] == new_key) & (new_key >= 0)
-    old_idx = jnp.where(found, order[pos], 0)
+    (ref: src/Contact.cs:385-413), via hash probing."""
+    t = store.key.shape[0]
+    slots = _probe_slots(new_key, t)            # (P, R)
+    hit = (store.key[slots] == new_key[:, None]) & (new_key >= 0)[:, None]
+    found = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1)
+    old_idx = slots[jnp.arange(new_key.shape[0]), first]
+    old_idx = jnp.where(found, old_idx, 0)
 
     old_ids = store.ids[old_idx]            # (P, 2)
     old_ni = store.normal_impulse[old_idx]  # (P, 2)
@@ -232,26 +271,73 @@ def _match_warm_start(store: ContactStore, new_key, new_ids):
     rolling = jnp.where(found, store.rolling_impulse[old_idx], 0.0)
     was_touching = found & store.touching[old_idx]
     prev_color = jnp.where(found, store.color[old_idx], -1)
+    store_slot = jnp.where(found, old_idx, -1)
     return (jnp.stack([ni0, ni1], axis=1), jnp.stack([ti0, ti1], axis=1),
-            rolling, was_touching, prev_color)
+            rolling, was_touching, prev_color, store_slot)
 
 
 def update_store(data: ContactData, capacity_pairs: int,
                  color=None) -> ContactStore:
-    """Write the post-solve impulses back into the persistent store.
+    """Rebuild the hash-table store from this step's pairs (parallel insert
+    with _PROBES claim rounds; a lane that loses all probe slots — only
+    possible under heavy hash congestion — drops its warm-start impulses and
+    color reservation for one step, which is graceful).
 
     color: (P,) raw graph colors to persist; touching pairs keep theirs
     (live ones get this step's assignment, sleeping ones keep the inherited
     reservation), separated pairs release (-1)."""
+    t = table_size(capacity_pairs)
+    key = data.key
+    p = key.shape[0]
+    lane = jnp.arange(p, dtype=jnp.int32)
+    live = key >= 0
+    # persisting pairs KEEP their previous slot (found by the warm match);
+    # only genuinely new pairs run the probe-insert rounds, and a step with
+    # no new pairs skips them entirely via lax.cond (steady-state fast path)
+    slot_of = jnp.where(live, data.store_slot, -1)
+    new_pair = live & (slot_of < 0)
+
+    def insert(slot_of):
+        slots = _probe_slots(key, t)
+        taken = jnp.zeros(t, bool).at[
+            jnp.where(slot_of >= 0, slot_of, 0)].max(slot_of >= 0)
+        big = jnp.int32(1 << 30)
+        for r in range(_PROBES):
+            s_r = slots[:, r]
+            cand = new_pair & (slot_of < 0) & ~taken[s_r]
+            claim = jnp.full(t, big, jnp.int32).at[
+                jnp.where(cand, s_r, 0)].min(jnp.where(cand, lane, big))
+            won = cand & (claim[s_r] == lane)
+            slot_of = jnp.where(won, s_r, slot_of)
+            taken = taken.at[jnp.where(won, s_r, 0)].max(won)
+        return slot_of
+
+    slot_of = jax.lax.cond(jnp.any(new_pair), insert,
+                           lambda s: s, slot_of)
+    tgt = jnp.where(slot_of >= 0, slot_of, t)
+
     touching = data.manifold.point_count > 0
     if color is None:
         color = jnp.full_like(data.key, -1)
+
+    # pack all fields into one f32 + one i32 matrix -> 2 scatters instead
+    # of 7 (each full-table scatter costs real time on TPU)
+    fmat = jnp.stack([
+        data.normal_impulse[:, 0], data.normal_impulse[:, 1],
+        data.tangent_impulse[:, 0], data.tangent_impulse[:, 1],
+        data.rolling_impulse], axis=1)
+    imat = jnp.stack([
+        key, data.manifold.ids[:, 0], data.manifold.ids[:, 1],
+        jnp.where(touching, color, -1),
+        touching.astype(jnp.int32)], axis=1)
+    f_t = jnp.zeros((t, 5), jnp.float32).at[tgt].set(fmat, mode="drop")
+    i_t = jnp.full((t, 5), -1, jnp.int32).at[tgt].set(imat, mode="drop")
     return ContactStore(
-        key=data.key,
-        ids=data.manifold.ids,
-        normal_impulse=data.normal_impulse,
-        tangent_impulse=data.tangent_impulse,
-        rolling_impulse=data.rolling_impulse,
-        touching=touching,
-        color=jnp.where(touching, color, -1),
+        key=i_t[:, 0],
+        ids=i_t[:, 1:3],
+        normal_impulse=f_t[:, 0:2],
+        tangent_impulse=f_t[:, 2:4],
+        rolling_impulse=f_t[:, 4],
+        touching=i_t[:, 4] > 0,
+        color=i_t[:, 3],
     )

@@ -30,7 +30,7 @@ from .state import DYNAMIC, ENABLE_SLEEP, WorldState
 
 
 def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
-                      iterations: int = 4):
+                      iterations: int = 2):
     """Min-label propagation over constraint edges (dynamic bodies only)."""
     nb = labels.shape[0]
     dyn_a = body_type[edges_a] == DYNAMIC

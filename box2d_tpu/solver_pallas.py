@@ -467,6 +467,49 @@ def pack_constraints(cc, relax=None):
     return idx, data, acc
 
 
+def pack_constraints_pairs(cc, relax=None):
+    """PAIR-order ContactConstraints -> ((P, NF) data, (P, NA) acc,
+    (P, 2) idx) column-packed to the _F/_A row tables. The caller scatters
+    these three matrices into the color-bucket layout with ONE scatter each
+    and transposes — 27 separate per-field layout scatters cost ~12ms/step
+    at 39k pairs on TPU."""
+    mask0 = cc.point_mask[:, 0].astype(jnp.float32)
+    mask1 = cc.point_mask[:, 1].astype(jnp.float32)
+    live = (cc.color >= 0).astype(jnp.float32)
+    if relax is None:
+        relax = jnp.ones_like(cc.friction)
+    data = jnp.stack([
+        cc.normal[:, 0], cc.normal[:, 1], cc.friction, cc.restitution,
+        cc.tangent_speed, cc.rolling_resistance, cc.rolling_mass,
+        cc.soft_bias, cc.soft_mass, cc.soft_imp,
+        cc.anchor_a[:, 0, 0], cc.anchor_a[:, 0, 1],
+        cc.anchor_b[:, 0, 0], cc.anchor_b[:, 0, 1],
+        cc.anchor_a[:, 1, 0], cc.anchor_a[:, 1, 1],
+        cc.anchor_b[:, 1, 0], cc.anchor_b[:, 1, 1],
+        cc.base_separation[:, 0], cc.base_separation[:, 1],
+        cc.normal_mass[:, 0], cc.normal_mass[:, 1],
+        cc.tangent_mass[:, 0], cc.tangent_mass[:, 1],
+        cc.relative_velocity[:, 0], cc.relative_velocity[:, 1],
+        mask0 * live, mask1 * live,
+        cc.inv_mass_a * live, cc.inv_mass_b * live,
+        cc.inv_i_a * live, cc.inv_i_b * live,
+        jnp.maximum(relax, jnp.float32(0.0)),
+    ], axis=1)
+    acc = jnp.stack([
+        cc.normal_impulse[:, 0], cc.normal_impulse[:, 1],
+        cc.tangent_impulse[:, 0], cc.tangent_impulse[:, 1],
+        cc.total_normal_impulse[:, 0], cc.total_normal_impulse[:, 1],
+        cc.rolling_impulse,
+    ], axis=1)
+    live_i = cc.color >= 0
+    sentinel = jnp.int32(-1)
+    idx = jnp.stack([
+        jnp.where(live_i, cc.body_a, sentinel),
+        jnp.where(live_i, cc.body_b, sentinel),
+    ], axis=1)
+    return data, acc, idx
+
+
 def unpack_acc(cc, acc):
     """Write kernel accumulators back into ContactConstraints."""
     return cc._replace(

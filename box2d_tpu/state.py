@@ -266,6 +266,39 @@ class Profile:
 
 
 @_pytree
+class BroadphaseStore:
+    """Persistent candidate pairs + fat proxy AABBs — the TPU analog of the
+    reference's BufferMove/pairSet incrementality (ref: src/BroadPhase.cs:
+    40-56, src/Shape.cs:64-75): pair finding reruns only when some shape's
+    tight AABB escapes its stored fat AABB (or `dirty` is set by a host-side
+    mutator). While every shape stays inside its fat bounds the stored pair
+    set is a superset of all overlapping pairs, so skipping the rebuild is
+    exact."""
+
+    fat: Any        # (S, 4) stored fat AABBs
+    alive: Any      # (S,) bool aliveness when pairs were built
+    shape_a: Any    # (P,) i32
+    shape_b: Any    # (P,) i32
+    valid: Any      # (P,) bool
+    count: Any      # i32
+    overflow: Any   # i32
+    dirty: Any      # bool — host mutators force a rebuild
+
+
+def zero_broadphase(S: int, P: int) -> BroadphaseStore:
+    return BroadphaseStore(
+        fat=jnp.zeros((S, 4), jnp.float32),
+        alive=jnp.zeros(S, bool),
+        shape_a=jnp.zeros(P, jnp.int32),
+        shape_b=jnp.zeros(P, jnp.int32),
+        valid=jnp.zeros(P, bool),
+        count=jnp.int32(0),
+        overflow=jnp.int32(0),
+        dirty=jnp.asarray(True),
+    )
+
+
+@_pytree
 class WorldState:
     bodies: Bodies
     shapes: Shapes
@@ -277,6 +310,7 @@ class WorldState:
     sensor_overlap: Any  # (S_sensor_cap,) persistent sensor visitor keys
     particles: Any       # particles.Particles or None
     step_count: Any
+    broadphase: Any = None  # BroadphaseStore
 
 
 @dataclasses.dataclass(frozen=True)
@@ -289,6 +323,7 @@ class Capacity:
     max_contact_pairs: int       # total candidate pair capacity
     max_neighbors: int = 16      # (legacy, unused)
     sap_window: int = 32         # sweep-and-prune sorted window width
+    max_verts: int = 8           # scene-wide max polygon vertex count
     big_shape_cap: int = 16      # wide shapes tested against all
     color_chunk: int = 0         # per-color bucket cap (0 = P // 8)
     max_colors: int = 24         # ref: src/Constants.cs:13

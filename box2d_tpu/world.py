@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import math2d as m
-from .broadphase import compute_shape_aabbs, find_pairs
+from .broadphase import (compute_shape_aabbs, find_pairs,
+                         find_pairs_incremental)
 from .coloring import dense_remap, repair_colors
 from .narrowphase import ContactData, narrow_phase, update_store
 from .solver import (BodySolverState, ContactConstraints as ContactConstraintsT,
@@ -73,10 +74,18 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     nb = b.center.shape[0]
     tn = state.tuning
 
+    # pre-step poses for the sensor TOI sweep (ref: src/Solver.cs:1275-1292)
+    prev_origin = b.origin
+    prev_rot = b.rot
+
     # --- broadphase + narrow phase (ref: api/World.cs:59, :86) -----------
     aabbs = compute_shape_aabbs(state)
-    pairs = find_pairs(state, cap, aabbs)
-    data = narrow_phase(state, pairs, classes_present)
+    if state.broadphase is not None:
+        pairs, new_bp = find_pairs_incremental(state, cap, aabbs)
+        state = dataclasses.replace(state, broadphase=new_bp)
+    else:
+        pairs = find_pairs(state, cap, aabbs)
+    data = narrow_phase(state, pairs, classes_present, cap.max_verts)
     touching = data.manifold.point_count > 0
 
     # --- particle systems run before the rigid solve (ref: api/World.cs:92)
@@ -178,23 +187,17 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     ovf_cap = ((min(p_cap, 2 * chunk) + chunk - 1) // chunk) * chunk
     layout_len = l0 + ovf_cap
 
-    # secondary key = min DYNAMIC body index: lanes inside a bucket are laid
-    # out body-sorted, so the tiled kernel's per-window gather tile ranges
-    # stay narrow (statics don't count — they read as identity, see
-    # solver_pallas.window_metadata)
-    _M = jnp.int32(1 << 20)
+    # per-color slot = rank of the lane among lanes of its color, via ONE
+    # cumsum over a (P, max_colors) one-hot — O(P*C) vectorized work instead
+    # of two O(P log^2 P) bitonic argsorts (each ~100+ sequential passes on
+    # TPU). Lane order follows the pair buffer, whose grid-emission order is
+    # spatially sorted, which keeps the tiled kernel's gather ranges narrow.
     dyn_t = b.type == 2
-    minb = jnp.minimum(
-        jnp.where(dyn_t[cc.body_a], cc.body_a, _M - 1),
-        jnp.where(dyn_t[cc.body_b], cc.body_b, _M - 1))
-    sortable = jnp.where(cc.color >= 0, cc.color * _M + minb,
-                         (cap.max_colors + 1) * _M)
-    perm = jnp.argsort(sortable, stable=True)
-    rank = jnp.argsort(perm)  # rank of each pair in color-sorted order
-    starts_raw = jnp.searchsorted(sortable[perm],
-                                  jnp.arange(cap.max_colors + 1) * _M)
+    onehot_c = cc.color[:, None] == jnp.arange(cap.max_colors)[None, :]
+    ranks = jnp.cumsum(onehot_c.astype(jnp.int32), axis=0)
     ovf_color = num_colors - 1  # only meaningful when overflow_colors > 0
-    slot = rank - starts_raw[jnp.clip(cc.color, 0, cap.max_colors)]
+    slot = ranks[jnp.arange(p_cap),
+                 jnp.clip(cc.color, 0, cap.max_colors - 1)] - 1
     # tail lanes: the official overflow color PLUS any lane whose bucket
     # exceeded the chunk (possible when sleeping pairs wake into a bucket
     # that filled up meanwhile — inherited colors bypass the repair cap)
@@ -206,6 +209,70 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
         jnp.where(is_ovf_lane,
                   jnp.where(tail_rank < ovf_cap, l0 + tail_rank, layout_len),
                   cc.color * chunk + slot))
+
+    gidx = jnp.clip(layout_idx, 0, layout_len - 1)
+    active_lane = layout_idx < layout_len
+
+    if use_pallas and not joint_types:
+        # flagship path: the whole substep pipeline in one Pallas kernel.
+        # mode 1 = VMEM-resident mega-kernel (small scenes / batched worlds),
+        # mode 2 = HBM-streaming tiled kernel (large scenes).
+        # Constraints go straight from pair order into the packed kernel
+        # matrices with ONE layout scatter per matrix (the 27 per-field
+        # scatters of the XLA path cost ~12 ms/step at 39k pairs).
+        from .solver_pallas import (NA, NF, pack_bodies, pack_bodies_tiled,
+                                    pack_constraints_pairs,
+                                    run_solver_kernel,
+                                    run_solver_kernel_tiled, unpack_bodies,
+                                    unpack_bodies_tiled, window_metadata,
+                                    window_width)
+
+        data_p, acc_p, idx_p = pack_constraints_pairs(cc, contact_relax)
+        dataL = jnp.zeros((layout_len, NF), jnp.float32).at[
+            layout_idx].set(data_p, mode="drop")
+        accL = jnp.zeros((layout_len, NA), jnp.float32).at[
+            layout_idx].set(acc_p, mode="drop")
+        idxL = jnp.full((layout_len, 2), -1, jnp.int32).at[
+            layout_idx].set(idx_p, mode="drop")
+        datap, accp, idxp = dataL.T, accL.T, idxL.T
+        scalars = jnp.stack([
+            h, inv_h, tn.contact_speed, tn.restitution_threshold,
+            tn.max_linear_speed, jnp.float32(0), jnp.float32(0),
+            jnp.float32(0)])[None, :]
+        if use_pallas == 2:
+            bodyp, paramsp = pack_bodies_tiled(b, bs, tn, h, inv_dt)
+            liveL = idxL[:, 0] >= 0
+            bodyL_a = jnp.maximum(idxL[:, 0], 0)
+            bodyL_b = jnp.maximum(idxL[:, 1], 0)
+            w_win = window_width(chunk)
+            wl, tlo, thi, nactp = window_metadata(
+                liveL, bodyL_a, bodyL_b,
+                dyn_t[bodyL_a] & liveL, dyn_t[bodyL_b] & liveL,
+                layout_len, w_win)
+            out_body, out_acc = run_solver_kernel_tiled(
+                substeps, chunk, scalars, idxp, datap, accp, bodyp,
+                paramsp, wl, tlo, thi, nactp, w=w_win)
+            bs = unpack_bodies_tiled(bs, out_body)
+        else:
+            bodyp, paramsp = pack_bodies(b, bs, tn, h, inv_dt)
+            out_body, out_acc = run_solver_kernel(
+                substeps, cap.max_colors, chunk, l0, scalars,
+                idxp, datap, accp, bodyp, paramsp)
+            bs = unpack_bodies(bs, out_body)
+        pair_acc = out_acc.T[gidx]                       # (P, NA)
+        ni = jnp.where(active_lane[:, None], pair_acc[:, 0:2],
+                       data.normal_impulse)
+        ti = jnp.where(active_lane[:, None], pair_acc[:, 2:4],
+                       data.tangent_impulse)
+        tni = jnp.where(active_lane[:, None], pair_acc[:, 4:6], 0.0)
+        roll = jnp.where(active_lane, pair_acc[:, 6], data.rolling_impulse)
+        return _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap,
+                          pairs, num_colors, overflow_colors, touching,
+                          sensor_ids, continuous, contact_color_store,
+                          ni, ti, roll, tni, cc.relative_velocity,
+                          prev_origin, prev_rot)
+
+    cc_pairs_relv = cc.relative_velocity
 
     def to_layout(x, fill=0):
         shape = (layout_len,) + x.shape[1:]
@@ -245,46 +312,6 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
         return overflow_pass(fn, bs, cc)
 
     n_chunk_colors = num_colors - jnp.where(overflow_colors > 0, 1, 0)
-
-    if use_pallas and not joint_types:
-        # flagship path: the whole substep pipeline in one Pallas kernel.
-        # mode 1 = VMEM-resident mega-kernel (small scenes / batched worlds),
-        # mode 2 = HBM-streaming tiled kernel (large scenes).
-        from .solver_pallas import (pack_bodies, pack_bodies_tiled,
-                                    pack_constraints, run_solver_kernel,
-                                    run_solver_kernel_tiled, unpack_acc,
-                                    unpack_bodies, unpack_bodies_tiled,
-                                    window_metadata, window_width)
-
-        idxp, datap, accp = pack_constraints(cc, layout_relax)
-        scalars = jnp.stack([
-            h, inv_h, tn.contact_speed, tn.restitution_threshold,
-            tn.max_linear_speed, jnp.float32(0), jnp.float32(0),
-            jnp.float32(0)])[None, :]
-        if use_pallas == 2:
-            bodyp, paramsp = pack_bodies_tiled(b, bs, tn, h, inv_dt)
-            live_lane = cc.color >= 0
-            dyn_a = dyn_t[cc.body_a] & live_lane
-            dyn_b = dyn_t[cc.body_b] & live_lane
-            w_win = window_width(chunk)
-            wl, tlo, thi, nactp = window_metadata(
-                live_lane, cc.body_a, cc.body_b, dyn_a, dyn_b,
-                layout_len, w_win)
-            out_body, out_acc = run_solver_kernel_tiled(
-                substeps, chunk, scalars, idxp, datap, accp, bodyp,
-                paramsp, wl, tlo, thi, nactp, w=w_win)
-            bs = unpack_bodies_tiled(bs, out_body)
-        else:
-            bodyp, paramsp = pack_bodies(b, bs, tn, h, inv_dt)
-            out_body, out_acc = run_solver_kernel(
-                substeps, cap.max_colors, chunk, l0, scalars,
-                idxp, datap, accp, bodyp, paramsp)
-            bs = unpack_bodies(bs, out_body)
-        cc = unpack_acc(cc, out_acc)
-        return _step_tail(state, data, cc, bs, jc, layout_idx, layout_len,
-                          dt, inv_dt, inv_h, cap, pairs, num_colors,
-                          overflow_colors, touching, sensor_ids, continuous,
-                          contact_color_store)
 
     def substep(_, carry):
         bs, cc, jc = carry
@@ -346,36 +373,39 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
         lambda bs, ch, mk: restitution_color(
             bs, ch, mk, tn.restitution_threshold), bs, cc)
 
-    return _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt,
-                      inv_dt, inv_h, cap, pairs, num_colors, overflow_colors,
-                      touching, sensor_ids, continuous, contact_color_store)
+    # gather impulses back to pair order; inactive lanes keep their
+    # warm-matched impulses
+    ni = jnp.where(active_lane[:, None], cc.normal_impulse[gidx],
+                   data.normal_impulse)
+    ti = jnp.where(active_lane[:, None], cc.tangent_impulse[gidx],
+                   data.tangent_impulse)
+    tni = jnp.where(active_lane[:, None], cc.total_normal_impulse[gidx], 0.0)
+    roll = jnp.where(active_lane, cc.rolling_impulse[gidx],
+                     data.rolling_impulse)
+    return _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
+                      num_colors, overflow_colors, touching, sensor_ids,
+                      continuous, contact_color_store, ni, ti, roll, tni,
+                      cc_pairs_relv, prev_origin, prev_rot)
 
 
-def _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt, inv_dt,
-               inv_h, cap, pairs, num_colors, overflow_colors, touching,
-               sensor_ids, continuous, contact_color_store=None):
+def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
+               num_colors, overflow_colors, touching, sensor_ids, continuous,
+               contact_color_store, ni, ti, roll, tni, relv,
+               prev_origin=None, prev_rot=None):
     """Post-solve: store impulses, events, continuous, finalize, sleep,
-    sensors, profile. Shared by the XLA and Pallas solver paths."""
-    # gather impulses back to pair order for the store; inactive lanes keep
-    # their warm-matched impulses
-    gidx = jnp.clip(layout_idx, 0, layout_len - 1)
-    active_lane = layout_idx < layout_len
+    sensors, profile. Shared by the XLA and Pallas solver paths.
+
+    ni/ti/roll/tni/relv are PAIR-order solved impulses / relative
+    velocities."""
     data = data._replace(
-        normal_impulse=jnp.where(active_lane[:, None],
-                                 cc.normal_impulse[gidx], data.normal_impulse),
-        tangent_impulse=jnp.where(active_lane[:, None],
-                                  cc.tangent_impulse[gidx],
-                                  data.tangent_impulse),
-        rolling_impulse=jnp.where(active_lane, cc.rolling_impulse[gidx],
-                                  data.rolling_impulse),
-    )
+        normal_impulse=ni, tangent_impulse=ti, rolling_impulse=roll)
     new_store = update_store(data, cap.max_contact_pairs, contact_color_store)
     state = dataclasses.replace(state, contacts=new_store,
                                 joints=_store_joint_impulses(state.joints, jc))
 
     # --- events -----------------------------------------------------------
     events = _contact_events(state, data, touching, cap)
-    events = _hit_events(state, data, cc, gidx, touching, events, cap)
+    events = _hit_events(state, data, tni, relv, touching, events, cap)
     events = _joint_events(state, jc, inv_h, events, cap)
 
     # --- continuous collision (ref: src/Solver.cs:224-401) -----------------
@@ -393,7 +423,7 @@ def _step_tail(state, data, cc, bs, jc, layout_idx, layout_len, dt, inv_dt,
 
     # --- sensors (ref: api/World.cs:99 OverlapSensors after solve) ---------
     state = dataclasses.replace(state, events=events)
-    state = sensor_pass(state, cap, sensor_ids)
+    state = sensor_pass(state, cap, sensor_ids, prev_origin, prev_rot)
     events = state.events
     profile = zero_profile()
     profile = dataclasses.replace(
@@ -458,16 +488,14 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap):
     )
 
 
-def _hit_events(state, data, cc, gidx, touching, events, cap):
+def _hit_events(state, data, tni, relv, touching, events, cap):
     """Contact hit events (ref: src/Solver.cs:1151-1190): at hit speed above
-    the threshold with a non-zero normal impulse."""
+    the threshold with a non-zero normal impulse. tni/relv are PAIR-order."""
     sh = state.shapes
     tn = state.tuning
     enable = (sh.enable_hit_events[data.shape_a]
               | sh.enable_hit_events[data.shape_b])
-    rel_v = cc.relative_velocity[gidx]      # (P, 2)
-    tni = cc.total_normal_impulse[gidx]
-    approach = -rel_v
+    approach = -relv
     pt_ok = (approach > tn.hit_event_threshold) & (tni > 0.0)
     best_pt = jnp.argmax(jnp.where(pt_ok, approach, -jnp.inf), axis=1)
     lane = jnp.arange(data.shape_a.shape[0])
