@@ -63,6 +63,7 @@ P_REPULSIVE = 1 << 12
 # group flags (ref: particle/ParticleGroup.cs)
 G_SOLID = 1 << 0
 G_RIGID = 1 << 1
+G_NEEDS_DEPTH = 1 << 2  # ref ParticleGroupFlag.NeedsUpdateDepth
 
 # tuning constants (ref: particle/World.cs:8-45)
 PARTICLE_STRIDE = 0.75
@@ -157,7 +158,22 @@ class ParticleConfig(NamedTuple):
     iterations: int = 4   # ref: api/World.cs:92 hardcodes 4
     static_pressure_iterations: int = 8
     depth_iterations: int = 16
-    has_barrier: bool = False  # trace-gates the (pairs x particles) pass
+    # trace-time pass gates — the analog of the reference's AllParticleFlags
+    # / AllGroupFlags checks (ref: Solve :1523-1555): a pass whose flag is
+    # absent from the scene is never traced, so plain water pays only for
+    # gravity/pressure/damping/collision
+    has_barrier: bool = False
+    has_viscous: bool = False
+    has_repulsive: bool = False
+    has_powder: bool = False
+    has_tensile: bool = False
+    has_colormix: bool = False
+    has_static_pressure: bool = False
+    has_elastic: bool = False
+    has_spring: bool = False
+    has_wall: bool = False
+    has_solid: bool = False
+    has_rigid: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +213,12 @@ class ParticleSystemBuilder:
         """Fill a box with particles on the standard stride grid
         (ref: CreateParticleGroup shape fill :652-720)."""
         gid = len(self.group_flags)
-        self.group_flags.append(int(group_flags))
+        gf = int(group_flags)
+        if gf & G_SOLID:
+            # solid groups need their depth field computed before the
+            # ejection force can act (ref: SetGroupFlags -> NeedsUpdateDepth)
+            gf |= G_NEEDS_DEPTH
+        self.group_flags.append(gf)
         self.group_strength.append(float(strength))
         stride = PARTICLE_STRIDE * 2.0 * self.radius
         cx, cy = center
@@ -527,83 +548,132 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         weight = weight.at[ia].add(c_w).at[ib].add(c_w)
         weight = weight + jnp.sum(bc_w, axis=1)
 
+        if cfg.has_solid:
+            # ---- depth relaxation (ref ComputeDepth :1002-1062) ----
+            # runs once per group change: groups flagged G_NEEDS_DEPTH seed
+            # surface particles (contact weight < 0.8) at depth 0 and relax
+            # interior depths over same-group contact edges, then clear the
+            # flag; lax.cond skips the whole pass when no group is flagged.
+            needs = (pt.group_flags & G_NEEDS_DEPTH) != 0
+
+            def depth_pass(_):
+                ga = pt.group[ia]
+                gb = pt.group[ib]
+                same = (c_ok & (ga == gb) & (ga >= 0)
+                        & needs[jnp.maximum(ga, 0)])
+                w_acc = (jnp.zeros(n, jnp.float32)
+                         .at[ia].add(jnp.where(same, c_w, 0.0))
+                         .at[ib].add(jnp.where(same, c_w, 0.0)))
+                upd = (pt.alive & (pt.group >= 0)
+                       & needs[jnp.maximum(pt.group, 0)])
+                big_d = jnp.float32(1e9)
+                d0 = jnp.where(w_acc < 0.8, 0.0, big_d)
+                r_edge = jnp.where(same, 1.0 - c_w, big_d)
+
+                def relax_iter(st):
+                    it, d, _ = st
+                    dn = (d.at[ia].min(jnp.where(same, d[ib] + r_edge,
+                                                 big_d), mode="drop")
+                          .at[ib].min(jnp.where(same, d[ia] + r_edge,
+                                                big_d), mode="drop"))
+                    return it + 1, dn, jnp.any(dn < d)
+
+                _, d, _ = jax.lax.while_loop(
+                    lambda st: (st[0] < cfg.depth_iterations) & st[2],
+                    relax_iter, (jnp.int32(0), d0, jnp.bool_(True)))
+                d = jnp.where(d < big_d, d * diameter, 0.0)
+                return (jnp.where(upd, d, pt.depth),
+                        pt.group_flags & ~(needs * G_NEEDS_DEPTH))
+
+            new_depth, new_gflags = jax.lax.cond(
+                jnp.any(needs), depth_pass,
+                lambda _: (pt.depth, pt.group_flags), None)
+            pt = dataclasses.replace(pt, depth=new_depth,
+                                     group_flags=new_gflags)
+
         # ---- force (user forces, ref SolveForce) ----
         vel = vel + dt * inv_mass * pt.force
 
-        # ---- viscous (ref SolveViscous) ----
-        visc = (c_flags & P_VISCOUS) != 0
-        f = prm.viscous_strength * c_w[:, None] * (vel[ib] - vel[ia])
-        f = jnp.where(visc[:, None], f, 0.0)
-        vel = vel.at[ia].add(f).at[ib].add(-f)
-        bvisc = bc_ok & ((pt.flags & P_VISCOUS) != 0)[:, None]
-        fb = (prm.viscous_strength * bc_mass * bc_w)[..., None] * (
-            body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :])
-        fb = jnp.where(bvisc[..., None], fb, 0.0)
-        vel = vel + inv_mass * jnp.sum(fb, axis=1)
-        body_dv, body_dw = apply_body_impulse(
-            body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
-            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
-            bvisc.reshape(-1))
+        if cfg.has_viscous:
+            # ---- viscous (ref SolveViscous) ----
+            visc = (c_flags & P_VISCOUS) != 0
+            f = prm.viscous_strength * c_w[:, None] * (vel[ib] - vel[ia])
+            f = jnp.where(visc[:, None], f, 0.0)
+            vel = vel.at[ia].add(f).at[ib].add(-f)
+            bvisc = bc_ok & ((pt.flags & P_VISCOUS) != 0)[:, None]
+            fb = (prm.viscous_strength * bc_mass * bc_w)[..., None] * (
+                body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :])
+            fb = jnp.where(bvisc[..., None], fb, 0.0)
+            vel = vel + inv_mass * jnp.sum(fb, axis=1)
+            body_dv, body_dw = apply_body_impulse(
+                body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
+                jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
+                bvisc.reshape(-1))
 
-        # ---- repulsive (ref SolveRepulsive) ----
-        rep = ((c_flags & P_REPULSIVE) != 0) & (pt.group[ia] != pt.group[ib])
-        f = (prm.repulsive_strength * crit_v * c_w)[:, None] * c_n
-        f = jnp.where(rep[:, None], f, 0.0)
-        vel = vel.at[ia].add(-f).at[ib].add(f)
+        if cfg.has_repulsive:
+            # ---- repulsive (ref SolveRepulsive) ----
+            rep = ((c_flags & P_REPULSIVE) != 0) & (pt.group[ia] != pt.group[ib])
+            f = (prm.repulsive_strength * crit_v * c_w)[:, None] * c_n
+            f = jnp.where(rep[:, None], f, 0.0)
+            vel = vel.at[ia].add(-f).at[ib].add(f)
 
-        # ---- powder (ref SolvePowder) ----
-        min_w = 1.0 - PARTICLE_STRIDE
-        pow_ = ((c_flags & P_POWDER) != 0) & (c_w > min_w)
-        f = (prm.powder_strength * crit_v * (c_w - min_w))[:, None] * c_n
-        f = jnp.where(pow_[:, None], f, 0.0)
-        vel = vel.at[ia].add(-f).at[ib].add(f)
+        if cfg.has_powder:
+            # ---- powder (ref SolvePowder) ----
+            min_w = 1.0 - PARTICLE_STRIDE
+            pow_ = ((c_flags & P_POWDER) != 0) & (c_w > min_w)
+            f = (prm.powder_strength * crit_v * (c_w - min_w))[:, None] * c_n
+            f = jnp.where(pow_[:, None], f, 0.0)
+            vel = vel.at[ia].add(-f).at[ib].add(f)
 
-        # ---- tensile (ref SolveTensile) ----
-        tens = (c_flags & P_TENSILE) != 0
-        wn = ((1.0 - c_w) * c_w)[:, None] * c_n
-        wn = jnp.where(tens[:, None], wn, 0.0)
-        acc2 = jnp.zeros((n, 2), jnp.float32)
-        acc2 = acc2.at[ia].add(-wn).at[ib].add(wn)
-        p_s = prm.surface_tension_pressure * crit_v
-        n_s = prm.surface_tension_normal * crit_v
-        max_var = MAX_PARTICLE_FORCE * crit_v
-        fh = jnp.minimum(
-            p_s * (weight[ia] + weight[ib] - 2.0)
-            + n_s * m.dot(acc2[ib] - acc2[ia], c_n), max_var) * c_w
-        f = jnp.where(tens, fh, 0.0)[:, None] * c_n
-        vel = vel.at[ia].add(-f).at[ib].add(f)
+        if cfg.has_tensile:
+            # ---- tensile (ref SolveTensile) ----
+            tens = (c_flags & P_TENSILE) != 0
+            wn = ((1.0 - c_w) * c_w)[:, None] * c_n
+            wn = jnp.where(tens[:, None], wn, 0.0)
+            acc2 = jnp.zeros((n, 2), jnp.float32)
+            acc2 = acc2.at[ia].add(-wn).at[ib].add(wn)
+            p_s = prm.surface_tension_pressure * crit_v
+            n_s = prm.surface_tension_normal * crit_v
+            max_var = MAX_PARTICLE_FORCE * crit_v
+            fh = jnp.minimum(
+                p_s * (weight[ia] + weight[ib] - 2.0)
+                + n_s * m.dot(acc2[ib] - acc2[ia], c_n), max_var) * c_w
+            f = jnp.where(tens, fh, 0.0)[:, None] * c_n
+            vel = vel.at[ia].add(-f).at[ib].add(f)
 
-        # ---- solid ejection (ref SolveSolid) ----
-        gflags_a = pt.group_flags[jnp.maximum(pt.group[ia], 0)]
-        solid_any = jnp.any((pt.group_flags & G_SOLID) != 0)
-        sol = (pt.group[ia] != pt.group[ib]) & c_ok
-        ej = (prm.ejection_strength * inv_dt
-              * (pt.depth[ia] + pt.depth[ib]) * c_w)
-        f = jnp.where(sol & (solid_any | False), ej, 0.0)[:, None] * c_n
-        vel = vel.at[ia].add(-f).at[ib].add(f)
+        if cfg.has_solid:
+            # ---- solid ejection (ref SolveSolid :2200) ----
+            sol = (pt.group[ia] != pt.group[ib]) & c_ok
+            ej = (prm.ejection_strength * inv_dt
+                  * (pt.depth[ia] + pt.depth[ib]) * c_w)
+            f = jnp.where(sol, ej, 0.0)[:, None] * c_n
+            vel = vel.at[ia].add(-f).at[ib].add(f)
 
         # ---- gravity (ref SolveGravity) ----
         g_ = dt * prm.gravity_scale * state.tuning.gravity
         vel = vel + jnp.where(pt.alive[:, None], g_[None, :], 0.0)
 
-        # ---- static pressure (ref SolveStaticPressure) ----
         sp_mask = (pt.flags & P_STATIC_PRESSURE) != 0
-        pp_w = prm.static_pressure_strength * crit_p
-        max_p = MAX_PARTICLE_PRESSURE * crit_p
-        relax = prm.static_pressure_relaxation
+        static_pressure = pt.static_pressure
+        if cfg.has_static_pressure:
+            # ---- static pressure (ref SolveStaticPressure) ----
+            sp_mask = (pt.flags & P_STATIC_PRESSURE) != 0
+            pp_w = prm.static_pressure_strength * crit_p
+            max_p = MAX_PARTICLE_PRESSURE * crit_p
+            relax = prm.static_pressure_relaxation
 
-        def sp_iter(spb, _):
-            acc = jnp.zeros(n, jnp.float32)
-            cw_sp = jnp.where((c_flags & P_STATIC_PRESSURE) != 0, c_w, 0.0)
-            acc = acc.at[ia].add(cw_sp * spb[ib]).at[ib].add(cw_sp * spb[ia])
-            spb_n = jnp.clip(
-                (acc + pp_w * (weight - MIN_PARTICLE_WEIGHT)) / (weight + relax),
-                0.0, max_p)
-            return jnp.where(sp_mask, spb_n, 0.0), None
+            def sp_iter(spb, _):
+                acc = jnp.zeros(n, jnp.float32)
+                cw_sp = jnp.where((c_flags & P_STATIC_PRESSURE) != 0, c_w, 0.0)
+                acc = acc.at[ia].add(cw_sp * spb[ib]).at[ib].add(cw_sp * spb[ia])
+                spb_n = jnp.clip(
+                    (acc + pp_w * (weight - MIN_PARTICLE_WEIGHT)) / (weight + relax),
+                    0.0, max_p)
+                return jnp.where(sp_mask, spb_n, 0.0), None
 
-        static_pressure, _ = jax.lax.scan(
-            sp_iter, pt.static_pressure, None,
-            length=cfg.static_pressure_iterations)
+            static_pressure, _ = jax.lax.scan(
+                sp_iter, pt.static_pressure, None,
+                length=cfg.static_pressure_iterations)
 
         # ---- pressure (ref SolvePressure) ----
         ppw = prm.pressure_strength * crit_p
@@ -646,51 +716,54 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         f = jnp.where((c_ok & (vn_p < 0))[:, None], f, 0.0)
         vel = vel.at[ia].add(f).at[ib].add(-f)
 
-        # ---- extra damping for static-pressure particles (ref :1978) ----
-        ed = bc_ok & (((pt.flags & P_STATIC_PRESSURE) != 0))[:, None]
-        vrel = body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :]
-        vn = m.dot(vrel, bc_n)
-        fb = (0.5 * bc_mass * vn)[..., None] * bc_n
-        fb = jnp.where((ed & (vn < 0))[..., None], fb, 0.0)
-        vel = vel + inv_mass * jnp.sum(fb, axis=1)
-        body_dv, body_dw = apply_body_impulse(
-            body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
-            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
-            (ed & (vn < 0)).reshape(-1))
+        if cfg.has_static_pressure:
+            # ---- extra damping for static-pressure particles (ref :1978) ----
+            ed = bc_ok & (((pt.flags & P_STATIC_PRESSURE) != 0))[:, None]
+            vrel = body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :]
+            vn = m.dot(vrel, bc_n)
+            fb = (0.5 * bc_mass * vn)[..., None] * bc_n
+            fb = jnp.where((ed & (vn < 0))[..., None], fb, 0.0)
+            vel = vel + inv_mass * jnp.sum(fb, axis=1)
+            body_dv, body_dw = apply_body_impulse(
+                body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
+                jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
+                (ed & (vn < 0)).reshape(-1))
 
-        # ---- elastic triads (ref SolveElastic) ----
-        ta, tb, tc = pt.triad_a, pt.triad_b, pt.triad_c
-        # dead particles sever their triads (ref zombifies triads whose
-        # member died, SolveZombie :2873-2906)
-        el = (((pt.triad_flags & P_ELASTIC) != 0)
-              & pt.alive[ta] & pt.alive[tb] & pt.alive[tc])
-        pa_ = pos[ta] + dt * vel[ta]
-        pb_ = pos[tb] + dt * vel[tb]
-        pc_ = pos[tc] + dt * vel[tc]
-        midp = (pa_ + pb_ + pc_) / 3.0
-        pa_, pb_, pc_ = pa_ - midp, pb_ - midp, pc_ - midp
-        rc = (m.dot(pt.triad_pa, pa_) + m.dot(pt.triad_pb, pb_)
-              + m.dot(pt.triad_pc, pc_))
-        rs = (m.cross(pt.triad_pa, pa_) + m.cross(pt.triad_pb, pb_)
-              + m.cross(pt.triad_pc, pc_))
-        r = m.rot_normalize(jnp.stack([rc, rs], axis=-1))
-        strength = (prm.elastic_strength * inv_dt * pt.triad_strength)
-        strength = jnp.where(el, strength, 0.0)
-        fa = strength[:, None] * (m.rot_vec(r, pt.triad_pa) - pa_)
-        fbv = strength[:, None] * (m.rot_vec(r, pt.triad_pb) - pb_)
-        fc = strength[:, None] * (m.rot_vec(r, pt.triad_pc) - pc_)
-        vel = vel.at[ta].add(fa).at[tb].add(fbv).at[tc].add(fc)
+        if cfg.has_elastic:
+            # ---- elastic triads (ref SolveElastic) ----
+            ta, tb, tc = pt.triad_a, pt.triad_b, pt.triad_c
+            # dead particles sever their triads (ref zombifies triads whose
+            # member died, SolveZombie :2873-2906)
+            el = (((pt.triad_flags & P_ELASTIC) != 0)
+                  & pt.alive[ta] & pt.alive[tb] & pt.alive[tc])
+            pa_ = pos[ta] + dt * vel[ta]
+            pb_ = pos[tb] + dt * vel[tb]
+            pc_ = pos[tc] + dt * vel[tc]
+            midp = (pa_ + pb_ + pc_) / 3.0
+            pa_, pb_, pc_ = pa_ - midp, pb_ - midp, pc_ - midp
+            rc = (m.dot(pt.triad_pa, pa_) + m.dot(pt.triad_pb, pb_)
+                  + m.dot(pt.triad_pc, pc_))
+            rs = (m.cross(pt.triad_pa, pa_) + m.cross(pt.triad_pb, pb_)
+                  + m.cross(pt.triad_pc, pc_))
+            r = m.rot_normalize(jnp.stack([rc, rs], axis=-1))
+            strength = (prm.elastic_strength * inv_dt * pt.triad_strength)
+            strength = jnp.where(el, strength, 0.0)
+            fa = strength[:, None] * (m.rot_vec(r, pt.triad_pa) - pa_)
+            fbv = strength[:, None] * (m.rot_vec(r, pt.triad_pb) - pb_)
+            fc = strength[:, None] * (m.rot_vec(r, pt.triad_pc) - pc_)
+            vel = vel.at[ta].add(fa).at[tb].add(fbv).at[tc].add(fc)
 
-        # ---- springs (ref SolveSpring) ----
-        sa, sb_ = pt.pair_a, pt.pair_b
-        spr = (((pt.pair_flags & P_SPRING) != 0)
-               & pt.alive[sa] & pt.alive[sb_])
-        dvec = (pos[sb_] + dt * vel[sb_]) - (pos[sa] + dt * vel[sa])
-        r1 = m.length(dvec)
-        fs = (prm.spring_strength * inv_dt * pt.pair_strength
-              * _safe_div(pt.pair_distance - r1, r1))[:, None] * dvec
-        fs = jnp.where(spr[:, None], fs, 0.0)
-        vel = vel.at[sa].add(-fs).at[sb_].add(fs)
+        if cfg.has_spring:
+            # ---- springs (ref SolveSpring) ----
+            sa, sb_ = pt.pair_a, pt.pair_b
+            spr = (((pt.pair_flags & P_SPRING) != 0)
+                   & pt.alive[sa] & pt.alive[sb_])
+            dvec = (pos[sb_] + dt * vel[sb_]) - (pos[sa] + dt * vel[sa])
+            r1 = m.length(dvec)
+            fs = (prm.spring_strength * inv_dt * pt.pair_strength
+                  * _safe_div(pt.pair_distance - r1, r1))[:, None] * dvec
+            fs = jnp.where(spr[:, None], fs, 0.0)
+            vel = vel.at[sa].add(-fs).at[sb_].add(fs)
 
         # ---- limit velocity (ref LimitVelocity) ----
         v2 = m.dot(vel, vel)
@@ -698,12 +771,97 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         vel = jnp.where(over[:, None],
                         vel * jnp.sqrt(_safe_div(crit_v2, v2))[:, None], vel)
 
-        # ---- wall particles stay put (ref SolveWall) ----
-        vel = jnp.where((((pt.flags & P_WALL) != 0))[:, None],
-                        jnp.zeros_like(vel), vel)
+        if cfg.has_rigid:
+            # ---- rigid-group damping (ref SolveRigidDamping :1916-1977) --
+            # Impulses are accumulated Jacobi-style per group (the reference
+            # applies them sequentially per contact) and applied once as a
+            # rigid-motion velocity delta to all members.
+            (in_rigid, ngrp, g_center, g_linvel, g_omega,
+             g_invm, g_invI) = _rigid_group_stats(pt, pos, vel, mass)
+            gp = jnp.maximum(pt.group, 0)
+            damping = prm.damping_strength
+            glin_d = jnp.zeros((ngrp, 2), jnp.float32)
+            gw_d = jnp.zeros(ngrp, jnp.float32)
 
-        # ---- rigid groups move as rigid bodies (ref SolveRigid) ----
-        vel = _solve_rigid(pt, pos, vel, mass, dt, inv_dt)
+            # (a) rigid group <-> rigid body contacts
+            rel_g = pos[:, None, :] - g_center[gp][:, None, :]
+            pgv = (g_linvel[gp][:, None, :]
+                   + m.cross_sv(g_omega[gp][:, None], rel_g))
+            vn = m.dot(body_vel_at(pos[:, None, :], bc_body) - pgv, bc_n)
+            act = in_rigid[:, None] & bc_ok & (vn < 0)
+            td_a = m.cross(rel_g, bc_n)
+            td_b = m.cross(pos[:, None, :] - b.center[bc_body], bc_n)
+            ksum = (g_invm[gp][:, None] + g_invI[gp][:, None] * td_a * td_a
+                    + b.inv_mass[bc_body]
+                    + b.inv_inertia[bc_body] * td_b * td_b)
+            f = damping * jnp.minimum(bc_w, 1.0) * _safe_div(vn, ksum)
+            f = jnp.where(act & (ksum > 0), f, 0.0)
+            gl_flat = jnp.broadcast_to(gp[:, None], f.shape).reshape(-1)
+            glin_d = glin_d.at[gl_flat].add(
+                ((f * g_invm[gp][:, None])[..., None] * bc_n).reshape(-1, 2))
+            gw_d = gw_d.at[gl_flat].add(
+                (f * td_a * g_invI[gp][:, None]).reshape(-1))
+            body_dv, body_dw = apply_body_impulse(
+                body_dv, body_dw, bc_body.reshape(-1),
+                (-f[..., None] * bc_n).reshape(-1, 2),
+                jnp.broadcast_to(pos[:, None, :], bc_n.shape).reshape(-1, 2),
+                act.reshape(-1))
+
+            # (b) particle contacts across groups where either side is rigid
+            ga_g = jnp.maximum(pt.group[ia], 0)
+            gb_g = jnp.maximum(pt.group[ib], 0)
+            a_r = in_rigid[ia]
+            b_r = in_rigid[ib]
+            pmid = 0.5 * (pos[ia] + pos[ib])
+            pw_inv = jnp.where((pt.flags & P_WALL) != 0, 0.0, inv_mass)
+
+            def side(gsel, rsel, pidx):
+                relm = pmid - g_center[gsel]
+                vl = jnp.where(
+                    rsel[:, None],
+                    g_linvel[gsel] + m.cross_sv(g_omega[gsel], relm),
+                    vel[pidx])
+                inv_m_s = jnp.where(rsel, g_invm[gsel], pw_inv[pidx])
+                inv_i_s = jnp.where(rsel, g_invI[gsel], 0.0)
+                td = jnp.where(rsel, m.cross(relm, c_n), 0.0)
+                return vl, inv_m_s, inv_i_s, td
+
+            va_l, ima, iia, tda = side(ga_g, a_r, ia)
+            vb_l, imb, iib, tdb = side(gb_g, b_r, ib)
+            vn_p = m.dot(vb_l - va_l, c_n)
+            actp = (c_ok & (pt.group[ia] != pt.group[ib]) & (a_r | b_r)
+                    & (vn_p < 0))
+            ksum_p = ima + iia * tda * tda + imb + iib * tdb * tdb
+            fp = damping * c_w * _safe_div(vn_p, ksum_p)
+            fp = jnp.where(actp & (ksum_p > 0), fp, 0.0)
+            # side A gets +fp, side B gets -fp (ref ApplyDamping)
+            glin_d = glin_d.at[jnp.where(a_r, ga_g, ngrp - 1)].add(
+                jnp.where(a_r, fp * ima, 0.0)[:, None] * c_n)
+            gw_d = gw_d.at[jnp.where(a_r, ga_g, ngrp - 1)].add(
+                jnp.where(a_r, fp * tda * iia, 0.0))
+            vel = vel.at[ia].add(
+                jnp.where(~a_r, fp * ima, 0.0)[:, None] * c_n)
+            glin_d = glin_d.at[jnp.where(b_r, gb_g, ngrp - 1)].add(
+                jnp.where(b_r, -fp * imb, 0.0)[:, None] * c_n)
+            gw_d = gw_d.at[jnp.where(b_r, gb_g, ngrp - 1)].add(
+                jnp.where(b_r, -fp * tdb * iib, 0.0))
+            vel = vel.at[ib].add(
+                jnp.where(~b_r, -fp * imb, 0.0)[:, None] * c_n)
+
+            # apply accumulated rigid-motion deltas to members
+            vel = vel + jnp.where(
+                in_rigid[:, None],
+                glin_d[gp] + m.cross_sv(gw_d[gp], pos - g_center[gp]),
+                0.0)
+
+        if cfg.has_wall:
+            # ---- wall particles stay put (ref SolveWall) ----
+            vel = jnp.where((((pt.flags & P_WALL) != 0))[:, None],
+                            jnp.zeros_like(vel), vel)
+
+        if cfg.has_rigid:
+            # ---- rigid groups move as rigid bodies (ref SolveRigid) ----
+            vel = _solve_rigid(pt, pos, vel, mass, dt, inv_dt)
 
         # ---- collision anti-tunneling (ref SolveCollision) ----
         vel = _solve_collision(pt, pos, vel, state, bs_idx, bs_valid,
@@ -713,12 +871,14 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         if cfg.has_barrier:
             vel = _solve_barrier(pt, pos, vel, dt, inv_dt, mass)
 
-        # ---- color mixing (ref SolveColorMixing :2243) ----
         col = pt.color
-        mix = ((c_flags & P_COLOR_MIXING) != 0) & c_ok
-        dcol = 0.5 * prm.color_mixing_strength * (col[ib] - col[ia])
-        dcol = jnp.where(mix[:, None], dcol, 0.0)
-        col = col.at[ia].add(dcol).at[ib].add(-dcol)
+        if cfg.has_colormix:
+            # ---- color mixing (ref SolveColorMixing :2243) ----
+            col = pt.color
+            mix = ((c_flags & P_COLOR_MIXING) != 0) & c_ok
+            dcol = 0.5 * prm.color_mixing_strength * (col[ib] - col[ia])
+            dcol = jnp.where(mix[:, None], dcol, 0.0)
+            col = col.at[ia].add(dcol).at[ib].add(-dcol)
 
         # ---- lifetimes (ref SolveLifetimes :1516) ----
         expiration = jnp.where(pt.expiration > 0.0, pt.expiration - dt,
@@ -841,27 +1001,44 @@ def _solve_barrier(pt: Particles, pos, vel, dt, inv_dt, mass):
     return vel - cut[:, None] * n_vec
 
 
-def _solve_rigid(pt: Particles, pos, vel, mass, dt, inv_dt):
-    """ref: SolveRigid + ParticleGroup.UpdateStatistics — rigid groups get a
-    uniform rigid-motion velocity field from their mass statistics."""
+def _rigid_group_stats(pt: Particles, pos, vel, mass):
+    """Per-rigid-group mass statistics (ref: ParticleGroup.UpdateStatistics
+    :42-120): center/velocity/omega plus inverse mass and inverse inertia
+    for the damping solve. Returns (in_rigid (Np,), n_groups, center,
+    linvel, omega, inv_mass, inv_inertia) with per-group arrays."""
     g = jnp.maximum(pt.group, 0)
     ng = pt.group_flags.shape[0]
     rigid = ((pt.group_flags & G_RIGID) != 0)
     in_rigid = pt.alive & (pt.group >= 0) & rigid[g]
     w1 = jnp.where(in_rigid, 1.0, 0.0)
     cnt = jnp.zeros(ng, jnp.float32).at[g].add(w1)
-    cnt = jnp.maximum(cnt, 1.0)
-    cx = jnp.zeros(ng, jnp.float32).at[g].add(w1 * pos[:, 0]) / cnt
-    cy = jnp.zeros(ng, jnp.float32).at[g].add(w1 * pos[:, 1]) / cnt
-    vx = jnp.zeros(ng, jnp.float32).at[g].add(w1 * vel[:, 0]) / cnt
-    vy = jnp.zeros(ng, jnp.float32).at[g].add(w1 * vel[:, 1]) / cnt
+    safe = jnp.maximum(cnt, 1.0)
+    cx = jnp.zeros(ng, jnp.float32).at[g].add(w1 * pos[:, 0]) / safe
+    cy = jnp.zeros(ng, jnp.float32).at[g].add(w1 * pos[:, 1]) / safe
+    vx = jnp.zeros(ng, jnp.float32).at[g].add(w1 * vel[:, 0]) / safe
+    vy = jnp.zeros(ng, jnp.float32).at[g].add(w1 * vel[:, 1]) / safe
     center = jnp.stack([cx, cy], axis=-1)
     linvel = jnp.stack([vx, vy], axis=-1)
     rel = pos - center[g]
     relv = vel - linvel[g]
-    inertia = jnp.zeros(ng, jnp.float32).at[g].add(w1 * m.dot(rel, rel))
+    inertia_u = jnp.zeros(ng, jnp.float32).at[g].add(w1 * m.dot(rel, rel))
     angm = jnp.zeros(ng, jnp.float32).at[g].add(w1 * m.cross(rel, relv))
-    omega = _safe_div(angm, jnp.maximum(inertia, 1e-9))
+    omega = _safe_div(angm, jnp.maximum(inertia_u, 1e-9))
+    g_mass = mass * cnt
+    g_inertia = mass * inertia_u
+    inv_m = jnp.where(cnt > 0, _safe_div(jnp.float32(1.0), g_mass), 0.0)
+    inv_i = jnp.where(inertia_u > 1e-9,
+                      _safe_div(jnp.float32(1.0), g_inertia), 0.0)
+    return in_rigid, ng, center, linvel, omega, inv_m, inv_i
+
+
+def _solve_rigid(pt: Particles, pos, vel, mass, dt, inv_dt):
+    """ref: SolveRigid — rigid groups get a uniform rigid-motion velocity
+    field from their mass statistics."""
+    in_rigid, ng, center, linvel, omega, _, _ = _rigid_group_stats(
+        pt, pos, vel, mass)
+    g = jnp.maximum(pt.group, 0)
+    rel = pos - center[g]
     v_rigid = linvel[g] + m.cross_sv(omega[g], rel)
     return jnp.where(in_rigid[:, None], v_rigid, vel)
 

@@ -250,3 +250,52 @@ def test_particle_queries_and_byte_count():
     i2, frac2, _, _ = w.cast_ray_particles((-3.0, 5.0), (6.0, 0.0))
     assert i2 == -1 and frac2 == 1.0
     assert w.byte_count() > 10000
+
+
+def test_solid_group_depth_and_ejection():
+    """ComputeDepth (ref :1002-1062): a solid group gets a nonzero interior
+    depth field, and SolveSolid (ref :2200) ejects a foreign particle that
+    overlaps the group."""
+    from box2d_tpu.particles import G_SOLID
+
+    w = api.World(t.WorldDef(gravity=(0.0, 0.0)))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 1.0), half_w=0.5, half_h=0.5,
+                        group_flags=G_SOLID)
+    # an intruder particle of a different group inside the solid block
+    ps.create_particle(position=(0.0, 1.0), group=-1)
+    w.compile()
+    w.step(1 / 60)
+    pt = w.state.particles
+    depth = np.asarray(pt.depth)
+    group = np.asarray(pt.group)
+    assert depth[group == 0].max() > 0.0, "solid group depth stayed zero"
+    for _ in range(30):
+        w.step(1 / 60)
+    pt = w.state.particles
+    intruder = np.where(np.asarray(pt.group) < 0)[0][-1]
+    v = np.asarray(pt.vel)[intruder]
+    p = np.asarray(pt.pos)[intruder]
+    # the ejection force must have pushed the intruder off dead center
+    assert np.hypot(*v) > 1e-3 or np.hypot(p[0], p[1] - 1.0) > 0.05, (
+        "intruder was not ejected from the solid group")
+
+
+def test_rigid_damping_on_body_contact():
+    """SolveRigidDamping (ref :1916-1977): a rigid group falling onto a
+    static floor has its approach velocity damped through the group's rigid
+    mass, and it must come to rest on the floor instead of bouncing off."""
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(8.0, 0.5))
+    ps = w.create_particle_system(radius=0.1)
+    ps.create_group_box(center=(0.0, 1.2), half_w=0.4, half_h=0.4,
+                        group_flags=G_RIGID)
+    w.compile()
+    for _ in range(180):
+        w.step(1 / 60)
+    pt = w.state.particles
+    pos = np.asarray(pt.pos)[np.asarray(pt.alive)]
+    vel = np.asarray(pt.vel)[np.asarray(pt.alive)]
+    assert pos[:, 1].min() > -0.1, "rigid group fell through the floor"
+    assert np.abs(vel).max() < 1.0, f"rigid group still agitated: {np.abs(vel).max()}"
