@@ -91,10 +91,38 @@ class World:
         sensors = sensor_shape_ids(self.builder._shapes)
         pcfg = None
         if self.builder._particle_builder is not None:
-            from .particles import P_BARRIER, ParticleConfig
+            from .particles import (G_RIGID, G_SOLID, P_BARRIER,
+                                    P_COLOR_MIXING, P_ELASTIC, P_POWDER,
+                                    P_REPULSIVE, P_SPRING,
+                                    P_STATIC_PRESSURE, P_TENSILE, P_VISCOUS,
+                                    P_WALL, ParticleConfig)
+            import math as _math
             pb = self.builder._particle_builder
+            allf = 0
+            for f in pb.flags:
+                allf |= int(f)
+            allg = 0
+            for f in pb.group_flags:
+                allg |= int(f)
+            # per-flag trace gates, the analog of the reference's
+            # AllParticleFlags checks (ref: Solve :1523-1555)
             pcfg = ParticleConfig(
-                has_barrier=any(f & P_BARRIER for f in pb.flags))
+                has_barrier=bool(allf & P_BARRIER),
+                has_viscous=bool(allf & P_VISCOUS),
+                has_repulsive=bool(allf & P_REPULSIVE),
+                has_powder=bool(allf & P_POWDER),
+                has_tensile=bool(allf & P_TENSILE),
+                has_colormix=bool(allf & P_COLOR_MIXING),
+                has_static_pressure=bool(allf & P_STATIC_PRESSURE),
+                has_elastic=bool(allf & P_ELASTIC),
+                has_spring=bool(allf & P_SPRING),
+                has_wall=bool(allf & P_WALL),
+                has_solid=bool(allg & G_SOLID),
+                has_rigid=bool(allg & G_RIGID),
+                # ref ComputeDepth iterates sqrt(particle count)
+                depth_iterations=max(
+                    16, int(_math.isqrt(max(len(pb.flags), 1))) + 1),
+            )
         # flagship Pallas solver: TPU-only, joint-free scenes.
         # mode 1 = VMEM-resident mega-kernel (small worlds, vmap-friendly),
         # mode 2 = HBM-streaming tiled kernel (large scenes), 0 = XLA path.
@@ -305,6 +333,102 @@ class World:
         self._update_tuning(enable_warm_starting=flag)
 
     # -- joint accessors ------------------------------------------------------
+    # Runtime typed get/setters (ref: api/Joint.cs:182-812, ~150 functions
+    # collapsed onto the shared parameter union of state.Joints). All writes
+    # are lane updates into traced arrays — no recompile — so an RL loop can
+    # retarget motors every step.
+
+    def _set_joint(self, joint: int, wake: bool = True, **fields):
+        jn = self.state.joints
+        upd = {}
+        for name, val in fields.items():
+            arr = getattr(jn, name)
+            upd[name] = arr.at[joint].set(jnp.asarray(val, arr.dtype))
+        self.state = dataclasses.replace(
+            self.state, joints=dataclasses.replace(jn, **upd))
+        if wake:
+            for bidx in (int(jn.body_a[joint]), int(jn.body_b[joint])):
+                if bidx >= 0:
+                    self.wake_body(bidx)
+
+    def joint_param(self, joint: int, field: str):
+        """Read any joint parameter column (ref: the Joint_Get* surface)."""
+        return np.asarray(getattr(self.state.joints, field)[joint])
+
+    def enable_joint_motor(self, joint: int, flag: bool):
+        """ref: RevoluteJoint_EnableMotor / PrismaticJoint_EnableMotor /
+        WheelJoint_EnableMotor / DistanceJoint_EnableMotor."""
+        self._set_joint(joint, enable_motor=flag)
+
+    def set_joint_motor_speed(self, joint: int, speed: float):
+        """ref: *Joint_SetMotorSpeed (rad/s or m/s by type)."""
+        self._set_joint(joint, motor_speed=speed)
+
+    def set_joint_max_motor_force(self, joint: int, force: float):
+        """ref: *Joint_SetMaxMotorForce / SetMaxMotorTorque."""
+        self._set_joint(joint, max_motor_force=force)
+
+    def enable_joint_limit(self, joint: int, flag: bool):
+        """ref: *Joint_EnableLimit."""
+        self._set_joint(joint, enable_limit=flag)
+
+    def set_joint_limits(self, joint: int, lower: float, upper: float):
+        """ref: *Joint_SetLimits (angle/translation/length by type)."""
+        self._set_joint(joint, lower=lower, upper=upper)
+
+    def enable_joint_spring(self, joint: int, flag: bool):
+        """ref: *Joint_EnableSpring."""
+        self._set_joint(joint, enable_spring=flag)
+
+    def set_joint_spring_hertz(self, joint: int, hertz: float):
+        """ref: *Joint_SetSpringHertz."""
+        self._set_joint(joint, hertz=hertz)
+
+    def set_joint_spring_damping_ratio(self, joint: int, zeta: float):
+        """ref: *Joint_SetSpringDampingRatio."""
+        self._set_joint(joint, damping_ratio=zeta)
+
+    def set_joint_spring_target(self, joint: int, target: float):
+        """ref: RevoluteJoint_SetTargetAngle / PrismaticJoint spring
+        target."""
+        self._set_joint(joint, spring_target=target)
+
+    def set_joint_angular_spring(self, joint: int, hertz: float,
+                                 zeta: float):
+        """ref: WeldJoint_SetAngularHertz/DampingRatio,
+        MotorJoint angular spring."""
+        self._set_joint(joint, angular_hertz=hertz,
+                        angular_damping_ratio=zeta)
+
+    def set_distance_joint_length(self, joint: int, length: float):
+        """ref: DistanceJoint_SetLength."""
+        self._set_joint(joint, length=length)
+
+    def set_distance_joint_spring_forces(self, joint: int, lower: float,
+                                         upper: float):
+        """ref: DistanceJoint_SetSpringForceRange."""
+        self._set_joint(joint, lower_spring_force=lower,
+                        upper_spring_force=upper)
+
+    def set_motor_joint_velocity(self, joint: int, linear, angular: float):
+        """ref: MotorJoint_SetLinearVelocity / SetAngularVelocity."""
+        self._set_joint(joint, linear_velocity=linear,
+                        angular_velocity=angular)
+
+    def set_motor_joint_max_force(self, joint: int, force: float,
+                                  torque: float):
+        """ref: MotorJoint_SetMaxVelocityForce / Torque."""
+        self._set_joint(joint, max_velocity_force=force,
+                        max_velocity_torque=torque)
+
+    def set_joint_thresholds(self, joint: int, force: float, torque: float):
+        """ref: Joint_SetForceThreshold / SetTorqueThreshold (events)."""
+        self._set_joint(joint, force_threshold=force,
+                        torque_threshold=torque, wake=False)
+
+    def set_joint_enabled(self, joint: int, flag: bool):
+        """ref: Joint_SetEnabled (wakes both bodies either way)."""
+        self._set_joint(joint, enabled=flag)
 
     def set_mouse_target(self, joint: int, target):
         """Move a mouse joint's world target (ref: MouseJoint SetTarget)."""
@@ -364,6 +488,9 @@ class World:
         group[in_b] = group_a
         gflags = np.asarray(pt.group_flags).copy()
         gflags[group_a] |= gflags[group_b]
+        from .particles import G_NEEDS_DEPTH, G_SOLID
+        if gflags[group_a] & G_SOLID:
+            gflags[group_a] |= G_NEEDS_DEPTH  # re-derive depth after a join
         gstrength = np.asarray(pt.group_strength)
         strength = float(min(gstrength[group_a], gstrength[group_b]))
 
@@ -650,6 +777,16 @@ class World:
         alive = np.asarray(pt.alive)
         return np.where(alive & (cons > threshold))[0]
 
+    def _mark_broadphase_dirty(self):
+        """Force a pair-set rebuild next step — needed after mutations that
+        change pair ADMISSIBILITY (filters, body type) rather than position
+        (position/aliveness changes are caught by the escape check)."""
+        if self.state.broadphase is not None:
+            self.state = dataclasses.replace(
+                self.state,
+                broadphase=dataclasses.replace(
+                    self.state.broadphase, dirty=jnp.asarray(True)))
+
     def destroy_body(self, body: int):
         """Disable a body and its shapes (the masked analog of ref
         api/Body.cs:109-164 DestroyBody; lanes are not reclaimed until the
@@ -723,6 +860,7 @@ class World:
             joints=dataclasses.replace(
                 self.state.joints,
                 color=jnp.full_like(self.state.joints.color, -1)))
+        self._mark_broadphase_dirty()
         self.wake_body(body)
 
     def set_filter(self, shape: int, filter_: "t.Filter"):
@@ -739,6 +877,7 @@ class World:
                 filter_mask=sh.filter_mask.at[shape].set(filter_.mask_bits),
                 filter_group=sh.filter_group.at[shape].set(
                     filter_.group_index)))
+        self._mark_broadphase_dirty()
         self.wake_body(int(np.asarray(sh.body[shape])))
         # wake current touching partners: a disappearing contact doesn't
         # trigger the wake-on-new-touch path (ref re-pairs proxies, which
@@ -765,6 +904,20 @@ class World:
         from . import queries
 
         return queries.cast_ray_closest(self.state, origin, translation, **kw)
+
+    def cast_mover(self, p1, p2, radius, translation, **kw) -> float:
+        """ref: api/World.cs:568 CastMover."""
+        from . import queries
+
+        return float(queries.cast_mover(self.state, p1, p2, radius,
+                                        translation, **kw))
+
+    def collide_mover(self, p1, p2, radius, **kw):
+        """ref: api/World.cs:617 CollideMover — collision planes for
+        solve_planes."""
+        from . import queries
+
+        return queries.collide_mover(self.state, p1, p2, radius, **kw)
 
     def overlap_aabb(self, aabb, **kw):
         from . import queries

@@ -375,6 +375,35 @@ def explode(state: WorldState, position, radius, impulse_per_length,
 # character mover (ref: src/Mover.cs:11-47)
 # ---------------------------------------------------------------------------
 
+def cast_mover(state: WorldState, p1, p2, radius, translation,
+               category_bits=0x1, mask_bits=0xFFFFFFFF):
+    """Capsule-mover shape cast with encroachment (ref: api/World.cs:568-626
+    CastMover): returns the max fraction of `translation` the mover can
+    travel. The reference's 3-tree loop with fraction clipping collapses to
+    one masked min over the dense shape set; canEncroach lets a mover
+    resting within slop of a surface keep sliding instead of reporting 0."""
+    sh = state.shapes
+    b = state.bodies
+    p = b.origin[sh.body]
+    q = b.rot[sh.body]
+    p1 = jnp.asarray(p1, jnp.float32)
+    p2 = jnp.asarray(p2, jnp.float32)
+    translation = jnp.asarray(translation, jnp.float32)
+    mover_verts = jnp.zeros((MAX_POLYGON_VERTICES, 2), jnp.float32)
+    mover_verts = mover_verts.at[0].set(p1).at[1].set(p2)
+
+    def one(sv, sc, sr, sp, sq):
+        return shape_cast_pair(sv, sc, sr, mover_verts, 2, radius,
+                               sp, sq, jnp.zeros(2), m.rot_identity(),
+                               translation, 1.0, can_encroach=True)
+
+    outs = jax.vmap(one)(sh.verts, sh.count, sh.radius, p, q)
+    valid = (outs.hit & sh.enabled & b.enabled[sh.body] & ~sh.is_sensor
+             & _query_filter_mask(state, category_bits, mask_bits))
+    frac = jnp.where(valid, outs.fraction, 1.0)
+    return jnp.min(frac)
+
+
 def solve_planes(target_delta, plane_normals, plane_offsets, push_limits,
                  valid):
     """Iteratively push a movement delta out of collision planes

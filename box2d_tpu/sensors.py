@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from . import math2d as m
 from .constants import FLT_EPSILON
-from .distance import shape_distance
+from .distance import shape_cast_pair, shape_distance
 from .state import Capacity, WorldState
 
 
@@ -27,8 +27,15 @@ def sensor_shape_ids(shapes_host) -> tuple:
     return tuple(i for i, s in enumerate(shapes_host) if s["is_sensor"])
 
 
-def sensor_pass(state: WorldState, cap: Capacity, sensor_ids: tuple):
-    """Compute sensor begin/end events + the new persistent overlap keys."""
+def sensor_pass(state: WorldState, cap: Capacity, sensor_ids: tuple,
+                prev_origin=None, prev_rot=None):
+    """Compute sensor begin/end events + the new persistent overlap keys.
+
+    prev_origin/prev_rot: pre-step body poses. When given, each visitor is
+    ALSO shape-cast from its pre-step pose along its step motion against the
+    sensor, so a fast body that passes completely through a sensor within
+    one step still registers (ref: src/Solver.cs:1275-1292 sensor TOI hits
+    collected during the continuous pass)."""
     if not sensor_ids:
         return state
 
@@ -49,6 +56,23 @@ def sensor_pass(state: WorldState, cap: Capacity, sensor_ids: tuple):
             return out.distance < 10.0 * FLT_EPSILON
 
         hit = jax.vmap(one)(sh.verts, sh.count, sh.radius, p, q)
+        if prev_origin is not None:
+            pv = prev_origin[sh.body]
+            qv = prev_rot[sh.body]
+
+            def one_cast(ov, oc, orad, opv, oqv, opn):
+                out = shape_cast_pair(sv, sc, sr, ov, oc, orad,
+                                      sp, sq, opv, oqv, opn - opv,
+                                      jnp.float32(1.0))
+                return out.hit
+
+            swept = jax.vmap(one_cast)(sh.verts, sh.count, sh.radius,
+                                       pv, qv, p)
+            # only count the swept test for bodies that actually moved a
+            # meaningful distance this step (otherwise the distance test
+            # above is authoritative)
+            moved = m.length(p - pv) > 0.25 * b.min_extent[sh.body]
+            hit = hit | (swept & moved)
         same_body = sh.body == sh.body[s]
         grp = sh.filter_group
         same_group = (grp == grp[s]) & (grp != 0)

@@ -183,3 +183,36 @@ def test_joint_farm_scene_stable():
         w.step(1 / 60)
     assert bool(np.isfinite(np.asarray(w.state.bodies.center)).all())
     assert np.abs(np.asarray(w.state.bodies.v)).max() < 50.0
+
+
+def test_runtime_motor_retarget_no_recompile():
+    """Typed joint accessors (ref: api/Joint.cs:324-403): an RL-style loop
+    flips a revolute motor's speed mid-rollout; the traced lane write must
+    take effect without recompiling the step."""
+    w = api.World()
+    anchor = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 2.0)))
+    arm = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(1.0, 2.0)))
+    w.create_polygon_shape(arm, t.ShapeDef(density=1.0), g.box(0.5, 0.1))
+    j = w.create_joint(t.RevoluteJointDef(
+        body_a=anchor, body_b=arm,
+        local_anchor_a=(0.0, 0.0), local_anchor_b=(-1.0, 0.0),
+        enable_motor=True, motor_speed=2.0, max_motor_torque=100.0))
+    w.compile()
+    step_fn = w._step
+    for _ in range(30):
+        w.step(1 / 60)
+    assert float(w.state.bodies.w[arm]) > 0.5
+    w.set_joint_motor_speed(j, -2.0)
+    for _ in range(30):
+        w.step(1 / 60)
+    assert float(w.state.bodies.w[arm]) < -0.5
+    assert w._step is step_fn, "accessor forced a recompile"
+    # limits clamp the motor (ref RevoluteJoint_SetLimits)
+    w.enable_joint_limit(j, True)
+    w.set_joint_limits(j, -0.3, 0.3)
+    for _ in range(120):
+        w.step(1 / 60)
+    # arm angle must be clamped near the limit range
+    rot = np.asarray(w.state.bodies.rot[arm])
+    angle = np.arctan2(rot[1], rot[0])
+    assert -0.45 < angle < 0.45, f"limit ignored: angle={angle}"

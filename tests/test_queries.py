@@ -117,3 +117,31 @@ def test_sensor_begin_end_events():
     # ball falls through the sensor: one begin, one end
     assert begins == 1, f"begins={begins}"
     assert ends == 1, f"ends={ends}"
+
+
+def test_cast_mover_stops_at_wall():
+    """CastMover (ref: api/World.cs:568-626): a capsule mover casting into a
+    wall returns the clipped fraction."""
+    w = api.World()
+    g_ = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(g_, t.ShapeDef(), g.box(10.0, 0.5))
+    wall = w.create_body(t.BodyDef(type=t.STATIC, position=(2.0, 1.0)))
+    w.create_polygon_shape(wall, t.ShapeDef(), g.box(0.25, 1.0))
+    w.compile()
+    frac = w.cast_mover((0.0, 0.5), (0.0, 1.0), 0.3, (4.0, 0.0))
+    # wall face at x=1.75, capsule radius 0.3 -> stop near x=1.45
+    assert 0.30 < frac < 0.42, frac
+    # casting away from the wall is free
+    assert w.cast_mover((0.0, 0.5), (0.0, 1.0), 0.3, (-1.0, 0.0)) == 1.0
+
+
+def test_cast_mover_encroached_can_slide():
+    """canEncroach: a mover resting in light contact with the ground can
+    still slide horizontally (fraction 1), instead of reporting 0."""
+    w = api.World()
+    g_ = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(g_, t.ShapeDef(), g.box(10.0, 0.5))
+    w.compile()
+    # capsule bottom exactly on the ground surface
+    frac = w.cast_mover((0.0, 0.3), (0.0, 1.0), 0.3, (2.0, 0.0))
+    assert frac > 0.9, frac

@@ -227,3 +227,25 @@ def test_set_filter_disables_collision():
     for _ in range(60):
         w.step(1 / 60)
     assert w.body_position(b)[1] < -0.5
+
+
+def test_bullet_through_sensor_registers():
+    """Sensor TOI hits (ref: src/Solver.cs:1275-1292): a bullet that crosses
+    a thin sensor completely within one step still emits a begin event."""
+    w = api.World()
+    sensor_body = w.create_body(t.BodyDef(type=t.STATIC, position=(5.0, 0.0)))
+    sd = t.ShapeDef(is_sensor=True, enable_sensor_events=True)
+    w.create_polygon_shape(sensor_body, sd, g.box(0.05, 2.0))
+    bullet = w.create_body(t.BodyDef(
+        type=t.DYNAMIC, position=(0.0, 0.0),
+        linear_velocity=(600.0, 0.0), gravity_scale=0.0, is_bullet=True))
+    bsd = t.ShapeDef(density=1.0, enable_sensor_events=True)
+    w.create_circle_shape(bullet, bsd, (0.0, 0.0), 0.1)
+    w.compile()
+    got_begin = False
+    for _ in range(3):
+        w.step(1 / 60)
+        if int(w.state.events.sensor_begin_count) > 0:
+            got_begin = True
+    assert got_begin, "bullet passed through the sensor without an event"
+    assert float(w.state.bodies.center[bullet, 0]) > 10.0  # truly crossed
