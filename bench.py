@@ -30,14 +30,18 @@ import numpy as np
 
 # single-core CPU XLA-path proxies (body-steps/s or particle-steps/s),
 # measured with tools/cpu_baseline.py on this host; see BASELINE.md
+# measured 2026-08-17 (tools/cpu_baseline.py, xla_cpu single thread,
+# entity-steps/s): see BASELINE.md
 CPU_BASELINE = {
-    "pyramid-20": 0.0,
-    "pyramid-140": 0.0,
-    "tumbler": 0.0,
-    "joint_farm": 0.0,
-    "bullet_barrage": 0.0,
-    "dam_break": 0.0,
-    "batch": 0.0,
+    "pyramid-20": 95376.1,
+    "pyramid-140": 132815.0,
+    "tumbler": 87831.9,
+    "joint_farm": 82227.9,
+    "bullet_barrage": 21794.4,
+    "dam_break": 82686.8,
+    # a single core runs batch members sequentially, so the per-world rate
+    # is the batch baseline
+    "batch": 95376.1,
 }
 
 
@@ -143,6 +147,23 @@ def measure_batch(n_worlds=64, rows=20, steps=240):
     }
 
 
+def measure_batch_flat(n_worlds=64, rows=20, steps=240):
+    """Flat batch: n copies tiled into ONE world (scenes.replicate), stepped
+    as a single program — the TPU-first batch mode (a vmapped batch pays
+    batched-scatter serialization per world)."""
+    from box2d_tpu import scenes
+
+    w = scenes.replicate(scenes.pyramid(rows=rows), n_worlds)
+    tag = f"batch-flat"
+    out = measure_world(w, f"{n_worlds}x pyramid-{rows} flat", steps)
+    out["metric"] = ("body-steps/sec (" + f"{n_worlds}x pyramid-{rows}"
+                     + " flat batch, "
+                     + out["metric"].split(", ")[1])
+    base = CPU_BASELINE.get("batch", 0.0)
+    out["vs_baseline"] = round(out["value"] / base, 3) if base else 0.0
+    return out
+
+
 def main():
     steps = int(os.environ.get("BENCH_STEPS", "240"))
     rows = int(os.environ.get("BENCH_ROWS", "140"))
@@ -157,6 +178,7 @@ def main():
             w, tag = build(scene, kw.get("rows", rows), count)
             results[tag] = measure_world(w, tag, steps)
         results["batch"] = measure_batch(steps=steps)
+        results["batch_flat"] = measure_batch_flat(steps=steps)
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "BENCH_FULL.json"), "w") as f:
             json.dump(results, f, indent=1)
@@ -166,6 +188,8 @@ def main():
     scene_name = os.environ.get("BENCH_SCENE", "pyramid")
     if scene_name == "batch":
         out = measure_batch(steps=steps)
+    elif scene_name == "batch_flat":
+        out = measure_batch_flat(steps=steps)
     else:
         w, tag = build(scene_name, rows, count)
         out = measure_world(w, tag, steps)

@@ -883,11 +883,10 @@ class World:
         # trigger the wake-on-new-touch path (ref re-pairs proxies, which
         # wakes through contact destruction)
         cs = self.state.contacts
-        key = np.asarray(cs.key)
+        sa = np.asarray(cs.key_a)
+        sb = np.asarray(cs.key_b)
         touching = np.asarray(cs.touching)
-        S = self.capacity.max_shapes
-        sa, sb = key // S, key % S
-        for k in np.where((key >= 0) & touching
+        for k in np.where((sa >= 0) & touching
                           & ((sa == shape) | (sb == shape)))[0]:
             other = int(sb[k] if sa[k] == shape else sa[k])
             self.wake_body(int(np.asarray(sh.body[other])))

@@ -301,7 +301,8 @@ class WorldBuilder:
         from .narrowphase import table_size
         C = table_size(capacity.max_contact_pairs)
         contacts = ContactStore(
-            key=jnp.full(C, -1, jnp.int32),
+            key_a=jnp.full(C, -1, jnp.int32),
+            key_b=jnp.full(C, -1, jnp.int32),
             ids=jnp.zeros((C, 2), jnp.int32),
             normal_impulse=jnp.zeros((C, 2), jnp.float32),
             tangent_impulse=jnp.zeros((C, 2), jnp.float32),

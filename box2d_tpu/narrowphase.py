@@ -68,7 +68,8 @@ class ContactData(NamedTuple):
     shape_b: jnp.ndarray
     body_a: jnp.ndarray    # (P,)
     body_b: jnp.ndarray
-    key: jnp.ndarray       # (P,) canonical pair key (-1 invalid)
+    key_a: jnp.ndarray     # (P,) canonical pair key low shape id (-1 invalid)
+    key_b: jnp.ndarray     # (P,) canonical pair key high shape id
     manifold: mfm.Manifold  # batched (P, ...)
     friction: jnp.ndarray
     restitution: jnp.ndarray
@@ -202,15 +203,17 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
         anchor_b=out.anchor_b - off_b[:, None, :],
     )
 
-    key = jnp.where(pairs.valid,
-                    jnp.minimum(sa, sb) * S + jnp.maximum(sa, sb),
-                    -1)
+    # canonical pair key as TWO shape-id columns — exact for any S (the
+    # old single int32 a*S+b key silently overflowed past ~46k shapes)
+    key_a = jnp.where(pairs.valid, jnp.minimum(sa, sb), -1)
+    key_b = jnp.where(pairs.valid, jnp.maximum(sa, sb), -1)
 
     ni, ti, ri, was_touching, prev_color, store_slot = _match_warm_start(
-        state.contacts, key, out.ids)
+        state.contacts, key_a, key_b, out.ids)
 
     return ContactData(
-        shape_a=sa, shape_b=sb, body_a=body_a, body_b=body_b, key=key,
+        shape_a=sa, shape_b=sb, body_a=body_a, body_b=body_b,
+        key_a=key_a, key_b=key_b,
         manifold=out, friction=friction, restitution=restitution,
         rolling_resistance=rr, tangent_speed=tangent_speed,
         normal_impulse=ni, tangent_impulse=ti, rolling_impulse=ri,
@@ -231,28 +234,31 @@ def table_size(capacity_pairs: int) -> int:
     return t
 
 
-def _probe_slots(key, t: int):
-    """(P, _PROBES) probe slots per pair key: Knuth multiplicative hash +
-    linear probing. The open-addressed store replaces the reference's
+def _probe_slots(key_a, key_b, t: int):
+    """(P, _PROBES) probe slots per (lo, hi) pair key: mixed multiplicative
+    hash + linear probing. The open-addressed store replaces the reference's
     persistent pairSet/Contact objects (ref: src/BroadPhase.cs:50,
     src/Contact.cs:134-227) with O(1) elementwise ops — a sort-based match
     here cost ~100 sequential bitonic passes per step on TPU."""
     k = t.bit_length() - 1
-    h = ((key.astype(jnp.uint32) * jnp.uint32(2654435761))
-         >> jnp.uint32(32 - k)).astype(jnp.int32)
+    mixed = (key_a.astype(jnp.uint32) * jnp.uint32(2654435761)
+             ^ key_b.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    h = (mixed >> jnp.uint32(32 - k)).astype(jnp.int32)
     return (h[:, None] + jnp.arange(_PROBES, dtype=jnp.int32)[None, :]) \
         & (t - 1)
 
 
-def _match_warm_start(store: ContactStore, new_key, new_ids):
+def _match_warm_start(store: ContactStore, new_ka, new_kb, new_ids):
     """Transfer impulses from the previous step's store by (key, point id)
     (ref: src/Contact.cs:385-413), via hash probing."""
-    t = store.key.shape[0]
-    slots = _probe_slots(new_key, t)            # (P, R)
-    hit = (store.key[slots] == new_key[:, None]) & (new_key >= 0)[:, None]
+    t = store.key_a.shape[0]
+    slots = _probe_slots(new_ka, new_kb, t)     # (P, R)
+    hit = ((store.key_a[slots] == new_ka[:, None])
+           & (store.key_b[slots] == new_kb[:, None])
+           & (new_ka >= 0)[:, None])
     found = jnp.any(hit, axis=1)
     first = jnp.argmax(hit, axis=1)
-    old_idx = slots[jnp.arange(new_key.shape[0]), first]
+    old_idx = slots[jnp.arange(new_ka.shape[0]), first]
     old_idx = jnp.where(found, old_idx, 0)
 
     old_ids = store.ids[old_idx]            # (P, 2)
@@ -287,10 +293,10 @@ def update_store(data: ContactData, capacity_pairs: int,
     (live ones get this step's assignment, sleeping ones keep the inherited
     reservation), separated pairs release (-1)."""
     t = table_size(capacity_pairs)
-    key = data.key
-    p = key.shape[0]
+    ka, kb = data.key_a, data.key_b
+    p = ka.shape[0]
     lane = jnp.arange(p, dtype=jnp.int32)
-    live = key >= 0
+    live = ka >= 0
     # persisting pairs KEEP their previous slot (found by the warm match);
     # only genuinely new pairs run the probe-insert rounds, and a step with
     # no new pairs skips them entirely via lax.cond (steady-state fast path)
@@ -298,7 +304,7 @@ def update_store(data: ContactData, capacity_pairs: int,
     new_pair = live & (slot_of < 0)
 
     def insert(slot_of):
-        slots = _probe_slots(key, t)
+        slots = _probe_slots(ka, kb, t)
         taken = jnp.zeros(t, bool).at[
             jnp.where(slot_of >= 0, slot_of, 0)].max(slot_of >= 0)
         big = jnp.int32(1 << 30)
@@ -318,7 +324,7 @@ def update_store(data: ContactData, capacity_pairs: int,
 
     touching = data.manifold.point_count > 0
     if color is None:
-        color = jnp.full_like(data.key, -1)
+        color = jnp.full_like(ka, -1)
 
     # pack all fields into one f32 + one i32 matrix -> 2 scatters instead
     # of 7 (each full-table scatter costs real time on TPU)
@@ -327,17 +333,18 @@ def update_store(data: ContactData, capacity_pairs: int,
         data.tangent_impulse[:, 0], data.tangent_impulse[:, 1],
         data.rolling_impulse], axis=1)
     imat = jnp.stack([
-        key, data.manifold.ids[:, 0], data.manifold.ids[:, 1],
+        ka, kb, data.manifold.ids[:, 0], data.manifold.ids[:, 1],
         jnp.where(touching, color, -1),
         touching.astype(jnp.int32)], axis=1)
     f_t = jnp.zeros((t, 5), jnp.float32).at[tgt].set(fmat, mode="drop")
-    i_t = jnp.full((t, 5), -1, jnp.int32).at[tgt].set(imat, mode="drop")
+    i_t = jnp.full((t, 6), -1, jnp.int32).at[tgt].set(imat, mode="drop")
     return ContactStore(
-        key=i_t[:, 0],
-        ids=i_t[:, 1:3],
+        key_a=i_t[:, 0],
+        key_b=i_t[:, 1],
+        ids=i_t[:, 2:4],
         normal_impulse=f_t[:, 0:2],
         tangent_impulse=f_t[:, 2:4],
         rolling_impulse=f_t[:, 4],
-        touching=i_t[:, 4] > 0,
-        color=i_t[:, 3],
+        touching=i_t[:, 5] > 0,
+        color=i_t[:, 4],
     )

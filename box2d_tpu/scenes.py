@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from . import geometry as g
 from . import types as t
 from .api import World
@@ -141,3 +143,45 @@ def dam_break(particles_target: int = 2000, substeps: int = 4,
     ps.create_group_box(center=(-4.0 + side / 2 + 0.3, side / 2 + 0.05),
                         half_w=side / 2, half_h=side / 2)
     return w
+
+
+def replicate(base: World, n: int, spacing: float | None = None) -> World:
+    """Tile `n` copies of a scene into ONE world, spatially offset along x.
+
+    The TPU-first batch mode: a flat batch steps as a single program through
+    the tiled Pallas solver, where a vmapped batch pays batched-scatter
+    serialization and select-lowered conds for every world. Worlds stay
+    independent because the copies never overlap (grid broadphase emits no
+    cross-copy pairs). Per-copy state lives at body/shape/joint index ranges
+    of stride (n_bodies, n_shapes, n_joints) of the base scene.
+    """
+    bb = base.builder
+    assert bb._particle_builder is None, "replicate: rigid scenes only"
+    if spacing is None:
+        lo, hi = 1e30, -1e30
+        for b in bb._bodies:
+            lo = min(lo, float(b["position"][0]))
+            hi = max(hi, float(b["position"][0]))
+        # widest shape reach heuristic: use scene x-extent with margin
+        spacing = max(2.0 * (hi - lo + 10.0), 20.0)
+
+    out = World(bb.def_)
+    nb = len(bb._bodies)
+    for k in range(n):
+        dx = k * spacing
+        for b in bb._bodies:
+            nbod = dict(b)
+            nbod["position"] = b["position"] + np.array([dx, 0.0], np.float32)
+            nbod["mass_center"] = b["mass_center"].copy()
+            out.builder._bodies.append(nbod)
+        off = k * nb
+        for s in bb._shapes:
+            ns = dict(s)
+            ns["body"] = s["body"] + off
+            out.builder._shapes.append(ns)
+        for j in bb._joints:
+            nj = dict(j)
+            nj["body_a"] = j["body_a"] + off
+            nj["body_b"] = j["body_b"] + off
+            out.builder._joints.append(nj)
+    return out

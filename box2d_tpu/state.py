@@ -133,11 +133,13 @@ class Shapes:
 
 @_pytree
 class ContactStore:
-    """Persistent per-pair warm-start data, keyed by canonical pair key
-    (shape_a * S + shape_b). Rebuilt-and-matched every step
-    (ref: src/Contact.cs:385-413 impulse matching by feature id)."""
+    """Persistent per-pair warm-start data: an open-addressed hash table
+    keyed by the canonical (low, high) shape-id pair — exact for any shape
+    count. Rebuilt-and-matched every step (ref: src/Contact.cs:385-413
+    impulse matching by feature id)."""
 
-    key: Any             # (C,) i32, -1 = empty
+    key_a: Any           # (C,) canonical low shape id (-1 = empty slot)
+    key_b: Any           # (C,) canonical high shape id
     ids: Any             # (C, 2) i32 manifold point feature ids
     normal_impulse: Any  # (C, 2)
     tangent_impulse: Any  # (C, 2)

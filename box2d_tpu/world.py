@@ -131,8 +131,11 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
     raw_colors = repair_colors(
         all_ba, all_bb, all_active, all_reserved, all_prev, b.type, nb,
         cap.max_colors, color_cap=chunk,
+        # 16-bit compact-position priority bits cap the per-step repair
+        # buffer at 65536 lanes; excess new constraints overflow-solve this
+        # step and retry next step
         repair_cap=min(max(512, cap.max_contact_pairs // 4),
-                       all_ba.shape[0]))
+                       all_ba.shape[0], 1 << 16))
     ovf = all_active & (raw_colors < 0)
     overflow_colors = jnp.sum(ovf).astype(jnp.int32)
     colors = dense_remap(

@@ -101,7 +101,7 @@ def _run_oracle(w, steps, dt=1.0 / 60.0, substeps=4):
         aabbs = compute_shape_aabbs(st)
         pairs = find_pairs(st, cap, aabbs)
         data = narrow_phase(st, pairs, classes)
-        return (data.key, data.body_a, data.body_b,
+        return (data.key_a, data.key_b, data.body_a, data.body_b,
                 data.manifold.point_count, data.manifold.normal,
                 data.manifold.anchor_a, data.manifold.anchor_b,
                 data.manifold.separation, data.manifold.ids,
@@ -131,14 +131,14 @@ def _run_oracle(w, steps, dt=1.0 / 60.0, substeps=4):
     for _ in range(steps):
         v = np.stack([b.v for b in bodies])
         w_ = np.array([b.w for b in bodies], F)
-        (key, ba, bb, pc, normal, aa, ab, sep, ids, fr, re, ts, rr) = [
+        (key_a, key_b, ba, bb, pc, normal, aa, ab, sep, ids, fr, re, ts, rr) = [
             np.asarray(x) for x in nf(center, rot, v, w_)]
         raw = []
-        for lane in range(key.shape[0]):
+        for lane in range(key_a.shape[0]):
             n_pts = int(pc[lane])
             if n_pts == 0:
                 continue
-            k = int(key[lane])
+            k = (int(key_a[lane]), int(key_b[lane]))
             raw.append({
                 "a": int(ba[lane]), "b": int(bb[lane]),
                 "normal": normal[lane],

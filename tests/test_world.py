@@ -249,3 +249,21 @@ def test_bullet_through_sensor_registers():
             got_begin = True
     assert got_begin, "bullet passed through the sensor without an event"
     assert float(w.state.bodies.center[bullet, 0]) > 10.0  # truly crossed
+
+
+def test_replicated_batch_matches_single():
+    """scenes.replicate: copy 0 of a flat batch follows the same trajectory
+    as the standalone scene (copies are spatially independent)."""
+    from box2d_tpu import scenes
+
+    single = scenes.pyramid(rows=3)
+    batch = scenes.replicate(scenes.pyramid(rows=3), 3)
+    single.compile()
+    batch.compile()
+    for _ in range(60):
+        single.step(1 / 60)
+        batch.step(1 / 60)
+    nb = len(single.builder._bodies)
+    c1 = np.asarray(single.state.bodies.center)[:nb]
+    c2 = np.asarray(batch.state.bodies.center)[:nb]
+    np.testing.assert_allclose(c1, c2, atol=2e-4)
