@@ -200,14 +200,21 @@ class World:
             self.state,
             bodies=dataclasses.replace(
                 bd, v=bd.v.at[body].set(jnp.asarray(v, jnp.float32))))
+        # ref: api/Body.cs:363 — a nonzero velocity wakes the body
+        if float(np.hypot(*np.asarray(v, np.float32))) > 0:
+            self.wake_body(body)
 
     def set_angular_velocity(self, body: int, w: float):
+        if w != 0.0:
+            self.wake_body(body)  # ref: api/Body.cs:374
         bd = self.state.bodies
         self.state = dataclasses.replace(
             self.state,
             bodies=dataclasses.replace(bd, w=bd.w.at[body].set(jnp.float32(w))))
 
     def apply_force_to_center(self, body: int, force, wake=True):
+        if wake:
+            self.wake_body(body)
         bd = self.state.bodies
         self.state = dataclasses.replace(
             self.state,
@@ -215,6 +222,8 @@ class World:
                 bd, force=bd.force.at[body].add(jnp.asarray(force, jnp.float32))))
 
     def apply_linear_impulse_to_center(self, body: int, impulse, wake=True):
+        if wake:
+            self.wake_body(body)
         bd = self.state.bodies
         dv = jnp.asarray(impulse, jnp.float32) * bd.inv_mass[body]
         self.state = dataclasses.replace(
@@ -222,6 +231,8 @@ class World:
             bodies=dataclasses.replace(bd, v=bd.v.at[body].add(dv)))
 
     def apply_torque(self, body: int, torque: float, wake=True):
+        if wake:
+            self.wake_body(body)
         bd = self.state.bodies
         self.state = dataclasses.replace(
             self.state,

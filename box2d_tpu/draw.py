@@ -16,8 +16,13 @@ from . import math2d as m
 from .state import KINEMATIC, STATIC, WorldState
 
 
-def draw_data(state: WorldState) -> dict:
+def draw_data(state: WorldState, color_by: str = "state") -> dict:
     """Extract renderable primitives from the current state.
+
+    color_by: "state" (static/kinematic/dynamic/sleeping palette, the
+    reference's default), "island" (per-island hues, ref DebugDraw
+    drawIslands), or "graph_color" (per-constraint-graph-color hues on
+    touching contacts' bodies, ref ContactSolver color visualization).
 
     Returns a dict with:
       polygons: list of (verts (k,2), color)
@@ -40,14 +45,54 @@ def draw_data(state: WorldState) -> dict:
     btype = np.asarray(b.type)
     awake = np.asarray(b.awake)
 
-    def body_color(bi):
-        if btype[bi] == STATIC:
-            return (0.5, 0.9, 0.5, 1.0)
-        if btype[bi] == KINEMATIC:
-            return (0.5, 0.5, 0.9, 1.0)
-        if not awake[bi]:
-            return (0.6, 0.6, 0.6, 1.0)
-        return (0.9, 0.7, 0.7, 1.0)
+    def hue(k):
+        # golden-ratio hue walk: distinct colors for any index
+        h = (0.618033988749895 * (k + 1)) % 1.0
+        i = int(h * 6)
+        f = h * 6 - i
+        q, t_ = 0.35 + 0.65 * (1 - f), 0.35 + 0.65 * f
+        rgb = [(1, t_, .35), (q, 1, .35), (.35, 1, t_),
+               (.35, q, 1), (t_, .35, 1), (1, .35, q)][i % 6]
+        return (*rgb, 1.0)
+
+    if color_by == "island":
+        labels = np.asarray(b.island_label)
+
+        def body_color(bi):
+            if btype[bi] == STATIC:
+                return (0.5, 0.9, 0.5, 1.0)
+            if not awake[bi]:
+                return (0.6, 0.6, 0.6, 1.0)
+            return hue(int(labels[bi]))
+    elif color_by == "graph_color":
+        # color each body by the max graph color among its stored touching
+        # contacts (-1 = uncolored: grey)
+        cs = state.contacts
+        ka = np.asarray(cs.key_a)
+        col = np.asarray(cs.color)
+        touching = np.asarray(cs.touching)
+        sh_body = np.asarray(state.shapes.body)
+        body_gc = np.full(btype.shape[0], -1)
+        for slot in np.where((ka >= 0) & touching & (col >= 0))[0]:
+            for sid in (int(ka[slot]), int(np.asarray(cs.key_b)[slot])):
+                bi = int(sh_body[sid])
+                body_gc[bi] = max(body_gc[bi], int(col[slot]))
+
+        def body_color(bi):
+            if btype[bi] == STATIC:
+                return (0.5, 0.9, 0.5, 1.0)
+            if body_gc[bi] < 0:
+                return (0.6, 0.6, 0.6, 1.0)
+            return hue(int(body_gc[bi]))
+    else:
+        def body_color(bi):
+            if btype[bi] == STATIC:
+                return (0.5, 0.9, 0.5, 1.0)
+            if btype[bi] == KINEMATIC:
+                return (0.5, 0.5, 0.9, 1.0)
+            if not awake[bi]:
+                return (0.6, 0.6, 0.6, 1.0)
+            return (0.9, 0.7, 0.7, 1.0)
 
     out = {"polygons": [], "circles": [], "capsules": [], "segments": [],
            "particles": None, "joints": []}

@@ -222,7 +222,7 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
     )
 
 
-_PROBES = 4
+_PROBES = 8
 
 
 def table_size(capacity_pairs: int) -> int:
@@ -240,10 +240,19 @@ def _probe_slots(key_a, key_b, t: int):
     persistent pairSet/Contact objects (ref: src/BroadPhase.cs:50,
     src/Contact.cs:134-227) with O(1) elementwise ops — a sort-based match
     here cost ~100 sequential bitonic passes per step on TPU."""
-    k = t.bit_length() - 1
-    mixed = (key_a.astype(jnp.uint32) * jnp.uint32(2654435761)
-             ^ key_b.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    h = (mixed >> jnp.uint32(32 - k)).astype(jnp.int32)
+    # murmur3-style avalanche: structured shape-id pairs (consecutive ids
+    # along pyramid rows) collide catastrophically under a plain
+    # multiply-xor-top-bits mix (measured 25-deep buckets and ~25% insert
+    # failures on pyramid-30, which kept re-waking the slept island through
+    # phantom "new touch" events)
+    x = (key_a.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         + key_b.astype(jnp.uint32))
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    h = (x & jnp.uint32(t - 1)).astype(jnp.int32)
     return (h[:, None] + jnp.arange(_PROBES, dtype=jnp.int32)[None, :]) \
         & (t - 1)
 

@@ -63,10 +63,17 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
                          state.joints.enabled & (state.joints.body_a >= 0)]))
 
     # ---- wake: new touching contact reaches a sleeping body --------------
+    # the waking side must be an AWAKE non-static body (ref: only moved
+    # proxies create contacts, src/BroadPhase.cs BufferMove): two frozen
+    # bodies cannot produce a real new touch, so a phantom new_touch from a
+    # hash-store drop (store_slot never found => was_touching always False)
+    # inside a sleeping island must not re-wake it
     ext = jnp.zeros(nb + 1, bool)
     asleep_a = ~b.awake[body_a]
     asleep_b = ~b.awake[body_b]
-    hit = new_touch & (asleep_a | asleep_b)
+    mover_a = b.awake[body_a] & (b.type[body_a] != 0) & b.enabled[body_a]
+    mover_b = b.awake[body_b] & (b.type[body_b] != 0) & b.enabled[body_b]
+    hit = new_touch & ((asleep_a & mover_b) | (asleep_b & mover_a))
     ext = ext.at[jnp.where(hit, body_a, nb)].max(hit)
     ext = ext.at[jnp.where(hit, body_b, nb)].max(hit)
     woken_body = ext[:nb]

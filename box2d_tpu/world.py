@@ -66,6 +66,37 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
           sensor_ids: tuple = (), continuous: bool = True,
           particle_cfg: ParticleConfig | None = None,
           use_pallas: bool = False) -> WorldState:
+    # whole-world idle fast path: when every non-static body is asleep and
+    # no host mutator dirtied the broadphase, the world is a fixed point —
+    # skip the entire step (the reference's sleeping solver sets cost
+    # nothing either, src/SolverSet.cs). Under vmap the cond lowers to a
+    # select (both branches run), same as before.
+    if particle_cfg is None and state.broadphase is not None:
+        b0 = state.bodies
+        idle = (~state.broadphase.dirty
+                & ~jnp.any(b0.awake & (b0.type != 0) & b0.enabled))
+
+        def idle_fn(st):
+            return dataclasses.replace(
+                st, events=zero_events(cap), profile=zero_profile(),
+                step_count=st.step_count + 1)
+
+        def work_fn(st):
+            return _step_work(st, dt, cap, classes_present, substeps,
+                              joint_types, sensor_ids, continuous,
+                              particle_cfg, use_pallas)
+
+        return lax.cond(idle, idle_fn, work_fn, state)
+    return _step_work(state, dt, cap, classes_present, substeps, joint_types,
+                      sensor_ids, continuous, particle_cfg, use_pallas)
+
+
+def _step_work(state: WorldState, dt, cap: Capacity,
+               classes_present: frozenset,
+               substeps: int, joint_types: frozenset = frozenset(),
+               sensor_ids: tuple = (), continuous: bool = True,
+               particle_cfg: ParticleConfig | None = None,
+               use_pallas: bool = False) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps

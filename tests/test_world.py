@@ -267,3 +267,28 @@ def test_replicated_batch_matches_single():
     c1 = np.asarray(single.state.bodies.center)[:nb]
     c2 = np.asarray(batch.state.bodies.center)[:nb]
     np.testing.assert_allclose(c1, c2, atol=2e-4)
+
+
+def test_pyramid_sleeps_and_stays_asleep():
+    """A settled pyramid's island must fall asleep (0.5 s timer) and STAY
+    asleep — phantom new-touch events (e.g. a hash-store drop) must not
+    re-wake a fully frozen island — and a real impact must wake it."""
+    from box2d_tpu import scenes
+
+    w = scenes.pyramid(rows=6)
+    w.compile()
+    for _ in range(400):
+        w.step(1 / 60)
+    dyn = np.asarray(w.state.bodies.type) == 2
+    assert not np.asarray(w.state.bodies.awake)[dyn].any(), "never slept"
+    for _ in range(60):
+        w.step(1 / 60)
+    assert not np.asarray(w.state.bodies.awake)[dyn].any(), "spurious re-wake"
+    # a real projectile wakes the island
+    top = int(np.argmax(np.asarray(w.state.bodies.center)[:, 1]))
+    w.set_transform(top, np.asarray(w.state.bodies.center)[top]
+                    + np.array([0.0, 3.0]), 0.0)
+    w.set_linear_velocity(top, (0.0, -8.0))
+    for _ in range(30):
+        w.step(1 / 60)
+    assert np.asarray(w.state.bodies.awake)[dyn].sum() > 1, "impact did not wake"
