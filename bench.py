@@ -31,17 +31,17 @@ import numpy as np
 # single-core CPU XLA-path proxies (body-steps/s or particle-steps/s),
 # measured with tools/cpu_baseline.py on this host; see BASELINE.md
 # measured 2026-08-17 (tools/cpu_baseline.py, xla_cpu single thread,
-# entity-steps/s): see BASELINE.md
+# entity-steps/s, sleep enabled on both sides): see BASELINE.md
 CPU_BASELINE = {
-    "pyramid-20": 95376.1,
-    "pyramid-140": 132815.0,
-    "tumbler": 87831.9,
-    "joint_farm": 82227.9,
-    "bullet_barrage": 21794.4,
-    "dam_break": 82686.8,
+    "pyramid-20": 212490.5,
+    "pyramid-140": 114942.9,
+    "tumbler": 105575.4,
+    "joint_farm": 78859.5,
+    "bullet_barrage": 22548.2,
+    "dam_break": 84609.4,
     # a single core runs batch members sequentially, so the per-world rate
     # is the batch baseline
-    "batch": 95376.1,
+    "batch": 212490.5,
 }
 
 
@@ -69,13 +69,21 @@ def build(scene_name, rows, count):
 
 
 def measure_world(w, tag, steps):
-    """Scan-path (lax.scan over frames) throughput for one world."""
+    """Scan-path (lax.scan over frames) throughput for one world.
+
+    The timed window is steps [0, steps) FROM SPAWN (state restored after
+    the compile/warm run): settle-prone scenes would otherwise measure
+    mostly sleeping/idle steps after the warm run advanced them to rest.
+    Sleep reached WITHIN the window still counts — that is the scene's
+    real behavior."""
     w.compile()
     dyn_bodies = int(np.sum(np.asarray(w.state.bodies.type) == 2))
     particles = (int(np.sum(np.asarray(w.state.particles.alive)))
                  if w.state.particles is not None else 0)
+    state0 = w.state
     w.run(steps, 1 / 60)  # compile + warm
     jax.block_until_ready(w.state.bodies.center)
+    w.state = state0
     t0 = time.perf_counter()
     w.run(steps, 1 / 60)
     jax.block_until_ready(w.state.bodies.center)
@@ -129,10 +137,13 @@ def measure_batch(n_worlds=64, rows=20, steps=240):
                             b, None, length=steps)[0]
 
     dyn_bodies = int(np.sum(np.asarray(state.bodies.type) == 2)) * n_worlds
+    batch0 = batch
     batch = run(batch)
     jax.block_until_ready(batch.bodies.center)
+    batch = run(batch0)   # timed window is steps [0, steps) from spawn
+    jax.block_until_ready(batch.bodies.center)
     t0 = time.perf_counter()
-    batch = run(batch)
+    batch = run(batch0)
     jax.block_until_ready(batch.bodies.center)
     dt_wall = time.perf_counter() - t0
     steps_per_sec = steps / dt_wall

@@ -36,8 +36,10 @@ def measure(scene, steps, **kw):
     dyn = int(np.sum(np.asarray(w.state.bodies.type) == 2))
     particles = (int(np.sum(np.asarray(w.state.particles.alive)))
                  if w.state.particles is not None else 0)
+    state0 = w.state
     w.run(steps, 1 / 60)
     jax.block_until_ready(w.state.bodies.center)
+    w.state = state0   # timed window = steps [0, steps) from spawn
     t0 = time.perf_counter()
     w.run(steps, 1 / 60)
     jax.block_until_ready(w.state.bodies.center)
