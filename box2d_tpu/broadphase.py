@@ -114,7 +114,7 @@ def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs):
     new_bp = BroadphaseStore(
         fat=fat, alive=alive, shape_a=sa, shape_b=sb, valid=valid,
         count=count, overflow=ovf, dirty=jnp.asarray(False))
-    return PairBuffer(sa, sb, valid, count, ovf), new_bp
+    return PairBuffer(sa, sb, valid, count, ovf), new_bp, rebuild
 
 
 def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:

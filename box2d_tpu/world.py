@@ -112,10 +112,12 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     # --- broadphase + narrow phase (ref: api/World.cs:59, :86) -----------
     aabbs = compute_shape_aabbs(state)
     if state.broadphase is not None:
-        pairs, new_bp = find_pairs_incremental(state, cap, aabbs)
+        pairs, new_bp, pairs_rebuilt = find_pairs_incremental(state, cap,
+                                                              aabbs)
         state = dataclasses.replace(state, broadphase=new_bp)
     else:
         pairs = find_pairs(state, cap, aabbs)
+        pairs_rebuilt = jnp.asarray(True)
     data = narrow_phase(state, pairs, classes_present, cap.max_verts)
     touching = data.manifold.point_count > 0
 
@@ -304,7 +306,7 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                           pairs, num_colors, overflow_colors, touching,
                           sensor_ids, continuous, contact_color_store,
                           ni, ti, roll, tni, cc.relative_velocity,
-                          prev_origin, prev_rot)
+                          prev_origin, prev_rot, pairs_rebuilt)
 
     cc_pairs_relv = cc.relative_velocity
 
@@ -419,13 +421,13 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     return _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                       num_colors, overflow_colors, touching, sensor_ids,
                       continuous, contact_color_store, ni, ti, roll, tni,
-                      cc_pairs_relv, prev_origin, prev_rot)
+                      cc_pairs_relv, prev_origin, prev_rot, pairs_rebuilt)
 
 
 def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                num_colors, overflow_colors, touching, sensor_ids, continuous,
                contact_color_store, ni, ti, roll, tni, relv,
-               prev_origin=None, prev_rot=None):
+               prev_origin=None, prev_rot=None, pairs_rebuilt=None):
     """Post-solve: store impulses, events, continuous, finalize, sleep,
     sensors, profile. Shared by the XLA and Pallas solver paths.
 
@@ -433,12 +435,14 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
     velocities."""
     data = data._replace(
         normal_impulse=ni, tangent_impulse=ti, rolling_impulse=roll)
+    old_store = state.contacts
     new_store = update_store(data, cap.max_contact_pairs, contact_color_store)
     state = dataclasses.replace(state, contacts=new_store,
                                 joints=_store_joint_impulses(state.joints, jc))
 
     # --- events -----------------------------------------------------------
-    events = _contact_events(state, data, touching, cap)
+    events = _contact_events(state, data, touching, cap, old_store,
+                             pairs_rebuilt)
     events = _hit_events(state, data, tni, relv, touching, events, cap)
     events = _joint_events(state, jc, inv_h, events, cap)
 
@@ -503,9 +507,16 @@ def _compact_events(mask, payload, capacity):
     return out, jnp.minimum(count, capacity).astype(jnp.int32)
 
 
-def _contact_events(state: WorldState, data: ContactData, touching, cap):
+def _contact_events(state: WorldState, data: ContactData, touching, cap,
+                    old_store=None, pairs_rebuilt=None):
     """Begin/end touch events (ref: src/World.cs:376-450 bitset drains ->
-    here a simple prev/next touching diff)."""
+    here a simple prev/next touching diff).
+
+    On a pair-buffer rebuild, a previously-touching pair can VANISH from the
+    buffer entirely (AABBs separated in one step: teleports, explosions) —
+    lane-wise diffing never sees it. The orphan pass diffs the previous
+    contact store against the slots claimed this step and emits their end
+    events, gated by lax.cond so steady-state steps pay nothing."""
     sh = state.shapes
     ev_enabled = (sh.enable_contact_events[data.shape_a]
                   & sh.enable_contact_events[data.shape_b])
@@ -514,6 +525,32 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap):
     pairs_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
     begin_arr, begin_count = _compact_events(begin, pairs_ab, cap.event_capacity)
     end_arr, end_count = _compact_events(end, pairs_ab, cap.event_capacity)
+
+    if old_store is not None and pairs_rebuilt is not None:
+        t = old_store.key_a.shape[0]
+        slot = data.store_slot
+        claimed = jnp.zeros(t + 1, bool).at[
+            jnp.where(slot >= 0, slot, t)].max(slot >= 0)
+
+        def orphan_pass(args):
+            end_arr, end_count = args
+            ka = jnp.maximum(old_store.key_a, 0)
+            kb = jnp.maximum(old_store.key_b, 0)
+            orphan = ((old_store.key_a >= 0) & old_store.touching
+                      & ~claimed[:t]
+                      & sh.enable_contact_events[ka]
+                      & sh.enable_contact_events[kb])
+            e = cap.event_capacity
+            pos = end_count + jnp.cumsum(orphan) - 1
+            tgt = jnp.where(orphan & (pos < e), pos, e)
+            new_arr = end_arr.at[tgt].set(
+                jnp.stack([ka, kb], axis=1), mode="drop")
+            return new_arr, jnp.minimum(
+                end_count + jnp.sum(orphan), e).astype(jnp.int32)
+
+        end_arr, end_count = jax.lax.cond(
+            pairs_rebuilt, orphan_pass, lambda a: a, (end_arr, end_count))
+
     events = zero_events(cap)
     return dataclasses.replace(
         events,

@@ -292,3 +292,25 @@ def test_pyramid_sleeps_and_stays_asleep():
     for _ in range(30):
         w.step(1 / 60)
     assert np.asarray(w.state.bodies.awake)[dyn].sum() > 1, "impact did not wake"
+
+
+def test_contact_end_on_teleport():
+    """A touching pair whose AABBs separate in ONE step (teleport) vanishes
+    from the pair buffer on rebuild — its end event must still fire
+    (VERDICT round-1 weak #8)."""
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    gd = t.ShapeDef(enable_contact_events=True)
+    w.create_polygon_shape(ground, gd, g.box(5.0, 0.5))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 0.49)))
+    bd = t.ShapeDef(density=1.0, enable_contact_events=True)
+    w.create_polygon_shape(b, bd, g.box(0.5, 0.5))
+    w.compile()
+    for _ in range(30):
+        w.step(1 / 60)
+    assert int(np.sum(np.asarray(w.state.contacts.touching))) >= 1
+    # teleport far away: the pair leaves the buffer the same step it
+    # stops touching
+    w.set_transform(b, (100.0, 50.0), 0.0)
+    w.step(1 / 60)
+    assert int(w.state.events.contact_end_count) >= 1, "end event lost"
