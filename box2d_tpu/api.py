@@ -438,8 +438,16 @@ class World:
                         torque_threshold=torque, wake=False)
 
     def set_joint_enabled(self, joint: int, flag: bool):
-        """ref: Joint_SetEnabled (wakes both bodies either way)."""
-        self._set_joint(joint, enabled=flag)
+        """ref: Joint_SetEnabled (wakes both bodies either way).
+
+        The stored graph color is cleared on every enabled-flip: a disabled
+        joint releases its color reservation (world.py all_reserved), so the
+        color may be granted to another constraint on the same body while
+        it's off — inheriting the stale value on re-enable would let two
+        same-color constraints share a body (a solve-order race) and corrupt
+        the used-mask bit carry in repair_colors. Clearing forces a fresh
+        repair round instead."""
+        self._set_joint(joint, enabled=flag, color=-1)
 
     def set_mouse_target(self, joint: int, target):
         """Move a mouse joint's world target (ref: MouseJoint SetTarget)."""

@@ -30,8 +30,14 @@ from .state import DYNAMIC, ENABLE_SLEEP, WorldState
 
 
 def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
-                      iterations: int = 2):
-    """Min-label propagation over constraint edges (dynamic bodies only)."""
+                      iterations: int = 4):
+    """Min-label propagation over constraint edges (dynamic bodies only).
+
+    iterations=4 merges labels at 4 hops/step; long chains (diameter >
+    ~4x the ~30-step sleep-timer horizon) could otherwise sleep a
+    not-yet-merged sub-label while connected bodies still move, and a
+    sleeping subgroup pushed through an EXISTING contact never re-wakes
+    (waking needs a new touch). The scatter passes are cheap."""
     nb = labels.shape[0]
     dyn_a = body_type[edges_a] == DYNAMIC
     dyn_b = body_type[edges_b] == DYNAMIC
