@@ -86,14 +86,24 @@ def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs):
     """Persistent-pair fast path (ref: src/BroadPhase.cs BufferMove/pairSet):
     reuse the stored pair buffer unless some alive shape's tight AABB escaped
     its stored fat AABB, aliveness changed, or a host mutator set `dirty`.
-    Returns (PairBuffer, new BroadphaseStore). Under vmap the cond lowers to
-    both branches; single-world TPU scenes at rest skip the entire pair
-    search (~25 ms/step at 10k shapes)."""
+
+    The per-lane contact cache (state.contacts) rides along: on the keep
+    branch it is already lane-aligned with the unchanged pair buffer; on a
+    rebuild it is re-aligned to the new lanes via narrowphase.remap_cache
+    (transient hash), which also reports orphaned touching pairs (for
+    contact_end events) and hash-congestion drops.
+
+    Returns (PairBuffer, new BroadphaseStore, cache, orphan_mask, drops).
+    Under vmap the cond lowers to both branches; single-world TPU scenes at
+    rest skip the entire pair search + remap (~25 ms/step at 10k shapes)."""
+    from .narrowphase import remap_cache
     from .state import BroadphaseStore
 
     bp = state.broadphase
     sh = state.shapes
     b = state.bodies
+    cache = state.contacts
+    P = cache.key_a.shape[0]
     alive = sh.enabled & b.enabled[sh.body] & ~sh.is_sensor
     inside = ((aabbs[:, 0] >= bp.fat[:, 0]) & (aabbs[:, 1] >= bp.fat[:, 1])
               & (aabbs[:, 2] <= bp.fat[:, 2]) & (aabbs[:, 3] <= bp.fat[:, 3]))
@@ -104,17 +114,23 @@ def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs):
         pb = find_pairs(state, cap, aabbs)
         fat = jnp.concatenate([aabbs[:, :2] - AABB_MARGIN,
                                aabbs[:, 2:] + AABB_MARGIN], -1)
-        return pb.shape_a, pb.shape_b, pb.valid, pb.count, pb.overflow, fat
+        new_ka = jnp.where(pb.valid, pb.shape_a, -1)
+        new_kb = jnp.where(pb.valid, pb.shape_b, -1)
+        new_cache, orphan, drops = remap_cache(
+            cache, new_ka, new_kb, cap.max_contact_pairs)
+        return (pb.shape_a, pb.shape_b, pb.valid, pb.count, pb.overflow,
+                fat, new_cache, orphan, drops)
 
     def keep(_):
         return (bp.shape_a, bp.shape_b, bp.valid, bp.count, bp.overflow,
-                bp.fat)
+                bp.fat, cache, jnp.zeros(P, bool), jnp.int32(0))
 
-    sa, sb, valid, count, ovf, fat = jax.lax.cond(rebuild, do, keep, None)
+    sa, sb, valid, count, ovf, fat, cache2, orphan, drops = jax.lax.cond(
+        rebuild, do, keep, None)
     new_bp = BroadphaseStore(
         fat=fat, alive=alive, shape_a=sa, shape_b=sb, valid=valid,
         count=count, overflow=ovf, dirty=jnp.asarray(False))
-    return PairBuffer(sa, sb, valid, count, ovf), new_bp, rebuild
+    return PairBuffer(sa, sb, valid, count, ovf), new_bp, cache2, orphan, drops
 
 
 def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:

@@ -22,7 +22,7 @@ from .state import (ALLOW_FAST_ROTATION, DYNAMIC, ENABLE_SLEEP, IS_BULLET,
                     JOINT_DISTANCE, JOINT_MOUSE, JOINT_PRISMATIC,
                     JOINT_REVOLUTE, JOINT_WELD, JOINT_WHEEL,
                     LOCK_ANGULAR_Z, LOCK_LINEAR_X, LOCK_LINEAR_Y,
-                    Bodies, Capacity, ContactStore, Joints,
+                    Bodies, Capacity, Joints,
                     Shapes, Tuning, WorldState, zero_broadphase,
                     zero_events, zero_profile)
 
@@ -166,6 +166,17 @@ class WorldBuilder:
                 max_verts=max([2] + [int(s["geom"].count)
                                      for s in self._shapes]),
             )
+        if capacity.fast_cap == 0:
+            # auto-size the CCD fast-shape buffer so EVERY bullet shape gets
+            # a TOI slot (ref: src/Solver.cs:1238-1274 runs all bullets) plus
+            # headroom for incidentally-fast dynamic bodies
+            n_bullet_shapes = sum(
+                1 for s in self._shapes
+                if self._bodies[s["body"]]["flags"] & IS_BULLET)
+            capacity = dataclasses.replace(
+                capacity,
+                fast_cap=min(max(len(self._shapes), 1),
+                             max(32, ((n_bullet_shapes + 16 + 7) // 8) * 8)))
         Nb, S, J = capacity.max_bodies, capacity.max_shapes, capacity.max_joints
         assert nb <= Nb and ns <= S and nj <= J
 
@@ -298,18 +309,8 @@ class WorldBuilder:
             enabled=jnp.asarray(np.arange(S) < ns),
         )
 
-        from .narrowphase import table_size
-        C = table_size(capacity.max_contact_pairs)
-        contacts = ContactStore(
-            key_a=jnp.full(C, -1, jnp.int32),
-            key_b=jnp.full(C, -1, jnp.int32),
-            ids=jnp.zeros((C, 2), jnp.int32),
-            normal_impulse=jnp.zeros((C, 2), jnp.float32),
-            tangent_impulse=jnp.zeros((C, 2), jnp.float32),
-            rolling_impulse=jnp.zeros(C, jnp.float32),
-            touching=jnp.zeros(C, bool),
-            color=jnp.full(C, -1, jnp.int32),
-        )
+        from .narrowphase import empty_cache
+        contacts = empty_cache(capacity.max_contact_pairs)
 
         joints = self._build_joints(J)
 

@@ -29,7 +29,11 @@ _LANES = jnp.arange(MAX_POLYGON_VERTICES)
 
 def continuous_pass(state: WorldState, bs, dt, fast_cap: int = 32,
                     cand_cap: int = 8):
-    """Returns per-body advancement fraction (Nb,) in [0, 1]."""
+    """Returns (per-body advancement fraction (Nb,) in [0, 1], overflow):
+    overflow counts fast shapes beyond `fast_cap` plus TOI candidates beyond
+    `cand_cap` — dropped lanes get no TOI this step (Profile.overflow_ccd).
+    fast_cap is auto-sized by the builder to cover every bullet shape
+    (Capacity.fast_cap)."""
     sh = state.shapes
     b = state.bodies
     nb = b.center.shape[0]
@@ -99,6 +103,15 @@ def continuous_pass(state: WorldState, bs, dt, fast_cap: int = 32,
     cvalid = ctop > 0
     cidx = jnp.where(cvalid, S - ctop, 0)  # (F, K) target shape ids
 
+    # overflow accounting: fast shapes beyond the buffer + candidates beyond
+    # the per-shape top-K (both would silently skip TOI otherwise)
+    n_fast = jnp.sum(fast_shape_mask).astype(jnp.int32)
+    ovf_fast = jnp.maximum(n_fast - jnp.sum(fs_valid).astype(jnp.int32), 0)
+    ovf_cand = jnp.sum(jnp.maximum(
+        jnp.sum(cmask, axis=1).astype(jnp.int32)
+        - jnp.sum(cvalid, axis=1).astype(jnp.int32), 0))
+    overflow = (ovf_fast + ovf_cand).astype(jnp.int32)
+
     # sweeps
     def body_sweep(bid):
         return Sweep(b.local_center[bid], b.center[bid], c2[bid],
@@ -136,4 +149,4 @@ def continuous_pass(state: WorldState, bs, dt, fast_cap: int = 32,
     # reduce to per-body
     body_frac = jnp.ones(nb + 1, jnp.float32)
     body_frac = body_frac.at[jnp.where(fs_valid, sh.body[fs], nb)].min(per_fast)
-    return body_frac[:nb]
+    return body_frac[:nb], overflow

@@ -81,7 +81,6 @@ class ContactData(NamedTuple):
     rolling_impulse: jnp.ndarray  # (P,)
     was_touching: jnp.ndarray     # (P,) bool — previous-step touching
     prev_color: jnp.ndarray       # (P,) i32 inherited graph color (-1 none)
-    store_slot: jnp.ndarray       # (P,) i32 hash-store slot to reuse (-1 new)
 
 
 def narrow_phase(state: WorldState, pairs: PairBuffer,
@@ -208,7 +207,7 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
     key_a = jnp.where(pairs.valid, jnp.minimum(sa, sb), -1)
     key_b = jnp.where(pairs.valid, jnp.maximum(sa, sb), -1)
 
-    ni, ti, ri, was_touching, prev_color, store_slot = _match_warm_start(
+    ni, ti, ri, was_touching, prev_color = _match_warm_start(
         state.contacts, key_a, key_b, out.ids)
 
     return ContactData(
@@ -218,7 +217,6 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
         rolling_resistance=rr, tangent_speed=tangent_speed,
         normal_impulse=ni, tangent_impulse=ti, rolling_impulse=ri,
         was_touching=was_touching, prev_color=prev_color,
-        store_slot=store_slot,
     )
 
 
@@ -257,22 +255,23 @@ def _probe_slots(key_a, key_b, t: int):
         & (t - 1)
 
 
-def _match_warm_start(store: ContactStore, new_ka, new_kb, new_ids):
-    """Transfer impulses from the previous step's store by (key, point id)
-    (ref: src/Contact.cs:385-413), via hash probing."""
-    t = store.key_a.shape[0]
-    slots = _probe_slots(new_ka, new_kb, t)     # (P, R)
-    hit = ((store.key_a[slots] == new_ka[:, None])
-           & (store.key_b[slots] == new_kb[:, None])
-           & (new_ka >= 0)[:, None])
-    found = jnp.any(hit, axis=1)
-    first = jnp.argmax(hit, axis=1)
-    old_idx = slots[jnp.arange(new_ka.shape[0]), first]
-    old_idx = jnp.where(found, old_idx, 0)
+def _match_warm_start(cache: ContactStore, new_ka, new_kb, new_ids):
+    """Transfer impulses from the previous step by (key, point id) matching
+    (ref: src/Contact.cs:385-413).
 
-    old_ids = store.ids[old_idx]            # (P, 2)
-    old_ni = store.normal_impulse[old_idx]  # (P, 2)
-    old_ti = store.tangent_impulse[old_idx]
+    `cache` is the PER-PAIR-LANE contact cache: row i holds last step's
+    contact data for pair-buffer lane i. While the persistent pair buffer is
+    unchanged (the common case — see find_pairs_incremental) lane i refers to
+    the same shape pair across steps, so the match is a pure lane-wise key
+    check with ZERO gathers; on a pair rebuild the cache was just re-aligned
+    to the new lanes by remap_cache's transient hash, so the same lane-wise
+    check still holds."""
+    found = ((cache.key_a == new_ka) & (cache.key_b == new_kb)
+             & (new_ka >= 0))
+
+    old_ids = cache.ids                 # (P, 2)
+    old_ni = cache.normal_impulse       # (P, 2)
+    old_ti = cache.tangent_impulse
 
     def match_point(j):
         same0 = found & (new_ids[:, j] == old_ids[:, 0])
@@ -283,77 +282,117 @@ def _match_warm_start(store: ContactStore, new_ka, new_kb, new_ids):
 
     ni0, ti0 = match_point(0)
     ni1, ti1 = match_point(1)
-    rolling = jnp.where(found, store.rolling_impulse[old_idx], 0.0)
-    was_touching = found & store.touching[old_idx]
-    prev_color = jnp.where(found, store.color[old_idx], -1)
-    store_slot = jnp.where(found, old_idx, -1)
+    rolling = jnp.where(found, cache.rolling_impulse, 0.0)
+    was_touching = found & cache.touching
+    prev_color = jnp.where(found, cache.color, -1)
     return (jnp.stack([ni0, ni1], axis=1), jnp.stack([ti0, ti1], axis=1),
-            rolling, was_touching, prev_color, store_slot)
+            rolling, was_touching, prev_color)
 
 
-def update_store(data: ContactData, capacity_pairs: int,
-                 color=None) -> ContactStore:
-    """Rebuild the hash-table store from this step's pairs (parallel insert
-    with _PROBES claim rounds; a lane that loses all probe slots — only
-    possible under heavy hash congestion — drops its warm-start impulses and
-    color reservation for one step, which is graceful).
+def empty_cache(P: int) -> ContactStore:
+    return ContactStore(
+        key_a=jnp.full(P, -1, jnp.int32),
+        key_b=jnp.full(P, -1, jnp.int32),
+        ids=jnp.zeros((P, 2), jnp.int32),
+        normal_impulse=jnp.zeros((P, 2), jnp.float32),
+        tangent_impulse=jnp.zeros((P, 2), jnp.float32),
+        rolling_impulse=jnp.zeros(P, jnp.float32),
+        touching=jnp.zeros(P, bool),
+        color=jnp.full(P, -1, jnp.int32),
+    )
+
+
+def remap_cache(old_cache: ContactStore, new_ka, new_kb,
+                capacity_pairs: int):
+    """Re-align the per-lane contact cache to a REBUILT pair buffer.
+
+    Runs only inside the rebuild branch of find_pairs_incremental (steady
+    state never pays for it): old lanes are hashed into a TRANSIENT
+    open-addressed table (murmur avalanche + linear probing — structured
+    shape-id pairs collide catastrophically under weaker mixes, see
+    _probe_slots), new lanes probe it, and matched rows transfer warm-start
+    impulses, feature ids, touching flags, and graph-color reservations
+    (ref: src/Contact.cs:385-413 + src/BroadPhase.cs:50 pairSet).
+
+    Returns (new_cache, orphan_mask, drops):
+    - orphan_mask (P,): OLD lanes that were touching but were claimed by no
+      new lane — their contact vanished with the rebuild (teleports,
+      explosions) and needs a contact_end event;
+    - drops: old lanes that lost every probe round (hash congestion) and so
+      lost their warm data — surfaced in Profile.store_drops.
+    """
+    t = table_size(capacity_pairs)
+    ka, kb = old_cache.key_a, old_cache.key_b
+    P = ka.shape[0]
+    lane = jnp.arange(P, dtype=jnp.int32)
+    live = ka >= 0
+
+    # --- probe-insert old lanes (parallel claim rounds) --------------------
+    slots = _probe_slots(ka, kb, t)
+    slot_of = jnp.full(P, -1, jnp.int32)
+    taken = jnp.zeros(t, bool)
+    big = jnp.int32(1 << 30)
+    for r in range(_PROBES):
+        s_r = slots[:, r]
+        cand = live & (slot_of < 0) & ~taken[s_r]
+        claim = jnp.full(t, big, jnp.int32).at[
+            jnp.where(cand, s_r, 0)].min(jnp.where(cand, lane, big))
+        won = cand & (claim[s_r] == lane)
+        slot_of = jnp.where(won, s_r, slot_of)
+        taken = taken.at[jnp.where(won, s_r, 0)].max(won)
+    drops = jnp.sum(live & (slot_of < 0)).astype(jnp.int32)
+    tbl = jnp.full(t, -1, jnp.int32).at[
+        jnp.where(slot_of >= 0, slot_of, t)].set(lane, mode="drop")
+
+    # --- probe-match new lanes --------------------------------------------
+    nslots = _probe_slots(new_ka, new_kb, t)          # (P, R)
+    cand_lane = tbl[nslots]                            # (P, R) old lanes
+    cl = jnp.maximum(cand_lane, 0)
+    hit = ((cand_lane >= 0)
+           & (ka[cl] == new_ka[:, None]) & (kb[cl] == new_kb[:, None])
+           & (new_ka >= 0)[:, None])
+    found = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1)
+    old_lane = jnp.where(found, cl[jnp.arange(P), first], 0)
+
+    f = found
+    new_cache = ContactStore(
+        key_a=new_ka, key_b=new_kb,
+        ids=jnp.where(f[:, None], old_cache.ids[old_lane], 0),
+        normal_impulse=jnp.where(
+            f[:, None], old_cache.normal_impulse[old_lane], 0.0),
+        tangent_impulse=jnp.where(
+            f[:, None], old_cache.tangent_impulse[old_lane], 0.0),
+        rolling_impulse=jnp.where(
+            f, old_cache.rolling_impulse[old_lane], 0.0),
+        touching=f & old_cache.touching[old_lane],
+        color=jnp.where(f, old_cache.color[old_lane], -1),
+    )
+
+    claimed = jnp.zeros(P + 1, bool).at[
+        jnp.where(found, old_lane, P)].max(found)
+    orphan = live & old_cache.touching & ~claimed[:P]
+    return new_cache, orphan, drops
+
+
+def update_cache(data: ContactData, color=None) -> ContactStore:
+    """Write this step's pair-order contact results back into the per-lane
+    cache — pure lane-aligned writes, ZERO scatters (the old hash-table
+    rebuild cost two full-table scatters plus eight probe-claim rounds every
+    step; that work now happens only on pair rebuilds, in remap_cache).
 
     color: (P,) raw graph colors to persist; touching pairs keep theirs
     (live ones get this step's assignment, sleeping ones keep the inherited
     reservation), separated pairs release (-1)."""
-    t = table_size(capacity_pairs)
-    ka, kb = data.key_a, data.key_b
-    p = ka.shape[0]
-    lane = jnp.arange(p, dtype=jnp.int32)
-    live = ka >= 0
-    # persisting pairs KEEP their previous slot (found by the warm match);
-    # only genuinely new pairs run the probe-insert rounds, and a step with
-    # no new pairs skips them entirely via lax.cond (steady-state fast path)
-    slot_of = jnp.where(live, data.store_slot, -1)
-    new_pair = live & (slot_of < 0)
-
-    def insert(slot_of):
-        slots = _probe_slots(ka, kb, t)
-        taken = jnp.zeros(t, bool).at[
-            jnp.where(slot_of >= 0, slot_of, 0)].max(slot_of >= 0)
-        big = jnp.int32(1 << 30)
-        for r in range(_PROBES):
-            s_r = slots[:, r]
-            cand = new_pair & (slot_of < 0) & ~taken[s_r]
-            claim = jnp.full(t, big, jnp.int32).at[
-                jnp.where(cand, s_r, 0)].min(jnp.where(cand, lane, big))
-            won = cand & (claim[s_r] == lane)
-            slot_of = jnp.where(won, s_r, slot_of)
-            taken = taken.at[jnp.where(won, s_r, 0)].max(won)
-        return slot_of
-
-    slot_of = jax.lax.cond(jnp.any(new_pair), insert,
-                           lambda s: s, slot_of)
-    tgt = jnp.where(slot_of >= 0, slot_of, t)
-
-    touching = data.manifold.point_count > 0
+    touching = (data.manifold.point_count > 0) & (data.key_a >= 0)
     if color is None:
-        color = jnp.full_like(ka, -1)
-
-    # pack all fields into one f32 + one i32 matrix -> 2 scatters instead
-    # of 7 (each full-table scatter costs real time on TPU)
-    fmat = jnp.stack([
-        data.normal_impulse[:, 0], data.normal_impulse[:, 1],
-        data.tangent_impulse[:, 0], data.tangent_impulse[:, 1],
-        data.rolling_impulse], axis=1)
-    imat = jnp.stack([
-        ka, kb, data.manifold.ids[:, 0], data.manifold.ids[:, 1],
-        jnp.where(touching, color, -1),
-        touching.astype(jnp.int32)], axis=1)
-    f_t = jnp.zeros((t, 5), jnp.float32).at[tgt].set(fmat, mode="drop")
-    i_t = jnp.full((t, 6), -1, jnp.int32).at[tgt].set(imat, mode="drop")
+        color = jnp.full_like(data.key_a, -1)
     return ContactStore(
-        key_a=i_t[:, 0],
-        key_b=i_t[:, 1],
-        ids=i_t[:, 2:4],
-        normal_impulse=f_t[:, 0:2],
-        tangent_impulse=f_t[:, 2:4],
-        rolling_impulse=f_t[:, 4],
-        touching=i_t[:, 5] > 0,
-        color=i_t[:, 4],
+        key_a=data.key_a, key_b=data.key_b,
+        ids=data.manifold.ids,
+        normal_impulse=data.normal_impulse,
+        tangent_impulse=data.tangent_impulse,
+        rolling_impulse=data.rolling_impulse,
+        touching=touching,
+        color=jnp.where(touching, color, -1),
     )

@@ -347,8 +347,11 @@ def _find_contacts(pos, alive, diameter, cfg: ParticleConfig):
     """Fixed-window neighbor candidates from a cell-key sort
     (ref: ComputeTag :2610 + FindContacts_Reference :1096-1117).
 
-    Returns (idx_a, idx_b, normal, weight, valid) with shape (Np*K,):
-    each contact pair appears exactly once.
+    Returns (idx_a, idx_b, normal, weight, valid, overflow) with lane shape
+    (Np*K,): each contact pair appears exactly once. overflow counts
+    particles whose same-row / row-above cell spans exceed the fixed scan
+    windows (k_same/k_up) — their excess neighbor contacts are shed this
+    step (surfaced in Profile.overflow_particles, never silent).
     """
     n = pos.shape[0]
     inv_d = 1.0 / diameter
@@ -399,8 +402,19 @@ def _find_contacts(pos, alive, diameter, cfg: ParticleConfig):
     inv_dist = jnp.where(dist_sq > 0, 1.0 / jnp.sqrt(jnp.where(dist_sq > 0, dist_sq, 1.0)), 0.0)
     normal = d * inv_dist[..., None]
     weight = 1.0 - dist_sq * inv_dist * inv_d  # ref :1091
+    # window-overflow accounting: a particle whose same-row span (cells
+    # x..x+1) holds more than k_same sorted entries, or whose row-above span
+    # (x-1..x+1) holds more than k_up, can shed real neighbors
+    s_alive = alive[order]
+    pos_s = jnp.arange(n)
+    same_end = jnp.searchsorted(skey, skey + 2)
+    up_end = jnp.searchsorted(skey, skey + (1 << 16) + 2)
+    over = s_alive & (((same_end - pos_s - 1) > k_same)
+                      | ((up_end - start_up) > k_up))
+    overflow = jnp.sum(over).astype(jnp.int32)
     return (ia.reshape(-1), ib.reshape(-1), normal.reshape(-1, 2),
-            jnp.where(valid, weight, 0.0).reshape(-1), valid.reshape(-1))
+            jnp.where(valid, weight, 0.0).reshape(-1), valid.reshape(-1),
+            overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +468,9 @@ def _safe_div_vec(v, s):
 
 def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     """One full particle update (ref: Solve :1512-1564). Returns
-    (particles, body_dv (Nb,2), body_dw (Nb,))."""
+    (particles, body_dv (Nb,2), body_dw (Nb,), neighbor_overflow):
+    neighbor_overflow counts particles that shed neighbor contacts to the
+    fixed scan windows this step (max over sub-iterations)."""
     prm: ParticleParams = pt.params
     b = state.bodies
     sh = state.shapes
@@ -508,7 +524,8 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         vel = pt.vel
 
         # ---- neighbor contacts (ref UpdateContacts) ----
-        ia, ib, c_n, c_w, c_ok = _find_contacts(pos, pt.alive, diameter, cfg)
+        ia, ib, c_n, c_w, c_ok, c_over = _find_contacts(
+            pos, pt.alive, diameter, cfg)
         c_flags = jnp.where(c_ok, pt.flags[ia] | pt.flags[ib], 0)
 
         # ---- body contacts (ref UpdateBodyContacts) ----
@@ -892,12 +909,13 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
                                   expiration=expiration, color=col,
                                   static_pressure=static_pressure)
         return (pt2, body_dv, body_dw,
-                jnp.sum(bc_ok, axis=1).astype(jnp.int32)), None
+                jnp.sum(bc_ok, axis=1).astype(jnp.int32)), c_over
 
     bc_cnt0 = jnp.zeros(pt.pos.shape[0], jnp.int32)
-    (pt, body_dv, body_dw, bc_cnt), _ = jax.lax.scan(
+    (pt, body_dv, body_dw, bc_cnt), c_over_iters = jax.lax.scan(
         iteration, (pt, body_dv, body_dw, bc_cnt0), None,
         length=cfg.iterations)
+    neighbor_overflow = jnp.max(c_over_iters).astype(jnp.int32)
     # stuck detection (ref DetectStuckParticle :1520-1541): particles with
     # >= 2 body contacts this step extend their streak, others reset
     stuck_now = pt.alive & (bc_cnt >= 2)
@@ -905,7 +923,7 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         pt, force=jnp.zeros_like(pt.force),
         consecutive_contact_steps=jnp.where(
             stuck_now, pt.consecutive_contact_steps + 1, 0))
-    return pt, body_dv, body_dw
+    return pt, body_dv, body_dw, neighbor_overflow
 
 
 def _solve_barrier(pt: Particles, pos, vel, dt, inv_dt, mass):

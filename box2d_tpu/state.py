@@ -133,19 +133,24 @@ class Shapes:
 
 @_pytree
 class ContactStore:
-    """Persistent per-pair warm-start data: an open-addressed hash table
-    keyed by the canonical (low, high) shape-id pair — exact for any shape
-    count. Rebuilt-and-matched every step (ref: src/Contact.cs:385-413
-    impulse matching by feature id)."""
+    """Persistent per-pair warm-start data, LANE-ALIGNED with the persistent
+    pair buffer (BroadphaseStore): row i is last step's contact state for
+    pair lane i. While the pair buffer is unchanged (the steady state),
+    matching previous-step impulses to this step's manifolds is a pure
+    lane-wise (key, feature-id) compare with zero gathers; on a pair-buffer
+    rebuild the rows are re-aligned to the new lanes through a TRANSIENT
+    open-addressed hash table (narrowphase.remap_cache) — the reference's
+    persistent Contact objects + pairSet (ref: src/Contact.cs:385-413,
+    src/BroadPhase.cs:50) without per-step pointer chasing."""
 
-    key_a: Any           # (C,) canonical low shape id (-1 = empty slot)
-    key_b: Any           # (C,) canonical high shape id
-    ids: Any             # (C, 2) i32 manifold point feature ids
-    normal_impulse: Any  # (C, 2)
-    tangent_impulse: Any  # (C, 2)
-    rolling_impulse: Any  # (C,)
-    touching: Any        # (C,) bool — for begin/end events
-    color: Any           # (C,) i32 persistent graph color (-1 = none); the
+    key_a: Any           # (P,) canonical low shape id (-1 = no pair)
+    key_b: Any           # (P,) canonical high shape id
+    ids: Any             # (P, 2) i32 manifold point feature ids
+    normal_impulse: Any  # (P, 2)
+    tangent_impulse: Any  # (P, 2)
+    rolling_impulse: Any  # (P,)
+    touching: Any        # (P,) bool — for begin/end events
+    color: Any           # (P,) i32 persistent graph color (-1 = none); the
     #   TPU analog of the reference's incremental constraint graph
     #   (ref: src/ConstraintGraph.cs:135-220 O(1) add/remove): a pair that
     #   stays touching keeps its color, so per-step coloring only repairs
@@ -265,6 +270,14 @@ class Profile:
     color_count: Any
     overflow_pairs: Any       # candidate-buffer overflow (diagnostic!)
     overflow_colors: Any      # constraints that did not fit a color
+    store_drops: Any          # contact-store inserts lost to hash congestion
+    #   (a dropped pair loses warm-start impulses + color for one step and
+    #   re-fires a spurious contact_begin next step — visible, not silent)
+    overflow_ccd: Any         # fast shapes / TOI candidates beyond the CCD
+    #   compaction caps (Capacity.fast_cap / cand_cap) — dropped lanes get
+    #   no TOI this step and may tunnel; never silent
+    overflow_particles: Any   # particle neighbor-window overflow: neighbors
+    #   beyond the fixed K_SAME/K_UP scan windows shed contacts this step
 
 
 @_pytree
@@ -331,6 +344,10 @@ class Capacity:
     max_colors: int = 24         # ref: src/Constants.cs:13
     sensor_pair_capacity: int = 256
     event_capacity: int = 256
+    fast_cap: int = 0            # CCD fast-shape slots (0 = auto-sized by
+    #   the builder to cover every bullet shape, ref src/Solver.cs:1238-1274
+    #   handles ALL bullets)
+    cand_cap: int = 8            # TOI candidate targets per fast shape
 
 
 def zero_events(cap: Capacity) -> Events:
@@ -357,4 +374,4 @@ def zero_events(cap: Capacity) -> Events:
 
 def zero_profile() -> Profile:
     i0 = jnp.int32(0)
-    return Profile(i0, i0, i0, i0, i0)
+    return Profile(i0, i0, i0, i0, i0, i0, i0, i0)

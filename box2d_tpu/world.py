@@ -25,7 +25,7 @@ from . import math2d as m
 from .broadphase import (compute_shape_aabbs, find_pairs,
                          find_pairs_incremental)
 from .coloring import dense_remap, repair_colors
-from .narrowphase import ContactData, narrow_phase, update_store
+from .narrowphase import ContactData, narrow_phase, update_cache
 from .solver import (BodySolverState, ContactConstraints as ContactConstraintsT,
                      integrate_positions, integrate_velocities,
                      finalize_bodies, prepare_contacts, restitution_color,
@@ -110,20 +110,31 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     prev_rot = b.rot
 
     # --- broadphase + narrow phase (ref: api/World.cs:59, :86) -----------
+    # snapshot the old cache keys first: orphan contact_end events reference
+    # OLD pair lanes after a rebuild re-aligns the cache to the new lanes
+    old_key_a = state.contacts.key_a
+    old_key_b = state.contacts.key_b
     aabbs = compute_shape_aabbs(state)
     if state.broadphase is not None:
-        pairs, new_bp, pairs_rebuilt = find_pairs_incremental(state, cap,
-                                                              aabbs)
-        state = dataclasses.replace(state, broadphase=new_bp)
+        pairs, new_bp, cache, orphan_mask, store_drops = \
+            find_pairs_incremental(state, cap, aabbs)
+        state = dataclasses.replace(state, broadphase=new_bp, contacts=cache)
     else:
+        from .narrowphase import remap_cache
         pairs = find_pairs(state, cap, aabbs)
-        pairs_rebuilt = jnp.asarray(True)
+        cache, orphan_mask, store_drops = remap_cache(
+            state.contacts,
+            jnp.where(pairs.valid, pairs.shape_a, -1),
+            jnp.where(pairs.valid, pairs.shape_b, -1),
+            cap.max_contact_pairs)
+        state = dataclasses.replace(state, contacts=cache)
     data = narrow_phase(state, pairs, classes_present, cap.max_verts)
     touching = data.manifold.point_count > 0
 
     # --- particle systems run before the rigid solve (ref: api/World.cs:92)
+    particle_overflow = jnp.int32(0)
     if particle_cfg is not None and state.particles is not None:
-        new_particles, body_dv, body_dw = particle_step(
+        new_particles, body_dv, body_dw, particle_overflow = particle_step(
             state.particles, state, dt, particle_cfg)
         # particle impulses wake the bodies they touch
         # (ref: particle/World.cs:47-61 ApplyLinearImpulse -> WakeBody)
@@ -228,7 +239,6 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     # of two O(P log^2 P) bitonic argsorts (each ~100+ sequential passes on
     # TPU). Lane order follows the pair buffer, whose grid-emission order is
     # spatially sorted, which keeps the tiled kernel's gather ranges narrow.
-    dyn_t = b.type == 2
     onehot_c = cc.color[:, None] == jnp.arange(cap.max_colors)[None, :]
     ranks = jnp.cumsum(onehot_c.astype(jnp.int32), axis=0)
     ovf_color = num_colors - 1  # only meaningful when overflow_colors > 0
@@ -281,9 +291,16 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             bodyL_a = jnp.maximum(idxL[:, 0], 0)
             bodyL_b = jnp.maximum(idxL[:, 1], 0)
             w_win = window_width(chunk)
+            # tile ranges must span every NON-STATIC endpoint: the shifted-dq
+            # zero-read trick is only exact for static bodies — a KINEMATIC
+            # body (nonzero v/w, integrates dp/dq) outside the gathered range
+            # would be solved as stationary, breaking moving-platform and
+            # conveyor contacts whenever its index lies beyond the dynamic
+            # bodies' tiles
+            nonstatic = b.type != 0
             wl, tlo, thi, nactp = window_metadata(
                 liveL, bodyL_a, bodyL_b,
-                dyn_t[bodyL_a] & liveL, dyn_t[bodyL_b] & liveL,
+                nonstatic[bodyL_a] & liveL, nonstatic[bodyL_b] & liveL,
                 layout_len, w_win)
             out_body, out_acc = run_solver_kernel_tiled(
                 substeps, chunk, scalars, idxp, datap, accp, bodyp,
@@ -306,7 +323,9 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                           pairs, num_colors, overflow_colors, touching,
                           sensor_ids, continuous, contact_color_store,
                           ni, ti, roll, tni, cc.relative_velocity,
-                          prev_origin, prev_rot, pairs_rebuilt)
+                          prev_origin, prev_rot,
+                          (orphan_mask, old_key_a, old_key_b, store_drops),
+                          particle_overflow)
 
     cc_pairs_relv = cc.relative_velocity
 
@@ -421,35 +440,42 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     return _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                       num_colors, overflow_colors, touching, sensor_ids,
                       continuous, contact_color_store, ni, ti, roll, tni,
-                      cc_pairs_relv, prev_origin, prev_rot, pairs_rebuilt)
+                      cc_pairs_relv, prev_origin, prev_rot,
+                      (orphan_mask, old_key_a, old_key_b, store_drops),
+                      particle_overflow)
 
 
 def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                num_colors, overflow_colors, touching, sensor_ids, continuous,
                contact_color_store, ni, ti, roll, tni, relv,
-               prev_origin=None, prev_rot=None, pairs_rebuilt=None):
+               prev_origin=None, prev_rot=None, orphan_info=None,
+               particle_overflow=None):
     """Post-solve: store impulses, events, continuous, finalize, sleep,
     sensors, profile. Shared by the XLA and Pallas solver paths.
 
     ni/ti/roll/tni/relv are PAIR-order solved impulses / relative
-    velocities."""
+    velocities. orphan_info = (orphan_mask, old_key_a, old_key_b,
+    store_drops) from the broadphase rebuild (see find_pairs_incremental)."""
     data = data._replace(
         normal_impulse=ni, tangent_impulse=ti, rolling_impulse=roll)
-    old_store = state.contacts
-    new_store = update_store(data, cap.max_contact_pairs, contact_color_store)
+    new_store = update_cache(data, contact_color_store)
     state = dataclasses.replace(state, contacts=new_store,
                                 joints=_store_joint_impulses(state.joints, jc))
+    store_drops = (orphan_info[3] if orphan_info is not None
+                   else jnp.int32(0))
 
     # --- events -----------------------------------------------------------
-    events = _contact_events(state, data, touching, cap, old_store,
-                             pairs_rebuilt)
+    events = _contact_events(state, data, touching, cap, orphan_info)
     events = _hit_events(state, data, tni, relv, touching, events, cap)
     events = _joint_events(state, jc, inv_h, events, cap)
 
     # --- continuous collision (ref: src/Solver.cs:224-401) -----------------
     advance = None
+    overflow_ccd = jnp.int32(0)
     if continuous:
-        advance = continuous_pass(state, bs, dt)
+        advance, overflow_ccd = continuous_pass(state, bs, dt,
+                                                cap.fast_cap or 32,
+                                                cap.cand_cap)
 
     # --- finalize ----------------------------------------------------------
     state = finalize_bodies(state, bs, dt, inv_dt, advance)
@@ -471,6 +497,10 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
         color_count=num_colors.astype(jnp.int32),
         overflow_pairs=pairs.overflow,
         overflow_colors=overflow_colors,
+        store_drops=store_drops,
+        overflow_ccd=overflow_ccd,
+        overflow_particles=(particle_overflow if particle_overflow is not None
+                            else jnp.int32(0)),
     )
     return dataclasses.replace(
         state, events=events, profile=profile,
@@ -508,15 +538,15 @@ def _compact_events(mask, payload, capacity):
 
 
 def _contact_events(state: WorldState, data: ContactData, touching, cap,
-                    old_store=None, pairs_rebuilt=None):
+                    orphan_info=None):
     """Begin/end touch events (ref: src/World.cs:376-450 bitset drains ->
     here a simple prev/next touching diff).
 
     On a pair-buffer rebuild, a previously-touching pair can VANISH from the
     buffer entirely (AABBs separated in one step: teleports, explosions) —
-    lane-wise diffing never sees it. The orphan pass diffs the previous
-    contact store against the slots claimed this step and emits their end
-    events, gated by lax.cond so steady-state steps pay nothing."""
+    lane-wise diffing never sees it. remap_cache flags those OLD lanes in
+    orphan_mask; their end events are appended here, gated by lax.cond so
+    steady-state steps pay nothing."""
     sh = state.shapes
     ev_enabled = (sh.enable_contact_events[data.shape_a]
                   & sh.enable_contact_events[data.shape_b])
@@ -526,18 +556,14 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
     begin_arr, begin_count = _compact_events(begin, pairs_ab, cap.event_capacity)
     end_arr, end_count = _compact_events(end, pairs_ab, cap.event_capacity)
 
-    if old_store is not None and pairs_rebuilt is not None:
-        t = old_store.key_a.shape[0]
-        slot = data.store_slot
-        claimed = jnp.zeros(t + 1, bool).at[
-            jnp.where(slot >= 0, slot, t)].max(slot >= 0)
+    if orphan_info is not None:
+        orphan_mask, old_key_a, old_key_b, _ = orphan_info
 
         def orphan_pass(args):
             end_arr, end_count = args
-            ka = jnp.maximum(old_store.key_a, 0)
-            kb = jnp.maximum(old_store.key_b, 0)
-            orphan = ((old_store.key_a >= 0) & old_store.touching
-                      & ~claimed[:t]
+            ka = jnp.maximum(old_key_a, 0)
+            kb = jnp.maximum(old_key_b, 0)
+            orphan = (orphan_mask
                       & sh.enable_contact_events[ka]
                       & sh.enable_contact_events[kb])
             e = cap.event_capacity
@@ -549,7 +575,8 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
                 end_count + jnp.sum(orphan), e).astype(jnp.int32)
 
         end_arr, end_count = jax.lax.cond(
-            pairs_rebuilt, orphan_pass, lambda a: a, (end_arr, end_count))
+            jnp.any(orphan_mask), orphan_pass, lambda a: a,
+            (end_arr, end_count))
 
     events = zero_events(cap)
     return dataclasses.replace(

@@ -27,7 +27,7 @@ def main():
     from box2d_tpu import scenes
     from box2d_tpu.broadphase import compute_shape_aabbs, find_pairs
     from box2d_tpu.narrowphase import classes_for_shape_types, narrow_phase, \
-        update_store
+        update_cache
     from box2d_tpu.world import _step
 
     kw = {"pyramid": {"rows": size}, "tumbler": {"count": size},
@@ -61,8 +61,7 @@ def main():
     data = t("narrow_phase",
              jax.jit(lambda st, p: narrow_phase(st, p, classes,
                                                 cap.max_verts)), s, pairs)
-    t("update_store",
-      jax.jit(lambda d: update_store(d, cap.max_contact_pairs)), data)
+    t("update_cache", jax.jit(update_cache), data)
 
 
 if __name__ == "__main__":
