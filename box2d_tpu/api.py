@@ -276,8 +276,10 @@ class World:
             bodies=dataclasses.replace(self.state.bodies, **cols))
 
     def set_transform(self, body: int, position, angle: float):
-        """Teleport a body (ref: BodyAPI.SetTransform). The next step's
-        broadphase re-pairs automatically since pairs are rebuilt anyway."""
+        """Teleport a body (ref: BodyAPI.SetTransform — the reference moves
+        the proxies immediately; here the dirty flag forces a pair rebuild
+        even when the whole world is asleep, which would otherwise skip the
+        step via the idle fast path and leave the teleport pair-invisible)."""
         bd = self.state.bodies
         q = jnp.asarray([jnp.cos(angle), jnp.sin(angle)], jnp.float32)
         center = jnp.asarray(position, jnp.float32) + m.rot_vec(
@@ -285,11 +287,20 @@ class World:
         self._update_bodies(
             center=bd.center.at[body].set(center),
             rot=bd.rot.at[body].set(q))
+        self._mark_broadphase_dirty()
 
     def wake_body(self, body: int):
+        """Wake a body AND its island (ref: src/Body.cs:245-254 WakeBody
+        wakes the whole sleeping solver set): a woken body pushing its
+        island-mates through already-existing contacts would never re-wake
+        them via the new-touch path."""
         bd = self.state.bodies
-        self._update_bodies(awake=bd.awake.at[body].set(True),
-                            sleep_time=bd.sleep_time.at[body].set(0.0))
+        label = bd.island_label[body]
+        mates = ((bd.island_label == label) & (bd.type == 2) & bd.enabled)
+        wake = mates | (jnp.arange(bd.awake.shape[0]) == body)
+        self._update_bodies(
+            awake=bd.awake | wake,
+            sleep_time=jnp.where(wake, 0.0, bd.sleep_time))
 
     def set_body_enabled(self, body: int, enabled: bool):
         bd = self.state.bodies

@@ -259,6 +259,7 @@ class WorldBuilder:
             min_extent=jnp.asarray(min_extent),
             max_extent=jnp.asarray(max_extent),
             island_label=jnp.arange(Nb, dtype=jnp.int32),
+            island_fresh=jnp.arange(Nb, dtype=jnp.int32),
             awake=farr("awake", dtype=bool),
             enabled=farr("enabled", dtype=bool),
             user_data=farr("user_data", dtype=np.int32),

@@ -29,21 +29,18 @@ from .constants import TIME_TO_SLEEP
 from .state import DYNAMIC, ENABLE_SLEEP, WorldState
 
 
-def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
-                      iterations: int = 4):
-    """Min-label propagation over constraint edges (dynamic bodies only).
-
-    iterations=4 merges labels at 4 hops/step; long chains (diameter >
-    ~4x the ~30-step sleep-timer horizon) could otherwise sleep a
-    not-yet-merged sub-label while connected bodies still move, and a
-    sleeping subgroup pushed through an EXISTING contact never re-wakes
-    (waking needs a new touch). The scatter passes are cheap."""
-    nb = labels.shape[0]
+def _edge_slots(body_type, edges_a, edges_b, edges_on, nb):
+    """Masked scatter targets for dyn-dyn constraint edges."""
     dyn_a = body_type[edges_a] == DYNAMIC
     dyn_b = body_type[edges_b] == DYNAMIC
     on = edges_on & dyn_a & dyn_b
     slot_a = jnp.where(on, edges_a, nb)
     slot_b = jnp.where(on, edges_b, nb)
+    return slot_a, slot_b
+
+
+def _propagate(labels, edges_a, edges_b, slot_a, slot_b, nb,
+               iterations: int):
     for _ in range(iterations):
         la = labels[jnp.clip(edges_a, 0, nb - 1)]
         lb = labels[jnp.clip(edges_b, 0, nb - 1)]
@@ -54,6 +51,21 @@ def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
     return labels
 
 
+def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
+                      iterations: int = 4):
+    """Min-label propagation over constraint edges (dynamic bodies only).
+
+    iterations=4 merges labels at 4 hops/step; long chains (diameter >
+    ~4x the ~30-step sleep-timer horizon) could otherwise sleep a
+    not-yet-merged sub-label while connected bodies still move, and a
+    sleeping subgroup pushed through an EXISTING contact never re-wakes
+    (waking needs a new touch). The scatter passes are cheap."""
+    nb = labels.shape[0]
+    slot_a, slot_b = _edge_slots(body_type, edges_a, edges_b, edges_on, nb)
+    return _propagate(labels, edges_a, edges_b, slot_a, slot_b, nb,
+                      iterations)
+
+
 def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
                    dt) -> WorldState:
     """Wake islands hit by new contacts; put long-still islands to sleep."""
@@ -61,12 +73,31 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
     nb = b.center.shape[0]
     tn = state.tuning
 
-    labels = propagate_islands(
-        b.island_label, b.type,
-        jnp.concatenate([body_a, state.joints.body_a]),
-        jnp.concatenate([body_b, state.joints.body_b]),
-        jnp.concatenate([touching,
-                         state.joints.enabled & (state.joints.body_a >= 0)]))
+    edges_a = jnp.concatenate([body_a, state.joints.body_a])
+    edges_b = jnp.concatenate([body_b, state.joints.body_b])
+    edges_on = jnp.concatenate(
+        [touching, state.joints.enabled & (state.joints.body_a >= 0)])
+    slot_a, slot_b = _edge_slots(b.type, edges_a, edges_b, edges_on, nb)
+
+    # active labels: monotone min-merge (conservative, never splits)
+    labels = _propagate(b.island_label, edges_a, edges_b, slot_a, slot_b,
+                        nb, 4)
+
+    # --- island RE-PARTITION (ref: src/Island.cs:316-426 deferred splits) --
+    # A shadow label array re-seeds from body ids and propagates alongside
+    # the active one; once one more round changes nothing it is a fixed
+    # point of the CURRENT edge set — i.e. an EXACT connected-component
+    # labeling — and is swapped in, separating clusters that were bridged by
+    # a since-departed body. Between swaps the active labels over-merge
+    # (conservative: islands sleep later, never incorrectly). Swapping only
+    # at convergence is what keeps splits safe: an unconverged partition
+    # could let half an island sleep while the other half still moves.
+    fresh = _propagate(b.island_fresh, edges_a, edges_b, slot_a, slot_b,
+                       nb, 4)
+    fresh_next = _propagate(fresh, edges_a, edges_b, slot_a, slot_b, nb, 1)
+    converged = jnp.all(fresh_next == fresh)
+    labels = jnp.where(converged, fresh, labels)
+    fresh = jnp.where(converged, jnp.arange(nb, dtype=jnp.int32), fresh)
 
     # ---- wake: new touching contact reaches a sleeping body --------------
     # the waking side must be an AWAKE non-static body (ref: only moved
@@ -106,5 +137,6 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
     w = jnp.where(go_sleep, 0.0, b.w)
 
     bodies = dataclasses.replace(
-        b, awake=awake, v=v, w=w, sleep_time=sleep_time, island_label=labels)
+        b, awake=awake, v=v, w=w, sleep_time=sleep_time, island_label=labels,
+        island_fresh=fresh)
     return dataclasses.replace(state, bodies=bodies)

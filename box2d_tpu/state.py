@@ -89,6 +89,10 @@ class Bodies:
     min_extent: Any    # (Nb,) min shape extent (continuous-collision gate)
     max_extent: Any    # (Nb,) max shape reach from COM (sleep/fast checks)
     island_label: Any  # (Nb,) i32 persistent island min-label (see sleep.py)
+    island_fresh: Any  # (Nb,) i32 re-partition shadow labels: re-seeded from
+    #   body ids after every convergence, swapped into island_label once they
+    #   reach a fixed point of the CURRENT edge set — the TPU analog of the
+    #   reference's deferred island splits (ref: src/Island.cs:316-426)
     awake: Any         # (Nb,) bool — sleeping bodies hold state frozen
     enabled: Any       # (Nb,) bool — lane allocated & enabled
     user_data: Any     # (Nb,) i32 opaque tag

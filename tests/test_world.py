@@ -314,3 +314,55 @@ def test_contact_end_on_teleport():
     w.set_transform(b, (100.0, 50.0), 0.0)
     w.step(1 / 60)
     assert int(w.state.events.contact_end_count) >= 1, "end event lost"
+
+
+def test_island_split_after_bridge_leaves():
+    """Two stacks merged into one island by a bridging plank must regain
+    independent islands after the plank leaves (ref: src/Island.cs:316-426
+    deferred splits): waking one stack then must NOT wake the other."""
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(20.0, 0.5))
+    sd = t.ShapeDef()
+
+    def stack(x):
+        ids = []
+        for i in range(2):
+            b = w.create_body(t.BodyDef(type=t.DYNAMIC,
+                                        position=(x, 0.5 + 1.0 * i)))
+            w.create_polygon_shape(b, sd, g.box(0.5, 0.5))
+            ids.append(b)
+        return ids
+
+    a = stack(0.0)
+    b = stack(6.0)
+    # bridging plank resting on both stacks => one merged island
+    plank = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(3.0, 2.2)))
+    w.create_polygon_shape(plank, sd, g.box(3.6, 0.2))
+    w.compile()
+    for _ in range(60):
+        w.step(1 / 60)
+    lbl = np.asarray(w.state.bodies.island_label)
+    assert lbl[a[0]] == lbl[b[0]], "plank should merge the stacks"
+
+    # the bridge leaves (teleported far away, onto the ground); wake the
+    # merged island so the re-partition runs while bodies are awake (a fully
+    # sleeping world skips the step via the idle fast path)
+    w.set_transform(plank, (15.0, 0.2), 0.0)
+    w.wake_body(a[0])
+    for _ in range(90):
+        w.step(1 / 60)
+    lbl = np.asarray(w.state.bodies.island_label)
+    assert lbl[a[0]] != lbl[b[0]], "islands must re-partition after split"
+
+    # both stacks reach sleep independently
+    awake = np.asarray(w.state.bodies.awake)
+    assert not awake[a[0]] and not awake[b[0]], "stacks should be asleep"
+
+    # waking stack A must leave stack B asleep
+    w.apply_linear_impulse_to_center(a[1], (0.5, 0.0))
+    w.step(1 / 60)
+    awake = np.asarray(w.state.bodies.awake)
+    assert awake[a[1]], "stack A should wake"
+    assert not awake[b[0]] and not awake[b[1]], \
+        "stack B must stay asleep after the split"
