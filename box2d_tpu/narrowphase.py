@@ -81,6 +81,70 @@ class ContactData(NamedTuple):
     rolling_impulse: jnp.ndarray  # (P,)
     was_touching: jnp.ndarray     # (P,) bool — previous-step touching
     prev_color: jnp.ndarray       # (P,) i32 inherited graph color (-1 none)
+    # packed per-side body rows (see _DYN columns): START-of-step pose,
+    # velocity, mass and awake/enabled/type flags for the gathered bodies.
+    # TPU gathers cost ~1.3ms per OP at 40k lanes regardless of row width,
+    # so downstream phases (prepare, coloring, events, sleep) read these
+    # rows instead of re-gathering body fields — each reuse saves an op.
+    dyn_a: jnp.ndarray            # (P, 14)
+    dyn_b: jnp.ndarray            # (P, 14)
+    ev_contact: jnp.ndarray       # (P,) bool both shapes enable contact events
+    ev_hit: jnp.ndarray           # (P,) bool either shape enables hit events
+
+
+# body-row columns inside the packed shape table's dynamic part / dyn_a/b
+_DYN = dict(ox=0, oy=1, qc=2, qs=3, offx=4, offy=5, vx=6, vy=7, w=8,
+            inv_m=9, inv_i=10, btype=11, awake=12, enabled=13)
+N_DYN = 14
+
+
+def dyn_col(name: str) -> int:
+    return _DYN[name]
+
+
+def build_shape_table(state: WorldState, V: int):
+    """Packed per-shape operand table (S, 4V+14+N_DYN):
+
+      [verts(2V) | normals(2V) | radius count type g1(2) g2(2) friction
+       restitution rolling tspeed evc evh body | body-dyn row (N_DYN)]
+
+    Static columns are plain per-shape arrays (no gather); the body-dyn
+    block costs ONE (S,)-row gather. int-valued columns (count/type/body)
+    ride as exact f32. Downstream, narrow_phase fetches each pair side with
+    ONE row gather — replacing ~14 per-field gathers per side."""
+    sh = state.shapes
+    b = state.bodies
+    S = sh.type.shape[0]
+    off = m.rot_vec(b.rot, b.local_center)
+    pose = jnp.concatenate([
+        b.origin, b.rot, off, b.v, b.w[:, None],
+        b.inv_mass[:, None], b.inv_inertia[:, None],
+        b.type.astype(jnp.float32)[:, None],
+        b.awake.astype(jnp.float32)[:, None],
+        b.enabled.astype(jnp.float32)[:, None],
+    ], axis=1)                              # (Nb, N_DYN)
+    dyn = pose[sh.body]                     # (S, N_DYN) — one gather
+    static = jnp.concatenate([
+        sh.verts[:, :V].reshape(S, 2 * V),
+        sh.normals[:, :V].reshape(S, 2 * V),
+        sh.radius[:, None],
+        sh.count.astype(jnp.float32)[:, None],
+        sh.type.astype(jnp.float32)[:, None],
+        sh.ghost1, sh.ghost2,
+        sh.friction[:, None], sh.restitution[:, None],
+        sh.rolling_resistance[:, None], sh.tangent_speed[:, None],
+        sh.enable_contact_events.astype(jnp.float32)[:, None],
+        sh.enable_hit_events.astype(jnp.float32)[:, None],
+        sh.body.astype(jnp.float32)[:, None],
+    ], axis=1)                              # (S, 4V+14)
+    return jnp.concatenate([static, dyn], axis=1)
+
+
+def _static_cols(V: int):
+    names = ("radius", "count", "type", "g1x", "g1y", "g2x", "g2y",
+             "friction", "restitution", "rolling", "tspeed", "evc", "evh",
+             "body")
+    return {n: 4 * V + i for i, n in enumerate(names)}
 
 
 def narrow_phase(state: WorldState, pairs: PairBuffer,
@@ -92,43 +156,52 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
     halves the dominant gather volume — then zero-padded back to the fixed
     8-lane manifold math (pad lanes are masked by `count`)."""
     sh = state.shapes
-    b = state.bodies
     S = sh.type.shape[0]
     V = max(2, min(max_verts, sh.verts.shape[1]))
-    if V < sh.verts.shape[1]:
+    V8 = sh.verts.shape[1]
+    if V < V8:
         def pad8(x):
             return jnp.pad(
-                x, ((0, 0), (0, sh.verts.shape[1] - V)) +
-                ((0, 0),) * (x.ndim - 2))
+                x, ((0, 0), (0, V8 - V)) + ((0, 0),) * (x.ndim - 2))
     else:
         def pad8(x):
             return x
-    verts_t = sh.verts[:, :V]
-    normals_t = sh.normals[:, :V]
 
-    ta0 = sh.type[pairs.shape_a]
-    tb0 = sh.type[pairs.shape_b]
+    # packed operand rows: 3 gather ops total (1 body->shape, 2 shape->pair)
+    tbl = build_shape_table(state, V)
+    C = _static_cols(V)
+    D0 = 4 * V + 14                      # start of the body-dyn block
+    rA0 = tbl[pairs.shape_a]             # (P, D)
+    rB0 = tbl[pairs.shape_b]
+
+    ta0 = rA0[:, C["type"]].astype(jnp.int32)
+    tb0 = rB0[:, C["type"]].astype(jnp.int32)
 
     # canonical orientation: chain -> A, circle -> B
     swap = ((tb0 == g.CHAIN_SEGMENT) & (ta0 != g.CHAIN_SEGMENT)) | (
         (ta0 == g.CIRCLE) & (tb0 != g.CIRCLE))
     sa = jnp.where(swap, pairs.shape_b, pairs.shape_a)
     sb = jnp.where(swap, pairs.shape_a, pairs.shape_b)
-    ta = sh.type[sa]
-    tb = sh.type[sb]
-
-    body_a = sh.body[sa]
-    body_b = sh.body[sb]
-    origin = b.origin
-    pa, qa = origin[body_a], b.rot[body_a]
-    pb, qb = origin[body_b], b.rot[body_b]
-
-    va, na = pad8(verts_t[sa]), pad8(normals_t[sa])
-    ca, ra = sh.count[sa], sh.radius[sa]
-    vb, nb = pad8(verts_t[sb]), pad8(normals_t[sb])
-    cb, rb = sh.count[sb], sh.radius[sb]
+    sw = swap[:, None]
+    rA = jnp.where(sw, rB0, rA0)
+    rB = jnp.where(sw, rA0, rB0)
+    ta = jnp.where(swap, tb0, ta0)
+    tb = jnp.where(swap, ta0, tb0)
 
     P = sa.shape[0]
+    body_a = rA[:, C["body"]].astype(jnp.int32)
+    body_b = rB[:, C["body"]].astype(jnp.int32)
+    pa, qa = rA[:, D0:D0 + 2], rA[:, D0 + 2:D0 + 4]
+    pb, qb = rB[:, D0:D0 + 2], rB[:, D0 + 2:D0 + 4]
+
+    va = pad8(rA[:, :2 * V].reshape(P, V, 2))
+    na = pad8(rA[:, 2 * V:4 * V].reshape(P, V, 2))
+    ca, ra = rA[:, C["count"]].astype(jnp.int32), rA[:, C["radius"]]
+    vb = pad8(rB[:, :2 * V].reshape(P, V, 2))
+    nb = pad8(rB[:, 2 * V:4 * V].reshape(P, V, 2))
+    cb, rb = rB[:, C["count"]].astype(jnp.int32), rB[:, C["radius"]]
+    ghost1_a = rA[:, C["g1x"]:C["g1x"] + 2]
+    ghost2_a = rA[:, C["g2x"]:C["g2x"] + 2]
     out = mfm.Manifold(
         normal=jnp.zeros((P, 2), jnp.float32),
         point_count=jnp.zeros(P, jnp.int32),
@@ -158,7 +231,7 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
         out = merge((ta == g.POLYGON) & (tb == g.CIRCLE), man)
     if CLS_CHAIN_CIRCLE in classes_present:
         man = jax.vmap(mfm.collide_chain_segment_circle)(
-            va[:, 0], va[:, 1], sh.ghost1[sa], sh.ghost2[sa], pa, qa,
+            va[:, 0], va[:, 1], ghost1_a, ghost2_a, pa, qa,
             vb[:, 0], rb, pb, qb)
         out = merge((ta == g.CHAIN_SEGMENT) & (tb == g.CIRCLE), man)
     if CLS_CAPSULES in classes_present:
@@ -175,7 +248,7 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
         out = merge(apoly & not_special, man)
     if CLS_CHAIN_POLY in classes_present:
         man = jax.vmap(mfm.collide_chain_segment_polygon)(
-            va[:, 0], va[:, 1], sh.ghost1[sa], sh.ghost2[sa], pa, qa,
+            va[:, 0], va[:, 1], ghost1_a, ghost2_a, pa, qa,
             vb, nb, cb, rb, pb, qb)
         out = merge((ta == g.CHAIN_SEGMENT) & (tb != g.CIRCLE), man)
 
@@ -184,19 +257,19 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
 
     # material mixing (ref: include/Types.cs:98-101 default callbacks,
     # src/Contact.cs:330-339)
-    friction = jnp.sqrt(sh.friction[sa] * sh.friction[sb])
-    restitution = jnp.maximum(sh.restitution[sa], sh.restitution[sb])
-    rr = jnp.where(
-        (sh.rolling_resistance[sa] > 0) | (sh.rolling_resistance[sb] > 0),
-        jnp.maximum(sh.rolling_resistance[sa], sh.rolling_resistance[sb])
-        * jnp.maximum(ra, rb),
-        0.0)
-    tangent_speed = sh.tangent_speed[sa] + sh.tangent_speed[sb]
+    fr_a, fr_b = rA[:, C["friction"]], rB[:, C["friction"]]
+    re_a, re_b = rA[:, C["restitution"]], rB[:, C["restitution"]]
+    ro_a, ro_b = rA[:, C["rolling"]], rB[:, C["rolling"]]
+    friction = jnp.sqrt(fr_a * fr_b)
+    restitution = jnp.maximum(re_a, re_b)
+    rr = jnp.where((ro_a > 0) | (ro_b > 0),
+                   jnp.maximum(ro_a, ro_b) * jnp.maximum(ra, rb), 0.0)
+    tangent_speed = rA[:, C["tspeed"]] + rB[:, C["tspeed"]]
 
     # re-base anchors on centers of mass (ref: src/Contact.cs:389-393
     # anchor -= centerOffset, centerOffset = R * localCenter)
-    off_a = m.rot_vec(qa, b.local_center[body_a])
-    off_b = m.rot_vec(qb, b.local_center[body_b])
+    off_a = rA[:, D0 + 4:D0 + 6]
+    off_b = rB[:, D0 + 4:D0 + 6]
     out = out._replace(
         anchor_a=out.anchor_a - off_a[:, None, :],
         anchor_b=out.anchor_b - off_b[:, None, :],
@@ -217,6 +290,9 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
         rolling_resistance=rr, tangent_speed=tangent_speed,
         normal_impulse=ni, tangent_impulse=ti, rolling_impulse=ri,
         was_touching=was_touching, prev_color=prev_color,
+        dyn_a=rA[:, D0:], dyn_b=rB[:, D0:],
+        ev_contact=(rA[:, C["evc"]] > 0) & (rB[:, C["evc"]] > 0),
+        ev_hit=(rA[:, C["evh"]] > 0) | (rB[:, C["evh"]] > 0),
     )
 
 

@@ -67,37 +67,78 @@ def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
 
 
 def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
-                   dt) -> WorldState:
-    """Wake islands hit by new contacts; put long-still islands to sleep."""
+                   dt, dyn_a=None, dyn_b=None) -> WorldState:
+    """Wake islands hit by new contacts; put long-still islands to sleep.
+
+    dyn_a/dyn_b: optional (P, 14) packed body rows from the narrow phase
+    (narrowphase._DYN columns) carrying type/awake/enabled for the contact
+    endpoints — saves six P-lane gathers. Pass None when body wake flags may
+    have changed since the narrow phase (particle impulses)."""
     b = state.bodies
     nb = b.center.shape[0]
     tn = state.tuning
+    jn = state.joints
 
-    edges_a = jnp.concatenate([body_a, state.joints.body_a])
-    edges_b = jnp.concatenate([body_b, state.joints.body_b])
-    edges_on = jnp.concatenate(
-        [touching, state.joints.enabled & (state.joints.body_a >= 0)])
-    slot_a, slot_b = _edge_slots(b.type, edges_a, edges_b, edges_on, nb)
+    if dyn_a is not None:
+        c_typ_a = dyn_a[:, 11].astype(jnp.int32)
+        c_typ_b = dyn_b[:, 11].astype(jnp.int32)
+        c_awk_a = dyn_a[:, 12] > 0
+        c_awk_b = dyn_b[:, 12] > 0
+        c_en_a = dyn_a[:, 13] > 0
+        c_en_b = dyn_b[:, 13] > 0
+    else:
+        c_typ_a = b.type[body_a]
+        c_typ_b = b.type[body_b]
+        c_awk_a = b.awake[body_a]
+        c_awk_b = b.awake[body_b]
+        c_en_a = b.enabled[body_a]
+        c_en_b = b.enabled[body_b]
 
-    # active labels: monotone min-merge (conservative, never splits)
-    labels = _propagate(b.island_label, edges_a, edges_b, slot_a, slot_b,
-                        nb, 4)
+    j_on = jn.enabled & (jn.body_a >= 0)
+    j_dyn_a = b.type[jnp.clip(jn.body_a, 0, nb - 1)] == DYNAMIC
+    j_dyn_b = b.type[jnp.clip(jn.body_b, 0, nb - 1)] == DYNAMIC
 
-    # --- island RE-PARTITION (ref: src/Island.cs:316-426 deferred splits) --
-    # A shadow label array re-seeds from body ids and propagates alongside
-    # the active one; once one more round changes nothing it is a fixed
-    # point of the CURRENT edge set — i.e. an EXACT connected-component
-    # labeling — and is swapped in, separating clusters that were bridged by
-    # a since-departed body. Between swaps the active labels over-merge
-    # (conservative: islands sleep later, never incorrectly). Swapping only
-    # at convergence is what keeps splits safe: an unconverged partition
-    # could let half an island sleep while the other half still moves.
-    fresh = _propagate(b.island_fresh, edges_a, edges_b, slot_a, slot_b,
-                       nb, 4)
-    fresh_next = _propagate(fresh, edges_a, edges_b, slot_a, slot_b, nb, 1)
-    converged = jnp.all(fresh_next == fresh)
-    labels = jnp.where(converged, fresh, labels)
-    fresh = jnp.where(converged, jnp.arange(nb, dtype=jnp.int32), fresh)
+    edges_a = jnp.concatenate([body_a, jn.body_a])
+    edges_b = jnp.concatenate([body_b, jn.body_b])
+    on = jnp.concatenate([touching & (c_typ_a == DYNAMIC)
+                          & (c_typ_b == DYNAMIC),
+                          j_on & j_dyn_a & j_dyn_b])
+    slot_a = jnp.where(on, edges_a, nb)
+    slot_b = jnp.where(on, edges_b, nb)
+
+    # --- packed label propagation -----------------------------------------
+    # active labels (col 0): monotone min-merge (conservative, never splits).
+    # fresh labels (col 1): island RE-PARTITION (ref: src/Island.cs:316-426
+    # deferred splits) — a shadow array re-seeds from body ids and propagates
+    # alongside; once one more round changes nothing it is a fixed point of
+    # the CURRENT edge set (an exact connected-component labeling) and is
+    # swapped in, separating clusters bridged by a since-departed body.
+    # Swapping only at convergence keeps splits safe: an unconverged
+    # partition could let half an island sleep while the other half moves.
+    # Both columns ride ONE (2E, 2) gather + ONE scatter-min per iteration
+    # (gathers/scatters cost per-op on TPU, not per-element).
+    ce = jnp.clip(jnp.concatenate([edges_a, edges_b]), 0, nb - 1)
+    slot_ab = jnp.concatenate([slot_a, slot_b])
+    lab2 = jnp.stack([b.island_label, b.island_fresh], axis=1)  # (nb, 2)
+
+    def prop2(l2):
+        g = l2[ce]                                   # (2E, 2)
+        E = edges_a.shape[0]
+        mn = jnp.minimum(g[:E], g[E:])               # (E, 2)
+        mn2 = jnp.concatenate([mn, mn])              # (2E, 2)
+        ext = jnp.concatenate(
+            [l2, jnp.full((1, 2), 1 << 30, jnp.int32)])
+        return ext.at[slot_ab].min(mn2)[:nb]
+
+    for _ in range(4):
+        lab2 = prop2(lab2)
+    snap4 = lab2
+    lab2 = prop2(lab2)
+    labels = lab2[:, 0]
+    converged = jnp.all(lab2[:, 1] == snap4[:, 1])
+    labels = jnp.where(converged, snap4[:, 1], labels)
+    fresh = jnp.where(converged, jnp.arange(nb, dtype=jnp.int32),
+                      lab2[:, 1])
 
     # ---- wake: new touching contact reaches a sleeping body --------------
     # the waking side must be an AWAKE non-static body (ref: only moved
@@ -105,14 +146,13 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
     # bodies cannot produce a real new touch, so a phantom new_touch from a
     # hash-store drop (store_slot never found => was_touching always False)
     # inside a sleeping island must not re-wake it
+    mover_a = c_awk_a & (c_typ_a != 0) & c_en_a
+    mover_b = c_awk_b & (c_typ_b != 0) & c_en_b
+    hit = new_touch & ((~c_awk_a & mover_b) | (~c_awk_b & mover_a))
     ext = jnp.zeros(nb + 1, bool)
-    asleep_a = ~b.awake[body_a]
-    asleep_b = ~b.awake[body_b]
-    mover_a = b.awake[body_a] & (b.type[body_a] != 0) & b.enabled[body_a]
-    mover_b = b.awake[body_b] & (b.type[body_b] != 0) & b.enabled[body_b]
-    hit = new_touch & ((asleep_a & mover_b) | (asleep_b & mover_a))
-    ext = ext.at[jnp.where(hit, body_a, nb)].max(hit)
-    ext = ext.at[jnp.where(hit, body_b, nb)].max(hit)
+    hit2 = jnp.concatenate([hit, hit])
+    ext = ext.at[jnp.where(hit2, jnp.concatenate([body_a, body_b]), nb)
+                 ].max(hit2)
     woken_body = ext[:nb]
     # wake the whole island of any woken body
     island_woken = jnp.zeros(nb + 1, bool)

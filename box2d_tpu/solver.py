@@ -80,22 +80,28 @@ class ContactConstraints(NamedTuple):
 
 
 def prepare_contacts(state: WorldState, data: ContactData,
-                     bs: BodySolverState, color, h, inv_h) -> ContactConstraints:
-    """ref: src/ContactSolver.cs:40-115 PrepareOverflowContacts."""
-    b = state.bodies
+                     bs: BodySolverState, color, h, inv_h,
+                     fresh_vw: bool = False) -> ContactConstraints:
+    """ref: src/ContactSolver.cs:40-115 PrepareOverflowContacts.
+
+    Body operands come from the packed rows narrow_phase already gathered
+    (data.dyn_a/dyn_b) — zero additional gathers. fresh_vw=True re-gathers
+    velocities (particle systems add impulses to bodies between the narrow
+    phase and the solve, making the row velocities stale)."""
     tn = state.tuning
     man = data.manifold
     ba, bb = data.body_a, data.body_b
+    da, db = data.dyn_a, data.dyn_b
 
     contact_hertz = jnp.minimum(tn.contact_hertz, 0.125 * inv_h)  # ref api/World.cs:78
     soft_c = m.softness(contact_hertz, tn.contact_damping_ratio, h)
     soft_s = m.softness(2.0 * contact_hertz, tn.contact_damping_ratio, h)
 
-    ma = b.inv_mass[ba]
-    mb = b.inv_mass[bb]
-    ia = b.inv_inertia[ba]
-    ib = b.inv_inertia[bb]
-    is_static = (b.type[ba] != DYNAMIC) | (b.type[bb] != DYNAMIC)
+    ma = da[:, 9]
+    mb = db[:, 9]
+    ia = da[:, 10]
+    ib = db[:, 10]
+    is_static = (da[:, 11] != DYNAMIC) | (db[:, 11] != DYNAMIC)
     soft_bias = jnp.where(is_static, soft_s[0], soft_c[0])
     soft_mass = jnp.where(is_static, soft_s[1], soft_c[1])
     soft_imp = jnp.where(is_static, soft_s[2], soft_c[2])
@@ -121,10 +127,15 @@ def prepare_contacts(state: WorldState, data: ContactData,
     normal = man.normal
     tangent = m.right_perp(normal)
 
-    va = bs.v[ba]
-    wa = bs.w[ba]
-    vb = bs.v[bb]
-    wb = bs.w[bb]
+    if fresh_vw:
+        st = jnp.concatenate([bs.v, bs.w[:, None]], axis=1)
+        sta = st[ba]
+        stb = st[bb]
+        va, wa = sta[:, :2], sta[:, 2]
+        vb, wb = stb[:, :2], stb[:, 2]
+    else:
+        va, wa = da[:, 6:8], da[:, 8]
+        vb, wb = db[:, 6:8], db[:, 8]
 
     ra = man.anchor_a  # (P, 2, 2)
     rb = man.anchor_b

@@ -96,7 +96,7 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                substeps: int, joint_types: frozenset = frozenset(),
                sensor_ids: tuple = (), continuous: bool = True,
                particle_cfg: ParticleConfig | None = None,
-               use_pallas: bool = False) -> WorldState:
+               use_pallas: bool = False, until: str = "") -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -115,6 +115,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     old_key_a = state.contacts.key_a
     old_key_b = state.contacts.key_b
     aabbs = compute_shape_aabbs(state)
+    if until == "aabbs":
+        return aabbs
     if state.broadphase is not None:
         pairs, new_bp, cache, orphan_mask, store_drops = \
             find_pairs_incremental(state, cap, aabbs)
@@ -128,8 +130,12 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             jnp.where(pairs.valid, pairs.shape_b, -1),
             cap.max_contact_pairs)
         state = dataclasses.replace(state, contacts=cache)
+    if until == "pairs":
+        return pairs, state.contacts
     data = narrow_phase(state, pairs, classes_present, cap.max_verts)
     touching = data.manifold.point_count > 0
+    if until == "narrow":
+        return data
 
     # --- particle systems run before the rigid solve (ref: api/World.cs:92)
     particle_overflow = jnp.int32(0)
@@ -159,7 +165,16 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     joint_active = (jn.enabled & (jn.type >= 0) & _joint_needs_solve(jn)
                     & (awake_dyn[jnp.maximum(jn.body_a, 0)]
                        | awake_dyn[jnp.maximum(jn.body_b, 0)]))
-    contact_live = touching & (awake_dyn[data.body_a] | awake_dyn[data.body_b])
+    if particle_cfg is None:
+        # packed body rows from the narrow phase (awake/type unchanged
+        # since step start) — saves two P-lane gathers
+        ad_a = (data.dyn_a[:, 12] > 0) & (data.dyn_a[:, 11] == 2)
+        ad_b = (data.dyn_b[:, 12] > 0) & (data.dyn_b[:, 11] == 2)
+    else:
+        # particle_step may have woken bodies after the narrow phase
+        ad_a = awake_dyn[data.body_a]
+        ad_b = awake_dyn[data.body_b]
+    contact_live = touching & (ad_a | ad_b)
     all_ba = jnp.concatenate([data.body_a, jn.body_a])
     all_bb = jnp.concatenate([data.body_b, jn.body_b])
     all_active = jnp.concatenate([contact_live, joint_active])
@@ -207,6 +222,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     relax = jnp.where(ovf, 1.0 / cdeg, 1.0)
     contact_relax = relax[:p]
     joint_relax = relax[p:]
+    if until == "colors":
+        return contact_color, joint_color, num_colors, contact_relax
 
     # --- prepare solver state (ref: SolverStage Prepare*) -----------------
     bs = BodySolverState(
@@ -214,8 +231,11 @@ def _step_work(state: WorldState, dt, cap: Capacity,
         dp=jnp.zeros_like(b.center),
         dq=m.rot_identity((nb,)),
     )
-    cc = prepare_contacts(state, data, bs, contact_color, h, inv_h)
+    cc = prepare_contacts(state, data, bs, contact_color, h, inv_h,
+                          fresh_vw=particle_cfg is not None)
     jc = prepare_joints(state, bs, joint_color, h, inv_h, joint_types)
+    if until == "prepare":
+        return cc, jc
 
     # --- fixed-stride bucket layout -----------------------------------------
     # constraints are scattered once into a layout where color c owns rows
@@ -281,6 +301,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
         idxL = jnp.full((layout_len, 2), -1, jnp.int32).at[
             layout_idx].set(idx_p, mode="drop")
         datap, accp, idxp = dataL.T, accL.T, idxL.T
+        if until == "layout":
+            return datap, accp, idxp
         scalars = jnp.stack([
             h, inv_h, tn.contact_speed, tn.restitution_threshold,
             tn.max_linear_speed, jnp.float32(0), jnp.float32(0),
@@ -305,6 +327,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             out_body, out_acc = run_solver_kernel_tiled(
                 substeps, chunk, scalars, idxp, datap, accp, bodyp,
                 paramsp, wl, tlo, thi, nactp, w=w_win)
+            if until == "kernel":
+                return out_body, out_acc
             bs = unpack_bodies_tiled(bs, out_body)
         else:
             bodyp, paramsp = pack_bodies(b, bs, tn, h, inv_dt)
@@ -325,7 +349,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                           ni, ti, roll, tni, cc.relative_velocity,
                           prev_origin, prev_rot,
                           (orphan_mask, old_key_a, old_key_b, store_drops),
-                          particle_overflow)
+                          particle_overflow, until=until,
+                          rows_fresh=particle_cfg is None)
 
     cc_pairs_relv = cc.relative_velocity
 
@@ -442,14 +467,16 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                       continuous, contact_color_store, ni, ti, roll, tni,
                       cc_pairs_relv, prev_origin, prev_rot,
                       (orphan_mask, old_key_a, old_key_b, store_drops),
-                      particle_overflow)
+                      particle_overflow, until=until,
+                      rows_fresh=particle_cfg is None)
 
 
 def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                num_colors, overflow_colors, touching, sensor_ids, continuous,
                contact_color_store, ni, ti, roll, tni, relv,
                prev_origin=None, prev_rot=None, orphan_info=None,
-               particle_overflow=None):
+               particle_overflow=None, until: str = "",
+               rows_fresh: bool = True):
     """Post-solve: store impulses, events, continuous, finalize, sleep,
     sensors, profile. Shared by the XLA and Pallas solver paths.
 
@@ -465,9 +492,13 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                    else jnp.int32(0))
 
     # --- events -----------------------------------------------------------
+    if until == "store":
+        return state.contacts
     events = _contact_events(state, data, touching, cap, orphan_info)
     events = _hit_events(state, data, tni, relv, touching, events, cap)
     events = _joint_events(state, jc, inv_h, events, cap)
+    if until == "events":
+        return events
 
     # --- continuous collision (ref: src/Solver.cs:224-401) -----------------
     advance = None
@@ -476,14 +507,22 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
         advance, overflow_ccd = continuous_pass(state, bs, dt,
                                                 cap.fast_cap or 32,
                                                 cap.cand_cap)
+    if until == "continuous":
+        return advance, overflow_ccd, events
 
     # --- finalize ----------------------------------------------------------
     state = finalize_bodies(state, bs, dt, inv_dt, advance)
+    if until == "finalize":
+        return state.bodies.center, state.bodies.rot, events
 
     # --- sleep/wake (ref: src/Solver.cs:1293-1321 + src/Island.cs) ---------
     new_touch = touching & ~data.was_touching
     state = wake_and_sleep(state, touching, new_touch, data.body_a,
-                           data.body_b, dt)
+                           data.body_b, dt,
+                           dyn_a=data.dyn_a if rows_fresh else None,
+                           dyn_b=data.dyn_b if rows_fresh else None)
+    if until == "sleep":
+        return state.bodies.awake, state.bodies.island_label, events
 
     # --- sensors (ref: api/World.cs:99 OverlapSensors after solve) ---------
     state = dataclasses.replace(state, events=events)
@@ -548,8 +587,7 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
     orphan_mask; their end events are appended here, gated by lax.cond so
     steady-state steps pay nothing."""
     sh = state.shapes
-    ev_enabled = (sh.enable_contact_events[data.shape_a]
-                  & sh.enable_contact_events[data.shape_b])
+    ev_enabled = data.ev_contact   # packed rows: both shapes enable events
     begin = touching & ~data.was_touching & ev_enabled
     end = ~touching & data.was_touching & ev_enabled
     pairs_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
@@ -589,10 +627,8 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
 def _hit_events(state, data, tni, relv, touching, events, cap):
     """Contact hit events (ref: src/Solver.cs:1151-1190): at hit speed above
     the threshold with a non-zero normal impulse. tni/relv are PAIR-order."""
-    sh = state.shapes
     tn = state.tuning
-    enable = (sh.enable_hit_events[data.shape_a]
-              | sh.enable_hit_events[data.shape_b])
+    enable = data.ev_hit           # packed rows: either shape enables hits
     approach = -relv
     pt_ok = (approach > tn.hit_event_threshold) & (tni > 0.0)
     best_pt = jnp.argmax(jnp.where(pt_ok, approach, -jnp.inf), axis=1)
