@@ -168,6 +168,8 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     all_ids = jnp.arange(S)
     bg_a = jnp.broadcast_to(bigs[:, None], (B, S)).reshape(-1)
     bg_b = jnp.broadcast_to(all_ids[None, :], (B, S)).reshape(-1)
+    body_of = sh.body
+    body_dyn = b.type[body_of] == DYNAMIC
     bg_ok = (m.aabb_overlaps(
         jnp.concatenate([fat_lo[bigs][:, None, :].repeat(S, 1),
                          fat_hi[bigs][:, None, :].repeat(S, 1)], -1).reshape(-1, 4),
@@ -175,22 +177,28 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
                          fat_hi[None, :, :].repeat(B, 0)], -1).reshape(-1, 4))
         & jnp.broadcast_to(big_valid[:, None], (B, S)).reshape(-1)
         & alive[bg_b] & (bg_a != bg_b)
+        # same-body and one-dynamic here on the (B, S) domain, so the
+        # compacted lanes need no per-pair admissibility gathers at all
+        & (body_of[bigs][:, None] != body_of[None, :]).reshape(-1)
+        & (body_dyn[bigs][:, None] | body_dyn[None, :]).reshape(-1)
         & (~is_big[bg_b] | (bg_a < bg_b)))
 
-    # ---- grid-cell window pass ---------------------------------------------
+    # ---- grid-cell block-tile pass -----------------------------------------
     # NON-BIG shapes sorted by (row, column) cell key; overlapping non-big
     # pairs have center distance <= cell, so they sit in the same or adjacent
-    # cells: forward same-row window + a row-above window cover all of them,
-    # and each unordered pair is emitted exactly once (forward-only within a
-    # row; row-above only from the lower shape). Bigs are covered by the
-    # big-shape pass against everything.
+    # cells. Sorted by (row, col), every such partner of shape i lies at a
+    # HIGHER sorted position within i's row span or the row-above span, so a
+    # forward scan of the next T-1 sorted entries covers all of them and each
+    # unordered pair is emitted exactly once (from its lower position).
+    # Bigs are covered by the big-shape pass against everything.
     #
-    # TPU cost note: random gathers run at ~3-9ns/element, so the pass
-    # gathers the per-shape data into SORTED order once ((S,5) elements)
-    # and then expresses the same-row window as W STATIC SHIFTS of the
-    # sorted arrays — pure elementwise compares, zero gathers. Only the
-    # row-above window (non-uniform start offsets) pays a gather, at W
-    # lanes per shape.
+    # TPU cost note: gathers/scatters cost per-OP (~1.3ms at 40k rows), so
+    # the pass gathers per-shape data into SORTED order once (one packed row
+    # gather), builds each 128-row block's T-wide forward tile from STATIC
+    # slices of the sorted table (zero gathers), compares (NBlk, 128, T)
+    # elementwise, and compacts per-shape to K neighbor slots by rank-match
+    # reductions (no mega-scatter). Only the final (S, K) pair scatter and
+    # the id resolution pay per-row costs.
     alive_w = alive & ~is_big
     inv_c = 1.0 / cell
     xi = jnp.floor(center[:, 0] * inv_c).astype(jnp.int32)
@@ -199,64 +207,86 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
                     jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key)
     skey = key[order]
-    srow = skey >> 16
-    s_box = jnp.concatenate([fat_lo, fat_hi], -1)[order]   # (S, 4) sorted
-    s_alive = alive_w[order]
 
+    BLK = 128
+    T = max(256, ((cap.bp_tile + BLK - 1) // BLK) * BLK)  # forward tile width
+    K = max(4, min(W, 16))        # per-shape neighbor slots (overflow counted)
+    n_blk = (S + BLK - 1) // BLK
+    S_pad = n_blk * BLK
+
+    body_f = sh.body.astype(jnp.float32)
+    dyn_f = (b.type[sh.body] == DYNAMIC).astype(jnp.float32)
+    unsorted = jnp.concatenate([
+        fat_lo, fat_hi,
+        alive_w.astype(jnp.float32)[:, None],
+        body_f[:, None], dyn_f[:, None],
+    ], axis=1)
+    # ONE row gather brings everything into sorted order; the row column
+    # comes from skey (already sorted)
+    srt = jnp.concatenate([
+        unsorted[order][:, :4],
+        (skey >> 16).astype(jnp.float32)[:, None],
+        unsorted[order][:, 4:],
+    ], axis=1)                                             # (S, 8)
+    pad_rows = S_pad + T - S
+    srt = jnp.concatenate(
+        [srt, jnp.zeros((pad_rows, srt.shape[1]), jnp.float32)], axis=0)
+    blocks = srt[:S_pad].reshape(n_blk, BLK, srt.shape[1])
+
+    # tile for block bk = sorted rows [bk*BLK, bk*BLK + T): built from T/BLK
+    # static slices of the padded sorted table — no gathers
+    tiles = jnp.stack(
+        [srt[k * BLK: k * BLK + S_pad].reshape(n_blk, BLK, srt.shape[1])
+         for k in range(T // BLK)], axis=1).reshape(n_blk, T, srt.shape[1])
+
+    bi = blocks[:, :, None, :]                             # (NBlk, 128, 1, 8)
+    tj = tiles[:, None, :, :]                              # (NBlk, 1, T, 8)
+    l_loc = jnp.arange(BLK)[None, :, None]
+    t_loc = jnp.arange(T)[None, None, :]
+    overlap = ((bi[..., 0] <= tj[..., 2]) & (tj[..., 0] <= bi[..., 2])
+               & (bi[..., 1] <= tj[..., 3]) & (tj[..., 1] <= bi[..., 3]))
+    row_ok = (tj[..., 4] == bi[..., 4]) | (tj[..., 4] == bi[..., 4] + 1)
+    ok = (overlap & row_ok & (t_loc > l_loc)
+          & (bi[..., 5] > 0) & (tj[..., 5] > 0)            # alive
+          & (bi[..., 6] != tj[..., 6])                     # different body
+          & ((bi[..., 7] > 0) | (tj[..., 7] > 0)))         # one dynamic
+
+    # ---- coverage overflow -------------------------------------------------
+    # guaranteed forward coverage is T - BLK positions (a row at local l
+    # sees T - l ahead); if the entry T-BLK ahead is still within the
+    # (row, x-1 .. row+1, x+1) key range, neighbors may lie beyond the tile
     def pad_shift(x, k, fill):
-        # x shifted up by k with fill — a static slice + pad, not a gather
+        k = min(k, x.shape[0])
         return jnp.concatenate(
-            [x[k:], jnp.full((k,) + x.shape[1:], fill, x.dtype)], 0)
+            [x[k:], jnp.full((k,), fill, x.dtype)], 0)
 
-    same_ok = []
-    for k in range(1, W + 1):
-        ok_k = (m.aabb_overlaps(s_box, pad_shift(s_box, k, 0.0))
-                & (pad_shift(srow, k, -1) == srow)
-                & s_alive & pad_shift(s_alive, k, False))
-        same_ok.append(ok_k)
-    same_ok = jnp.stack(same_ok, axis=1)                   # (S, W)
-    pos = jnp.arange(S)
-    same_b_pos = pos[:, None] + jnp.arange(1, W + 1)[None, :]
+    ahead = pad_shift(skey, T - BLK, jnp.iinfo(jnp.int32).max)
+    overflow_shapes = jnp.sum((ahead <= skey + (1 << 16) + 1)
+                              & (skey != jnp.iinfo(jnp.int32).max))
 
-    up_key = skey + (1 << 16) - 1  # key(y+1, x-1)
-    start_up = jnp.searchsorted(skey, up_key)
-    raw_up = start_up[:, None] + jnp.arange(W)[None, :]
-    cand_up = jnp.clip(raw_up, 0, S - 1)
-    up_ok = (m.aabb_overlaps(s_box[:, None, :], s_box[cand_up])
-             & (srow[cand_up] == srow[:, None] + 1)
-             & (raw_up < S) & s_alive[:, None] & s_alive[cand_up])
+    # ---- per-shape K-slot compaction (reductions, no scatter) -------------
+    rank = jnp.cumsum(ok, axis=2, dtype=jnp.int32) - 1     # (NBlk, 128, T)
+    cnt = rank[:, :, -1] + 1                               # (NBlk, 128)
+    t_glob = (jnp.arange(n_blk)[:, None, None] * BLK + t_loc)
+    nbr = []
+    for k in range(K):
+        sel = ok & (rank == k)
+        nbr.append(jnp.max(jnp.where(sel, t_glob, -1), axis=2))
+    nbr = jnp.stack(nbr, axis=2).reshape(S_pad, K)         # sorted positions
+    cnt = cnt.reshape(S_pad)
+    overflow_shapes = overflow_shapes + jnp.sum(jnp.maximum(cnt - K, 0))
+    cntK = jnp.minimum(cnt, K)
 
-    cand = jnp.concatenate([jnp.clip(same_b_pos, 0, S - 1), cand_up], axis=1)
-    ov = jnp.concatenate([same_ok, up_ok], axis=1)         # (S, 2W)
-
-    # ---- overflow detection ------------------------------------------------
-    # window can only miss pairs when more than W shapes occupy the scanned
-    # cell span; count same-row runs and row-above spans that exceed W
-    run_end = jnp.searchsorted(skey, skey + 2)  # end of (y, x..x+1) span
-    same_over = (run_end - pos - 1) > W
-    up_end = jnp.searchsorted(skey, skey + (1 << 16) + 2)  # (y+1, x-1..x+1)
-    up_over = (up_end - start_up) > W
-    overflow_shapes = jnp.sum((same_over | up_over) & alive_w[order])
-
-    # ---- compact -----------------------------------------------------------
-    # every candidate is emitted EXACTLY once by construction (see the
-    # uniqueness notes on the two passes above), so no dedupe sort is
-    # needed. Compaction is two-level: a per-shape rank (axis-1 cumsum,
-    # vectorized across rows) + one short (S,) cumsum for row bases —
-    # a flat cumsum over all S*(2W+B) emission lanes costs multiple ms on
-    # TPU. Window lanes carry SORTED positions; the map through `order`
-    # happens after compaction, on P lanes instead of S*2W.
-    rank_w = jnp.cumsum(ov, axis=1) - 1                    # (S, 2W)
-    cnt_w = rank_w[:, -1] + 1          # == per-row total
-    base_w = jnp.cumsum(cnt_w) - cnt_w                     # exclusive
-    slot_w = jnp.where(ov, base_w[:, None] + rank_w, P)
-    count_win = base_w[-1] + cnt_w[-1]
-
-    flat_slot_w = slot_w.reshape(-1)
-    pos_a_t = jnp.full((P,), -1, jnp.int32).at[flat_slot_w].set(
-        jnp.broadcast_to(pos[:, None], cand.shape).reshape(-1), mode="drop")
-    pos_b_t = jnp.full((P,), -1, jnp.int32).at[flat_slot_w].set(
-        cand.reshape(-1), mode="drop")
+    # ---- global slots + ONE packed pair scatter ---------------------------
+    base_w = jnp.cumsum(cntK) - cntK                       # exclusive, (S_pad,)
+    count_win = base_w[-1] + cntK[-1]
+    karange = jnp.arange(K)[None, :]
+    tgt = jnp.where((karange < cntK[:, None]) & (nbr >= 0),
+                    base_w[:, None] + karange, P)          # (S_pad, K)
+    pos_i = jnp.broadcast_to(jnp.arange(S_pad)[:, None], (S_pad, K))
+    pair_pos = jnp.stack([pos_i, jnp.maximum(nbr, 0)], axis=-1)
+    pos_ab = jnp.full((P + 1, 2), -1, jnp.int32).at[
+        tgt.reshape(-1)].set(pair_pos.reshape(-1, 2), mode="drop")[:P]
 
     bg_ok2 = bg_ok.reshape(B, S)
     rank_b = jnp.cumsum(bg_ok2, axis=1) - 1
@@ -265,32 +295,56 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     slot_b = jnp.where(bg_ok2, base_b[:, None] + rank_b, P).reshape(-1)
     count = count_win + jnp.sum(cnt_b)
 
-    id_a_t = jnp.full((P,), -1, jnp.int32).at[slot_b].set(bg_a, mode="drop")
-    id_b_t = jnp.full((P,), -1, jnp.int32).at[slot_b].set(bg_b, mode="drop")
+    ids_bg = jnp.stack([bg_a, bg_b], axis=-1)
+    id_ab = jnp.full((P + 1, 2), -1, jnp.int32).at[
+        slot_b].set(ids_bg, mode="drop")[:P]
 
     # resolve: window lanes map sorted-position -> shape id; big lanes are
     # already shape ids
-    from_win = pos_a_t >= 0
-    raw_a = jnp.where(from_win, order[jnp.clip(pos_a_t, 0, S - 1)], id_a_t)
-    raw_b = jnp.where(from_win, order[jnp.clip(pos_b_t, 0, S - 1)], id_b_t)
-    pair_valid = from_win | (id_a_t >= 0)
+    from_win = pos_ab[:, 0] >= 0
+    ord_pad = jnp.concatenate([order, jnp.zeros(S_pad + T - S, jnp.int32)])
+    ids_win = ord_pad[jnp.clip(pos_ab, 0, S_pad - 1)]      # one (P, 2) gather
+    raw_a = jnp.where(from_win, ids_win[:, 0], id_ab[:, 0])
+    raw_b = jnp.where(from_win, ids_win[:, 1], id_ab[:, 1])
+    pair_valid = from_win | (id_ab[:, 0] >= 0)
     shape_a = jnp.where(pair_valid, jnp.minimum(raw_a, raw_b), 0)
     shape_b = jnp.where(pair_valid, jnp.maximum(raw_a, raw_b), 0)
 
-    pair_valid = pair_valid & _pair_should_collide(state, shape_a, shape_b)
+    # residual admissibility: alive/sensor/enabled/same-body/one-dynamic
+    # checks already happened inside the block and big passes, so only the
+    # 32-bit category/group filters remain (they cannot ride the f32 block
+    # tables). Scenes with all-default filters skip them at trace time.
+    if cap.has_filters:
+        ftbl = jnp.stack([
+            sh.filter_category, sh.filter_mask,
+            jax.lax.bitcast_convert_type(sh.filter_group, jnp.uint32),
+        ], axis=1)                                         # (S, 3) u32
+        fr = ftbl[jnp.stack([shape_a, shape_b], axis=1)]   # one (P,2,3) gather
+        cat_a, msk_a = fr[:, 0, 0], fr[:, 0, 1]
+        cat_b, msk_b = fr[:, 1, 0], fr[:, 1, 1]
+        grp_a = jax.lax.bitcast_convert_type(fr[:, 0, 2], jnp.int32)
+        grp_b = jax.lax.bitcast_convert_type(fr[:, 1, 2], jnp.int32)
+        same_group = (grp_a == grp_b) & (grp_a != 0)
+        group_pass = jnp.where(
+            same_group, grp_a > 0,
+            ((cat_a & msk_b) != 0) & ((cat_b & msk_a) != 0))
+        pair_valid = pair_valid & group_pass
 
     # exclusions from joints with collide_connected == False, applied on the
     # compacted (P, J) set (ref: src/Joint.cs:293 DestroyContactsBetweeenBodies)
-    j = state.joints
-    jex = j.enabled & ~j.collide_connected & (j.body_a >= 0)
-    body = state.shapes.body
-    ba = body[shape_a]
-    bb = body[shape_b]
-    hit = (
-        ((ba[:, None] == j.body_a[None, :]) & (bb[:, None] == j.body_b[None, :]))
-        | ((ba[:, None] == j.body_b[None, :]) & (bb[:, None] == j.body_a[None, :]))
-    ) & jex[None, :]
-    pair_valid = pair_valid & ~jnp.any(hit, axis=1)
+    if cap.has_joint_exclusions:
+        j = state.joints
+        jex = j.enabled & ~j.collide_connected & (j.body_a >= 0)
+        bab = body_of[jnp.stack([shape_a, shape_b], axis=1)]  # one gather
+        ba = bab[:, 0]
+        bb = bab[:, 1]
+        hit = (
+            ((ba[:, None] == j.body_a[None, :])
+             & (bb[:, None] == j.body_b[None, :]))
+            | ((ba[:, None] == j.body_b[None, :])
+               & (bb[:, None] == j.body_a[None, :]))
+        ) & jex[None, :]
+        pair_valid = pair_valid & ~jnp.any(hit, axis=1)
 
     overflow = (overflow_shapes + jnp.maximum(count - P, 0)).astype(jnp.int32)
     return PairBuffer(shape_a, shape_b, pair_valid,

@@ -177,6 +177,18 @@ class WorldBuilder:
                 capacity,
                 fast_cap=min(max(len(self._shapes), 1),
                              max(32, ((n_bullet_shapes + 16 + 7) // 8) * 8)))
+        # trace-time gates: drop per-pair filter / joint-exclusion work from
+        # the compiled step when the scene provably never needs it
+        capacity = dataclasses.replace(
+            capacity,
+            has_filters=any(
+                int(s["filter_category"]) != 1
+                or int(s["filter_mask"]) != 0xFFFFFFFF
+                or int(s["filter_group"]) != 0
+                for s in self._shapes),
+            has_joint_exclusions=any(
+                not j.get("collide_connected", False)
+                for j in self._joints))
         Nb, S, J = capacity.max_bodies, capacity.max_shapes, capacity.max_joints
         assert nb <= Nb and ns <= S and nj <= J
 

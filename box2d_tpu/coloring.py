@@ -145,12 +145,17 @@ def color_constraints(
 def dense_remap(color, active, max_colors):
     """Remap used colors to a dense 0..k range (order-preserving, so dyn-dyn
     still solves before dyn-static and the overflow color stays last); the
-    solver then loops only k times."""
-    used_c = jnp.zeros(max_colors, jnp.int32)
-    used_c = used_c.at[jnp.where(active, color, 0)].max(
-        jnp.where(active, 1, 0).astype(jnp.int32))
-    rank = jnp.cumsum(used_c) - 1
-    return jnp.where(active, rank[jnp.clip(color, 0, max_colors - 1)], -1)
+    solver then loops only k times.
+
+    Computed with (N, C) one-hot reductions instead of a scatter + gather —
+    C is tiny (<=32), so the one-hot math is ~N*C cheap vector ops while the
+    scatter/gather pair costs ~2.5 ms at 40k lanes."""
+    onehot = (color[:, None] == jnp.arange(max_colors)[None, :]) \
+        & active[:, None]
+    used_c = jnp.any(onehot, axis=0)
+    rank = jnp.cumsum(used_c.astype(jnp.int32)) - 1
+    ranked = jnp.sum(jnp.where(onehot, rank[None, :], 0), axis=1)
+    return jnp.where(active, ranked, -1)
 
 
 def repair_colors(
@@ -219,16 +224,22 @@ def _repair_colors_impl(body_a, body_b, active, reserved, prev_color,
     bit = jnp.where(hold, 1 << jnp.clip(prev_color, 0, 31), 0)
     dyn_a = dyn[body_a]
     dyn_b = dyn[body_b]
-    used0 = jnp.zeros(num_bodies + 1, jnp.int32)
-    # colors of a body's constraints are distinct (the invariant), so the
-    # scatter-adds below never collide on a bit
-    used0 = used0.at[slot_of(body_a, dyn_a)].add(jnp.where(dyn_a, bit, 0))
-    used0 = used0.at[slot_of(body_b, dyn_b)].add(jnp.where(dyn_b, bit, 0))
-    used0 = used0.at[num_bodies].set(0)
     live_colored = active & (prev_color >= 0)
-    counts0 = jnp.zeros(max_colors, jnp.int32).at[
-        jnp.where(live_colored, prev_color, max_colors)].add(
-        1, mode="drop")
+    # ONE packed scatter-add builds both the per-body used-color masks and
+    # the per-color counts (targets offset into one array; scatters cost
+    # per-op, not per-element). Colors of a body's constraints are distinct
+    # (the invariant), so the bit adds never collide.
+    nb1 = num_bodies + 1
+    idx_all = jnp.concatenate([
+        slot_of(body_a, dyn_a), slot_of(body_b, dyn_b),
+        jnp.where(live_colored, nb1 + prev_color, nb1 + max_colors)])
+    val_all = jnp.concatenate([
+        jnp.where(dyn_a, bit, 0), jnp.where(dyn_b, bit, 0),
+        live_colored.astype(jnp.int32)])
+    packed = jnp.zeros(nb1 + max_colors + 1, jnp.int32).at[
+        idx_all].add(val_all)
+    used0 = packed[:nb1].at[num_bodies].set(0)
+    counts0 = packed[nb1:nb1 + max_colors]
 
     # --- compact uncolored active lanes into the repair buffer -------------
     todo = active & (prev_color < 0)
@@ -252,12 +263,15 @@ def _repair_colors_impl(body_a, body_b, active, reserved, prev_color,
     midx = jnp.arange(M, dtype=jnp.int32)
     pri_of = ((((lane_c * jnp.int32(-1640531527)) >> 16) & 0x3FF) << 16) | midx
 
+    cslot_ab = jnp.concatenate([cslot_a, cslot_b])   # (2M,) shared indices
+
     def round_fn(carry):
         ccol, used, counts, _ = carry
         cand = cval & (ccol < 0)
         full_bits = jnp.sum(
             jnp.where(counts >= cap, 1 << jnp.arange(max_colors), 0))
-        forbidden = used[cslot_a] | used[cslot_b] | full_bits
+        used_ab = used[cslot_ab]                     # one (2M,) gather
+        forbidden = used_ab[:M] | used_ab[M:] | full_bits
         free = (
             ((forbidden[:, None] >> bit_range[None, :]) & 1) == 0
         ) & (bit_range[None, :] >= lo[:, None]) & (bit_range[None, :] < hi[:, None])
@@ -266,11 +280,12 @@ def _repair_colors_impl(body_a, body_b, active, reserved, prev_color,
         cand = cand & has_free
 
         pri = jnp.where(cand, (proposal << 26) | pri_of, big)
-        claims = jnp.full(num_bodies + 1, big, jnp.int32)
-        claims = claims.at[cslot_a].min(pri)
-        claims = claims.at[cslot_b].min(pri)
-        win = cand & (~cdyn_a | (claims[cslot_a] == pri)) \
-            & (~cdyn_b | (claims[cslot_b] == pri))
+        pri2 = jnp.concatenate([pri, pri])
+        claims = jnp.full(num_bodies + 1, big, jnp.int32).at[
+            cslot_ab].min(pri2)
+        cl_ab = claims[cslot_ab]
+        win = cand & (~cdyn_a | (cl_ab[:M] == pri)) \
+            & (~cdyn_b | (cl_ab[M:] == pri))
 
         # per-color cap: keep only the first (cap - count) winners per color
         seg = jnp.where(win, proposal, max_colors)
@@ -284,8 +299,9 @@ def _repair_colors_impl(body_a, body_b, active, reserved, prev_color,
         counts = counts + jnp.sum(
             jnp.where(win[:, None], onehots, False), axis=0).astype(jnp.int32)
         wbit = jnp.where(win, 1 << proposal, 0)
-        used = used.at[cslot_a].add(jnp.where(cdyn_a, wbit, 0))
-        used = used.at[cslot_b].add(jnp.where(cdyn_b, wbit, 0))
+        win2 = jnp.concatenate([jnp.where(cdyn_a, wbit, 0),
+                                jnp.where(cdyn_b, wbit, 0)])
+        used = used.at[cslot_ab].add(win2)
         used = used.at[num_bodies].set(0)
         return ccol, used, counts, jnp.any(cand)
 

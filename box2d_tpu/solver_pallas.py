@@ -586,8 +586,13 @@ def unpack_bodies(bs, body):
 # (ref: src/ContactSolver.cs:362-1026) without its AoS<->SoA transposes:
 # coloring makes windows conflict-free, tiling keeps the one-hots in VMEM.
 
-DEFAULT_WINDOW = 512
-DEFAULT_BODY_TILE = 512
+import os
+
+# Measured on v5e (pyramid-140, 29k contacts): per-sweep cost scales with
+# the (tb, 2w) one-hot width, and narrow windows keep body-tile spans at 1;
+# w=128/tb=512 runs the same stage schedule at 7.9ms vs 16.3ms for 512/512.
+DEFAULT_WINDOW = int(os.environ.get("B2_TILED_WINDOW", "128"))
+DEFAULT_BODY_TILE = int(os.environ.get("B2_TILED_BODY_TILE", "512"))
 
 
 def window_width(chunk: int, target: int = DEFAULT_WINDOW) -> int:
@@ -612,7 +617,7 @@ def fits_tiled(nb: int, layout_len: int, w: int = DEFAULT_WINDOW,
 
 
 def _tiled_kernel(nsub: int, w: int, tb: int,
-                  win_ref, tlo_ref, thi_ref, nact_ref,
+                  win_ref, tlo_ref, thi_ref, nact_ref, wrest_ref,
                   scal_ref, idx_ref, data_ref, acc_ref,
                   body_ref, param_ref,
                   out_body_ref, out_acc_ref):
@@ -683,7 +688,9 @@ def _tiled_kernel(nsub: int, w: int, tb: int,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-    @pl.when(wi < nact_ref[0])
+    # restitution sweeps only run for windows that contain a lane with
+    # nonzero restitution (wrest); most scenes have none and skip stage 3
+    @pl.when((wi < nact_ref[0]) & ((p != 3) | (wrest_ref[wi] > 0)))
     def _sweep():
         col = pl.multiple_of(win_ref[wi] * w, w)
         tlo = tlo_ref[wi]
@@ -694,17 +701,24 @@ def _tiled_kernel(nsub: int, w: int, tb: int,
         a = out_acc_ref[:, pl.ds(col, w)]     # resident accumulator window
 
         iota_tb = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
+        # a- and b-side one-hots built and contracted as ONE (tb, 2w) op
+        # per tile: sweep cost is dominated by per-op issue overhead, not
+        # element count (tb=256 with 2x the tile iterations measures much
+        # slower than tb=512 at identical total elements)
+        iab = jnp.concatenate([ia, ib], axis=1)          # (1, 2w)
 
         def gather_tile(t, st):
             base = pl.multiple_of(t * tb, tb)
             bt = out_body_ref[:, pl.ds(base, tb)]
-            oh_a = jnp.where(iota_tb + base == ia, 1.0, 0.0)
-            oh_b = jnp.where(iota_tb + base == ib, 1.0, 0.0)
-            return st + jnp.concatenate([dotf(bt, oh_a), dotf(bt, oh_b)], 0)
+            oh = jnp.where(iota_tb + base == iab, 1.0, 0.0)   # (tb, 2w)
+            return st + dotf(bt, oh)
 
-        st = lax.fori_loop(tlo, thi, gather_tile,
-                           jnp.zeros((16, w), jnp.float32))
-        st_a, st_b = st[:8], st[8:]
+        # warm start (p==0) never reads body state — its deltas are pure
+        # functions of stored impulses — so skip the gather loop entirely
+        gthi = jnp.where(p == 0, tlo, thi)
+        st = lax.fori_loop(tlo, gthi, gather_tile,
+                           jnp.zeros((8, 2 * w), jnp.float32))
+        st_a, st_b = st[:, :w], st[:, w:]
 
         dpx = st_b[3:4] - st_a[3:4]
         dpy = st_b[4:5] - st_a[4:5]
@@ -869,12 +883,12 @@ def _tiled_kernel(nsub: int, w: int, tb: int,
 
         dva, dvb, acc_new = lax.cond(p == 0, warm_fn, solve_fn, None)
         out_acc_ref[:, pl.ds(col, w)] = acc_new
+        dvab = jnp.concatenate([dva, dvb], axis=1)       # (3, 2w)
 
         def scatter_tile(t, _):
             base = pl.multiple_of(t * tb, tb)
-            oh_a = jnp.where(iota_tb + base == ia, 1.0, 0.0)
-            oh_b = jnp.where(iota_tb + base == ib, 1.0, 0.0)
-            upd = dot_t(dva, oh_a) + dot_t(dvb, oh_b)   # (3, tb)
+            oh = jnp.where(iota_tb + base == iab, 1.0, 0.0)   # (tb, 2w)
+            upd = dot_t(dvab, oh)                        # (3, tb)
             out_body_ref[0:3, pl.ds(base, tb)] = (
                 out_body_ref[0:3, pl.ds(base, tb)] + upd)
             return 0
@@ -883,17 +897,41 @@ def _tiled_kernel(nsub: int, w: int, tb: int,
 
 
 def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
-                    w: int, tb: int = DEFAULT_BODY_TILE):
+                    w: int, tb: int = DEFAULT_BODY_TILE, restitution=None):
     """Active-window list + per-window body-tile ranges, all in layout order.
 
     live: (L,) bool; body_a/b: (L,) i32; dyn_a/b: (L,) bool (dynamic
     endpoint — only dynamic bodies bound the gather tile range; statics
-    read as zeros == identity via the shifted-dq representation)."""
+    read as zeros == identity via the shifted-dq representation).
+    restitution: optional (L,) — windows with no restitution lane skip the
+    restitution stage in-kernel."""
     n_win = layout_len // w
     lane_win = jnp.arange(layout_len, dtype=jnp.int32) // w
     win = jnp.where(live, lane_win, n_win)
-    occ = jnp.zeros(n_win, jnp.int32).at[win].max(
-        live.astype(jnp.int32), mode="drop")
+
+    # ONE packed (L, 4)-row scatter-max computes all per-window reductions
+    # (scatters cost per-op on TPU, not per-element): occ, hi-tile, has-rest,
+    # and -lo-tile (min via negated max)
+    big = jnp.int32(2**30)
+    lo_cand = jnp.minimum(jnp.where(dyn_a, body_a, big),
+                          jnp.where(dyn_b, body_b, big)) // tb
+    hi_cand = jnp.maximum(jnp.where(dyn_a, body_a, -1),
+                          jnp.where(dyn_b, body_b, -1)) // tb + 1
+    has_r = (jnp.zeros_like(live, jnp.int32) if restitution is None
+             else (live & (restitution != 0.0)).astype(jnp.int32))
+    rows = jnp.stack([
+        live.astype(jnp.int32),
+        jnp.where(live, hi_cand, 0),
+        has_r,
+        jnp.where(live, -lo_cand, -big),
+    ], axis=1)                                              # (L, 4)
+    red = jnp.full((n_win + 1, 4), jnp.iinfo(jnp.int32).min,
+                   jnp.int32).at[win].max(rows)[:n_win]
+    occ = jnp.maximum(red[:, 0], 0)
+    thi_w = jnp.maximum(red[:, 1], 0)
+    wrest_w = jnp.maximum(red[:, 2], 1 if restitution is None else 0)
+    tlo_w = -red[:, 3]
+
     pos = jnp.cumsum(occ) - 1
     nact = jnp.sum(occ).astype(jnp.int32)
     wl = jnp.zeros(n_win, jnp.int32).at[
@@ -902,24 +940,26 @@ def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
     last = wl[jnp.maximum(nact - 1, 0)]
     wl = jnp.where(jnp.arange(n_win) < nact, wl, last)
 
-    big = jnp.int32(2**30)
-    lo_cand = jnp.minimum(jnp.where(dyn_a, body_a, big),
-                          jnp.where(dyn_b, body_b, big)) // tb
-    hi_cand = jnp.maximum(jnp.where(dyn_a, body_a, -1),
-                          jnp.where(dyn_b, body_b, -1)) // tb + 1
-    tlo_w = jnp.full(n_win, big, jnp.int32).at[win].min(
-        jnp.where(live, lo_cand, big), mode="drop")
-    thi_w = jnp.zeros(n_win, jnp.int32).at[win].max(
-        jnp.where(live, hi_cand, 0), mode="drop")
     tlo = jnp.minimum(tlo_w[wl], thi_w[wl])
     thi = thi_w[wl]
-    return wl, tlo, thi, nact[None]
+    wrest = wrest_w[wl]
+    return wl, tlo, thi, nact[None], wrest
+
+
+def max_active_windows(n_win: int, max_pairs: int, max_colors: int,
+                       ovf_cap: int, w: int) -> int:
+    """Static bound on the active-window count: each live lane occupies one
+    window, plus at most one partial window per color bucket and the
+    overflow tail. Shrinks the grid's window dimension (skipped grid steps
+    still cost ~1us each)."""
+    return min(n_win, (max_pairs + w - 1) // w + max_colors + ovf_cap // w)
 
 
 def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
-                            params, win_list, tile_lo, tile_hi, nact,
+                            params, win_list, tile_lo, tile_hi, nact, wrest,
                             w: int = DEFAULT_WINDOW,
-                            tb: int = DEFAULT_BODY_TILE):
+                            tb: int = DEFAULT_BODY_TILE,
+                            grid_windows: int | None = None):
     """Invoke the HBM-streaming tiled kernel. Shapes as run_solver_kernel;
     body row 5 (dq.c) must be pre-shifted by -1 (see pack_bodies_tiled)."""
     L = data.shape[1]
@@ -931,16 +971,17 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
         params = jnp.pad(params, ((0, 0), (0, nb_pad - nb)))
     n_win = L // w
     stages = 3 * nsub + 1
+    gw = n_win if grid_windows is None else min(grid_windows, n_win)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(stages, n_win),
+        num_scalar_prefetch=5,
+        grid=(stages, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),    # scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),    # idx
             pl.BlockSpec(                             # data: streamed window
                 (NF, w),
-                lambda s, wi, win_r, lo_r, hi_r, na_r: (0, win_r[wi]),
+                lambda s, wi, win_r, lo_r, hi_r, na_r, re_r: (0, win_r[wi]),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),    # acc (initial)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # body (initial)
@@ -955,7 +996,7 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((NA, L), jnp.float32)),
-    )(win_list, tile_lo, tile_hi, nact,
+    )(win_list, tile_lo, tile_hi, nact, wrest,
       scalars, idx, data, acc, body, params)
     if nb_pad != nb:
         out_body = out_body[:, :nb]

@@ -352,6 +352,14 @@ class Capacity:
     #   the builder to cover every bullet shape, ref src/Solver.cs:1238-1274
     #   handles ALL bullets)
     cand_cap: int = 8            # TOI candidate targets per fast shape
+    bp_tile: int = 512           # broadphase forward-tile width: a shape's
+    #   neighbors further than bp_tile-128 sorted positions ahead overflow
+    #   (counted in Profile.overflow_pairs); raise for scenes with very wide
+    #   grid rows (thousands of same-size shapes in one horizontal band)
+    # trace-time gates (builder sets False when the scene provably never
+    # needs the check, dropping its per-pair gathers from the program)
+    has_filters: bool = True          # any non-default category/mask/group
+    has_joint_exclusions: bool = True  # any collide_connected=False joint
 
 
 def zero_events(cap: Capacity) -> Events:

@@ -214,12 +214,21 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     state = dataclasses.replace(state, joints=new_joints)
 
     # mass-splitting scale for the overflow color (conflicting constraints
-    # are Jacobi-averaged instead of the reference's serial sweep)
-    deg = jnp.zeros(nb + 1, jnp.float32)
-    deg = deg.at[jnp.where(ovf, all_ba, nb)].add(1.0)
-    deg = deg.at[jnp.where(ovf, all_bb, nb)].add(1.0)
-    cdeg = jnp.maximum(jnp.maximum(deg[all_ba], deg[all_bb]), 1.0)
-    relax = jnp.where(ovf, 1.0 / cdeg, 1.0)
+    # are Jacobi-averaged instead of the reference's serial sweep); the
+    # degree scatter+gather only runs when overflow exists (rare outside
+    # scene-drop steps) — under vmap the cond lowers to a select as usual
+    def deg_relax(_):
+        ovf2 = jnp.concatenate([ovf, ovf])
+        both = jnp.concatenate([all_ba, all_bb])
+        deg = jnp.zeros(nb + 1, jnp.float32).at[
+            jnp.where(ovf2, both, nb)].add(1.0)
+        deg2 = deg[both]
+        E_ = all_ba.shape[0]
+        cdeg = jnp.maximum(jnp.maximum(deg2[:E_], deg2[E_:]), 1.0)
+        return jnp.where(ovf, 1.0 / cdeg, 1.0)
+
+    relax = lax.cond(overflow_colors > 0, deg_relax,
+                     lambda _: jnp.ones(all_ba.shape[0], jnp.float32), None)
     contact_relax = relax[:p]
     joint_relax = relax[p:]
     if until == "colors":
@@ -262,8 +271,9 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     onehot_c = cc.color[:, None] == jnp.arange(cap.max_colors)[None, :]
     ranks = jnp.cumsum(onehot_c.astype(jnp.int32), axis=0)
     ovf_color = num_colors - 1  # only meaningful when overflow_colors > 0
-    slot = ranks[jnp.arange(p_cap),
-                 jnp.clip(cc.color, 0, cap.max_colors - 1)] - 1
+    # own-column rank via the one-hot (exactly one column matches), not a
+    # (P,)-row gather
+    slot = jnp.sum(jnp.where(onehot_c, ranks, 0), axis=1) - 1
     # tail lanes: the official overflow color PLUS any lane whose bucket
     # exceeded the chunk (possible when sleeping pairs wake into a bucket
     # that filled up meanwhile — inherited colors bypass the repair cap)
@@ -286,7 +296,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
         # Constraints go straight from pair order into the packed kernel
         # matrices with ONE layout scatter per matrix (the 27 per-field
         # scatters of the XLA path cost ~12 ms/step at 39k pairs).
-        from .solver_pallas import (NA, NF, pack_bodies, pack_bodies_tiled,
+        from .solver_pallas import (NA, NF, max_active_windows, pack_bodies,
+                                    pack_bodies_tiled,
                                     pack_constraints_pairs,
                                     run_solver_kernel,
                                     run_solver_kernel_tiled, unpack_bodies,
@@ -294,10 +305,13 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                                     window_width)
 
         data_p, acc_p, idx_p = pack_constraints_pairs(cc, contact_relax)
-        dataL = jnp.zeros((layout_len, NF), jnp.float32).at[
-            layout_idx].set(data_p, mode="drop")
-        accL = jnp.zeros((layout_len, NA), jnp.float32).at[
-            layout_idx].set(acc_p, mode="drop")
+        # ONE combined float scatter for data+acc (scatter ops cost ~1.3ms
+        # each at 40k source rows regardless of width), ints separately
+        combL = jnp.zeros((layout_len, NF + NA), jnp.float32).at[
+            layout_idx].set(jnp.concatenate([data_p, acc_p], axis=1),
+                            mode="drop")
+        dataL = combL[:, :NF]
+        accL = combL[:, NF:]
         idxL = jnp.full((layout_len, 2), -1, jnp.int32).at[
             layout_idx].set(idx_p, mode="drop")
         datap, accp, idxp = dataL.T, accL.T, idxL.T
@@ -320,13 +334,18 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             # conveyor contacts whenever its index lies beyond the dynamic
             # bodies' tiles
             nonstatic = b.type != 0
-            wl, tlo, thi, nactp = window_metadata(
+            wl, tlo, thi, nactp, wrest = window_metadata(
                 liveL, bodyL_a, bodyL_b,
                 nonstatic[bodyL_a] & liveL, nonstatic[bodyL_b] & liveL,
-                layout_len, w_win)
+                layout_len, w_win, restitution=dataL[:, 3])
+            if until == "meta":
+                return wl, tlo, thi, nactp, wrest, bodyp, paramsp
             out_body, out_acc = run_solver_kernel_tiled(
                 substeps, chunk, scalars, idxp, datap, accp, bodyp,
-                paramsp, wl, tlo, thi, nactp, w=w_win)
+                paramsp, wl, tlo, thi, nactp, wrest, w=w_win,
+                grid_windows=max_active_windows(
+                    layout_len // w_win, p_cap, cap.max_colors, ovf_cap,
+                    w_win))
             if until == "kernel":
                 return out_body, out_acc
             bs = unpack_bodies_tiled(bs, out_body)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-PHASES = ["aabbs", "pairs", "narrow", "colors", "prepare", "layout",
+PHASES = ["aabbs", "pairs", "narrow", "colors", "prepare", "layout", "meta",
           "kernel", "store", "events", "continuous", "finalize", "sleep", ""]
 
 
@@ -78,8 +78,11 @@ def main():
                               jtypes, sensors, cont, None, use_pallas, until)
         return jax.jit(f)
 
+    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    phases = [p for p in PHASES if only is None or p in only or
+              (p == "" and "FULL" in only)]
     prev = 0.0
-    for ph in PHASES:
+    for ph in phases:
         f = mk(ph)
         try:
             r = f(s)
