@@ -86,6 +86,8 @@ class World:
         self.state, self.capacity = self.builder.build(capacity)
         classes = classes_for_shape_types(
             s["geom"].type for s in self.builder._shapes)
+        self._classes = classes
+        self._contact_fn = None
         jtypes = joint_types_present(j["_type"] for j in self.builder._joints)
         from .sensors import sensor_shape_ids
         sensors = sensor_shape_ids(self.builder._shapes)
@@ -123,22 +125,34 @@ class World:
                 depth_iterations=max(
                     16, int(_math.isqrt(max(len(pb.flags), 1))) + 1),
             )
-        # flagship Pallas solver: TPU-only, joint-free scenes.
-        # mode 1 = VMEM-resident mega-kernel (small worlds, vmap-friendly),
-        # mode 2 = HBM-streaming tiled kernel (large scenes), 0 = XLA path.
+        # flagship Pallas solver: TPU-only.
+        # mode 1 = VMEM-resident mega-kernel (small joint-free worlds,
+        # vmap-friendly), mode 2 = HBM-streaming tiled kernel (large scenes
+        # and ALL jointed scenes — joints ride kind-pure windows),
+        # 0 = XLA path.
         use_pallas = 0
-        if jax.default_backend() not in ("cpu",) and not jtypes:
+        if jax.default_backend() not in ("cpu",):
             from .solver_pallas import fits_kernel, fits_tiled, window_width
+            from .state import JOINT_FILTER
+            solvable = sorted(int(t) for t in jtypes if t != JOINT_FILTER)
             chunk = self.capacity.color_chunk or max(
                 128, ((self.capacity.max_contact_pairs // 16 + 127) // 128) * 128)
             l0 = self.capacity.max_colors * chunk
             # mirrors world.py's chunk-multiple overflow rounding
             ovf = ((min(self.capacity.max_contact_pairs, 2 * chunk)
                     + chunk - 1) // chunk) * chunk
-            if fits_kernel(self.capacity.max_bodies, l0 + ovf, chunk):
+            w_win = window_width(chunk)
+            # mirrors world.py's joint-region sizing
+            jl = 0
+            if solvable:
+                n_groups = self.capacity.max_colors * len(solvable)
+                mj = self.capacity.max_joints
+                jl = ((-(-mj // w_win)) * w_win
+                      + min(n_groups, mj) * w_win)
+            if not solvable and fits_kernel(self.capacity.max_bodies,
+                                            l0 + ovf, chunk):
                 use_pallas = 1
-            elif fits_tiled(self.capacity.max_bodies, l0 + ovf,
-                            window_width(chunk)):
+            elif fits_tiled(self.capacity.max_bodies, l0 + ovf + jl, w_win):
                 use_pallas = 2
         self._step = make_step(self.capacity, classes, self.substeps, jtypes,
                                sensors,
@@ -953,6 +967,73 @@ class World:
 
         return np.asarray(queries.overlap_aabb(self.state, aabb, **kw))
 
+    def cast_ray_all(self, origin, translation, max_hits: int = 16, **kw):
+        """All hits along a ray, fraction-ascending (ref: api/World.cs:
+        442-465 CastRay with an accumulate-all callback). Returns a dict of
+        arrays trimmed to the hit count."""
+        from . import queries
+
+        r = queries.cast_ray_all(self.state, origin, translation,
+                                 max_hits, **kw)
+        n = int(r.count)
+        return {
+            "shape": np.asarray(r.shape)[:n],
+            "point": np.asarray(r.point)[:n],
+            "normal": np.asarray(r.normal)[:n],
+            "fraction": np.asarray(r.fraction)[:n],
+        }
+
+    def overlap_point(self, point, **kw) -> np.ndarray:
+        """Boolean mask of shapes containing a world point."""
+        from . import queries
+
+        return np.asarray(queries.overlap_point(self.state, point, **kw))
+
+    def test_point(self, shape: int, point) -> bool:
+        """Point-in-shape test (ref: per-geometry PointInCircle/Capsule/
+        Polygon in include/Geometry.cs; api/Shape.cs TestPoint)."""
+        from . import queries
+
+        return bool(queries.overlap_point(
+            self.state, point, mask_bits=0xFFFFFFFF,
+            category_bits=0xFFFFFFFF)[shape])
+
+    def shape_aabb(self, shape: int) -> np.ndarray:
+        """Current world AABB of a shape as (lo_x, lo_y, hi_x, hi_y)
+        (ref: api/Shape.cs GetAABB)."""
+        from .broadphase import compute_shape_aabbs
+
+        return np.asarray(compute_shape_aabbs(self.state)[shape])
+
+    def contact_data(self):
+        """Manifolds of all currently-touching contacts (ref:
+        api/Contact.cs:20-33 GetData + api/Shape.cs GetContactData):
+        re-runs broadphase + narrow phase on the CURRENT poses and returns
+        a dict of arrays over touching pairs."""
+        from .world import _step_work
+
+        if getattr(self, "_contact_fn", None) is None:
+            cap, classes, substeps = self.capacity, self._classes, self.substeps
+
+            def narrow(s):
+                return _step_work(s, jnp.float32(1.0 / 60.0), cap, classes,
+                                  substeps, until="narrow")
+
+            self._contact_fn = jax.jit(narrow)
+        d = self._contact_fn(self.state)
+        pc = np.asarray(d.manifold.point_count)
+        idx = np.nonzero(pc > 0)[0]
+        return {
+            "shape_a": np.asarray(d.shape_a)[idx],
+            "shape_b": np.asarray(d.shape_b)[idx],
+            "normal": np.asarray(d.manifold.normal)[idx],
+            "point": np.asarray(d.manifold.point)[idx],
+            "separation": np.asarray(d.manifold.separation)[idx],
+            "point_count": pc[idx],
+            "normal_impulse": np.asarray(d.normal_impulse)[idx],
+            "tangent_impulse": np.asarray(d.tangent_impulse)[idx],
+        }
+
     def explode(self, position, radius, impulse_per_length, falloff=0.0):
         from . import queries
 
@@ -971,6 +1052,7 @@ class World:
             "contact_count": int(np.sum(np.asarray(st.contacts.touching))),
             "pair_count": int(st.profile.pair_count),
             "color_count": int(st.profile.color_count),
+            "events_dropped": int(st.profile.events_dropped),
             "awake_body_count": int(np.sum(
                 np.asarray(st.bodies.awake) & np.asarray(st.bodies.enabled)
                 & (np.asarray(st.bodies.type) == 2))),
@@ -978,6 +1060,47 @@ class World:
                 int(np.sum(np.asarray(st.particles.alive)))
                 if st.particles is not None else 0),
         }
+
+    def profile_phases(self, n: int = 20) -> dict:
+        """Measured per-phase step timings in milliseconds (ref:
+        include/Types.cs:378-403 Profile). The jitted step is ONE fused XLA
+        program with no in-flight timers, so phases are measured by timing
+        jitted PREFIXES of the step (the `until=` hooks in world._step_work)
+        and differencing: phase_ms[k] = t(prefix k) - t(prefix k-1). Fusion
+        across phase boundaries makes each entry approximate but the sum
+        exact. Results are cached per compile."""
+        import time as _time
+
+        from .world import _step_work
+
+        phases = ["aabbs", "pairs", "narrow", "colors", "prepare", "store",
+                  "events", "continuous", "finalize", "sleep", ""]
+        cap, classes, substeps = self.capacity, self._classes, self.substeps
+        jtypes = joint_types_present(
+            j["_type"] for j in self.builder._joints)
+        cont = self.builder.def_.enable_continuous
+        s = self.state
+        out = {}
+        prev = 0.0
+        for ph in phases:
+            def f(st, ph=ph):
+                return _step_work(st, jnp.float32(1.0 / 60.0), cap, classes,
+                                  substeps, jtypes, (), cont, None, 0, ph)
+
+            fj = jax.jit(f)
+            try:
+                r = fj(s)
+            except Exception:   # a prefix may not exist for this config
+                continue
+            jax.block_until_ready(jax.tree.leaves(r)[0])
+            t0 = _time.perf_counter()
+            for _ in range(n):
+                r = fj(s)
+            jax.block_until_ready(jax.tree.leaves(r)[0])
+            ms = (_time.perf_counter() - t0) / n * 1e3
+            out[ph or "total"] = ms - prev if ph else ms
+            prev = ms
+        return out
 
     @property
     def profile(self):

@@ -255,6 +255,76 @@ def cast_ray_closest(state: WorldState, origin, translation,
     )
 
 
+class RayHits(NamedTuple):
+    """Fixed-capacity all-hits ray cast result (ref: api/World.cs:442-465
+    CastRay visits every shape along the ray via callback; here the hits
+    come back as arrays sorted by fraction)."""
+
+    count: jnp.ndarray     # i32 number of valid rows (<= capacity)
+    shape: jnp.ndarray     # (K,) i32 shape ids, fraction-ascending
+    point: jnp.ndarray     # (K, 2) world hit points
+    normal: jnp.ndarray    # (K, 2) world normals
+    fraction: jnp.ndarray  # (K,)
+
+
+def cast_ray_all(state: WorldState, origin, translation, max_hits: int = 16,
+                 category_bits=0x1, mask_bits=0xFFFFFFFF) -> RayHits:
+    """All-hits ray cast, fraction-sorted (ref: api/World.cs:442-465)."""
+    sh = state.shapes
+    b = state.bodies
+    origin = jnp.asarray(origin, jnp.float32)
+    translation = jnp.asarray(translation, jnp.float32)
+    p = b.origin[sh.body]
+    q = b.rot[sh.body]
+    lo = m.inv_rot_vec(q, origin[None, :] - p)
+    ld = m.inv_rot_vec(q, translation[None, :])
+
+    hit, frac, pt, nrm = jax.vmap(
+        lambda p1, d, st, v, n, c, r: _ray_shape_local(
+            p1, d, jnp.float32(1.0), st, v, n, c, r)
+    )(lo, ld, sh.type, sh.verts, sh.normals, sh.count, sh.radius)
+
+    valid = (hit & sh.enabled & b.enabled[sh.body] & ~sh.is_sensor
+             & _query_filter_mask(state, category_bits, mask_bits))
+    frac = jnp.where(valid, frac, jnp.inf)
+    order = jnp.argsort(frac)[:max_hits].astype(jnp.int32)
+    ofrac = frac[order]
+    found = jnp.isfinite(ofrac)
+    w_pt = m.transform_point(p[order], q[order], pt[order])
+    w_n = m.rot_vec(q[order], nrm[order])
+    return RayHits(
+        count=jnp.sum(valid).astype(jnp.int32).clip(0, max_hits),
+        shape=jnp.where(found, order, -1),
+        point=jnp.where(found[:, None], w_pt, 0.0),
+        normal=jnp.where(found[:, None], w_n, 0.0),
+        fraction=jnp.where(found, ofrac, 1.0),
+    )
+
+
+def overlap_point(state: WorldState, point,
+                  category_bits=0x1, mask_bits=0xFFFFFFFF) -> jnp.ndarray:
+    """Mask of shapes containing a world point — the world-level TestPoint
+    (ref: per-geometry PointInCircle/Capsule/Polygon, include/Geometry.cs).
+    The unified rounded-polygon representation makes this one primitive:
+    a point is inside iff its distance to the polygon core is <= radius."""
+    sh = state.shapes
+    b = state.bodies
+    point = jnp.asarray(point, jnp.float32)
+    p = b.origin[sh.body]
+    q = b.rot[sh.body]
+    pt_proxy = jnp.tile(point[None, :], (MAX_POLYGON_VERTICES, 1))
+    ident = jnp.asarray([1.0, 0.0], jnp.float32)
+
+    def one(sv, sc, sr, sp, sq):
+        out = shape_distance(sv, sc, sr, pt_proxy, 1, 0.0,
+                             sp, sq, jnp.zeros(2), ident, use_radii=True)
+        return out.distance <= 0.0
+
+    inside = jax.vmap(one)(sh.verts, sh.count, sh.radius, p, q)
+    return (inside & sh.enabled & b.enabled[sh.body]
+            & _query_filter_mask(state, category_bits, mask_bits))
+
+
 def overlap_aabb(state: WorldState, aabb,
                  category_bits=0x1, mask_bits=0xFFFFFFFF) -> jnp.ndarray:
     """Boolean mask of shapes whose AABB overlaps (ref: api/World.cs:339-358)."""

@@ -57,7 +57,28 @@ _F = dict(
 NF = 33
 # accumulator rows
 _A = dict(ni0=0, ni1=1, ti0=2, ti1=3, tni0=4, tni1=5, roll=6)
-NA = 7
+NA = 9    # rows 0-6 used by contacts; joints use all 9 (see _JA)
+
+# JOINT row table — valid inside joint-kind windows (windows are kind-pure,
+# so the same row indices carry contact meaning in contact windows). Rows
+# 24-27 hold TYPE-RESOLVED predicate flags packed by pack_joint_rows (e.g.
+# f_spring for a distance joint already includes the spring-mode predicate).
+_JF = dict(
+    inv_ma=0, inv_mb=1, inv_ia=2, inv_ib=3,
+    fapx=4, fapy=5, faqc=6, faqs=7,
+    fbpx=8, fbpy=9, fbqc=10, fbqs=11,
+    dcx=12, dcy=13, axial_mass=14,
+    sb=15, sm=16, si=17,          # spring softness (bias, mass, imp)
+    ab=18, am_=19, ai=20,         # angular softness
+    cb=21, cm=22, ci=23,          # constraint softness
+    f_spring=24, f_motor=25, f_limit=26, f_aux=27,
+    lower=28, upper=29, target=30, speed=31,
+    max1=32, max2=33, max3=34, lvx=35, lvy=36, max4=37, jrelax=38,
+)
+NFJ = 39  # data matrix rows when joints ride the kernel (max(NF, 39))
+# joint accumulator rows
+_JA = dict(ix=0, iy=1, spring=2, motor=3, lower=4, upper=5, angular=6,
+           s2x=7, s2y=8)
 
 
 def fits_kernel(nb: int, layout_len: int, chunk: int) -> bool:
@@ -301,11 +322,11 @@ def _solver_kernel(nsub: int, max_colors: int, chunk: int, l0: int,
             wa = wa - inv_ia * dl
             wb = wb + inv_ib * dl
 
-            # write accumulators back
+            # write accumulators back (contacts use rows 0-6 of NA)
             acc_new = jnp.concatenate(
                 [ni[0], ni[1], ti[0], ti[1], tni[0], tni[1], roll + dl],
                 axis=0)
-            out_acc_ref[:, pl.ds(cols, width)] = acc_new
+            out_acc_ref[0:7, pl.ds(cols, width)] = acc_new
 
             # scatter velocity deltas
             scatter_deltas(vax - st_a[0:1], vay - st_a[1:2], wa - st_a[2:3],
@@ -452,12 +473,13 @@ def pack_constraints(cc, relax=None):
         cc.inv_i_a * live, cc.inv_i_b * live,
         jnp.maximum(relax, jnp.float32(0.0)),
     ], axis=0)
+    z7 = jnp.zeros_like(cc.rolling_impulse)
     acc = jnp.stack([
         cc.normal_impulse[:, 0], cc.normal_impulse[:, 1],
         cc.tangent_impulse[:, 0], cc.tangent_impulse[:, 1],
         cc.total_normal_impulse[:, 0], cc.total_normal_impulse[:, 1],
         cc.rolling_impulse,
-    ], axis=0)
+    ] + [z7] * (NA - 7), axis=0)
     nb_sentinel = jnp.int32(-1)
     live_i = cc.color >= 0
     idx = jnp.stack([
@@ -495,12 +517,13 @@ def pack_constraints_pairs(cc, relax=None):
         cc.inv_i_a * live, cc.inv_i_b * live,
         jnp.maximum(relax, jnp.float32(0.0)),
     ], axis=1)
+    z7 = jnp.zeros_like(cc.rolling_impulse)
     acc = jnp.stack([
         cc.normal_impulse[:, 0], cc.normal_impulse[:, 1],
         cc.tangent_impulse[:, 0], cc.tangent_impulse[:, 1],
         cc.total_normal_impulse[:, 0], cc.total_normal_impulse[:, 1],
         cc.rolling_impulse,
-    ], axis=1)
+    ] + [z7] * (NA - 7), axis=1)
     live_i = cc.color >= 0
     sentinel = jnp.int32(-1)
     idx = jnp.stack([
@@ -616,8 +639,599 @@ def fits_tiled(nb: int, layout_len: int, w: int = DEFAULT_WINDOW,
     return words * 4 < 12 * 1024 * 1024
 
 
-def _tiled_kernel(nsub: int, w: int, tb: int,
-                  win_ref, tlo_ref, thi_ref, nact_ref, wrest_ref,
+def _atan2(y, x):
+    """Branchless float32 atan2 (Cephes atanf reduction + 4-term poly);
+    Pallas TPU has no atan2 primitive. Max error ~1e-7 rad."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    # t = tan of the angle folded into [0, pi/4]
+    mn = jnp.minimum(ax, ay)
+    mx = jnp.maximum(ax, ay)
+    t = mn / jnp.where(mx > 0.0, mx, 1.0)
+    # cephes range reduction at tan(pi/8)
+    red = t > 0.4142135623730950
+    t2 = (t - 1.0) / (t + 1.0)
+    z = jnp.where(red, t2, t)
+    zz = z * z
+    p = ((((8.05374449538e-2 * zz - 1.38776856032e-1) * zz)
+          + 1.99777106478e-1) * zz - 3.33329491539e-1) * zz * z + z
+    p = jnp.where(red, p + 0.7853981633974483, p)
+    p = jnp.where(ay > ax, 1.5707963267948966 - p, p)
+    p = jnp.where(x < 0.0, 3.141592653589793 - p, p)
+    return jnp.where(y < 0.0, -p, p)
+
+
+def _joint_sweep(jtype: int, p, bias_f, d, a, idx_a, st_a, st_b, h, inv_h):
+    """One conflict-free sweep over a kind-pure JOINT window.
+
+    Row-form port of joints.py warm_start_joints_color / solve_joints_color
+    (ref: src/joints/*.cs). jtype is STATIC (windows are kind-pure; the
+    kernel switches branches per window), p/bias_f traced. Returns
+    (dva (3,w), dvb (3,w), acc_new (NA,w))."""
+    from .state import (JOINT_DISTANCE, JOINT_MOTOR, JOINT_MOUSE,
+                        JOINT_PRISMATIC, JOINT_REVOLUTE, JOINT_WELD,
+                        JOINT_WHEEL)
+
+    def R(name):
+        return d[_JF[name]:_JF[name] + 1]
+
+    def A(name):
+        return a[_JA[name]:_JA[name] + 1]
+
+    live = jnp.where(idx_a >= 0, 1.0, 0.0)
+    ma, mb = R("inv_ma"), R("inv_mb")
+    ia, ib = R("inv_ia"), R("inv_ib")
+    vax, vay, wa = st_a[0:1], st_a[1:2], st_a[2:3]
+    vbx, vby, wb = st_b[0:1], st_b[1:2], st_b[2:3]
+    dpax, dpay = st_a[3:4], st_a[4:5]
+    dpbx, dpby = st_b[3:4], st_b[4:5]
+    dqca, dqsa = st_a[5:6] + 1.0, st_a[6:7]
+    dqcb, dqsb = st_b[5:6] + 1.0, st_b[6:7]
+
+    def rotv(qc, qs, x, y):
+        return qc * x - qs * y, qs * x + qc * y
+
+    def cross(ax_, ay_, bx_, by_):
+        return ax_ * by_ - ay_ * bx_
+
+    rax, ray = rotv(dqca, dqsa, R("fapx"), R("fapy"))
+    rbx, rby = rotv(dqcb, dqsb, R("fbpx"), R("fbpy"))
+    dx = dpbx - dpax + R("dcx") + rbx - rax
+    dy = dpby - dpay + R("dcy") + rby - ray
+
+    axial = R("axial_mass")
+    imp_x, imp_y = A("ix"), A("iy")
+    spr_i, mot_i = A("spring"), A("motor")
+    low_i, up_i, ang_i = A("lower"), A("upper"), A("angular")
+    s2x, s2y = A("s2x"), A("s2y")
+
+    # qa = dqa * fa_q as a unit vector == world joint axis / frame rotation
+    qac, qas = rotv(dqca, dqsa, R("faqc"), R("faqs"))
+    qbc, qbs = rotv(dqcb, dqsb, R("fbqc"), R("fbqs"))
+    # rel angle of inv(qa) * qb
+    relc = qac * qbc + qas * qbs
+    rels = qac * qbs - qas * qbc
+
+    def soft_limit(c, cdot, mass, old):
+        """ref: RevoluteJoint.cs:160-198 pattern (constraint softness)."""
+        bias = jnp.where(c > 0.0, c * inv_h, bias_f * R("cb") * c)
+        msc = jnp.where(c > 0.0, 1.0, 1.0 + bias_f * (R("cm") - 1.0))
+        isc = jnp.where(c > 0.0, 0.0, bias_f * R("ci"))
+        impulse = -msc * mass * (cdot + bias) - isc * old
+        new = jnp.maximum(old + impulse, 0.0)
+        return new, new - old
+
+    # velocity-update helpers operating on closure state
+    st = {"vax": vax, "vay": vay, "wa": wa, "vbx": vbx, "vby": vby, "wb": wb}
+
+    def apply_lin(px, py, la, lb):
+        st["vax"] = st["vax"] - ma * px
+        st["vay"] = st["vay"] - ma * py
+        st["wa"] = st["wa"] - ia * la
+        st["vbx"] = st["vbx"] + mb * px
+        st["vby"] = st["vby"] + mb * py
+        st["wb"] = st["wb"] + ib * lb
+
+    def apply_ang(l):
+        st["wa"] = st["wa"] - ia * l
+        st["wb"] = st["wb"] + ib * l
+
+    def vr_dot(ux, uy):
+        vrx = (st["vbx"] - st["wb"] * rby) - (st["vax"] - st["wa"] * ray)
+        vry = (st["vby"] + st["wb"] * rbx) - (st["vay"] + st["wa"] * rax)
+        return vrx * ux + vry * uy
+
+    acc = {k: a[v:v + 1] for k, v in _JA.items()}
+
+    _ST_KEYS = ("vax", "vay", "wa", "vbx", "vby", "wb")
+    _ACC_KEYS = tuple(_JA)
+
+    def run_branch(warm, solve):
+        """lax.cond over side-effecting closures: each branch runs its
+        mutations of st/acc on a snapshot and returns the results, so the
+        cond output (not trace-order side effects) selects the values."""
+        def wrap(f):
+            def g(_):
+                st0 = {k: st[k] for k in _ST_KEYS}
+                a0 = {k: acc[k] for k in _ACC_KEYS}
+                f()
+                out = (tuple(st[k] for k in _ST_KEYS),
+                       tuple(acc[k] for k in _ACC_KEYS))
+                st.update(st0)
+                acc.update(a0)
+                return out
+            return g
+
+        sv, av = lax.cond(p == 0, wrap(warm), wrap(solve), None)
+        for k, v in zip(_ST_KEYS, sv):
+            st[k] = v
+        for k, v in zip(_ACC_KEYS, av):
+            acc[k] = v
+
+    if jtype == JOINT_DISTANCE:
+        ln = jnp.sqrt(dx * dx + dy * dy)
+        inv = jnp.where(ln > 0.0, 1.0 / jnp.where(ln > 0.0, ln, 1.0), 0.0)
+        axx, axy = dx * inv, dy * inv
+        spring_mode = R("f_spring")
+
+        def warm():
+            axl = imp_x + low_i - up_i + mot_i
+            px, py = axl * axx, axl * axy
+            apply_lin(px, py, cross(rax, ray, px, py), cross(rbx, rby, px, py))
+
+        def solve():
+            # rigid vs spring main constraint (ref DistanceJoint.cs:155-185)
+            cdot = vr_dot(axx, axy)
+            c = ln - R("target")
+            bias = bias_f * R("cb") * c
+            msc = 1.0 + bias_f * (R("cm") - 1.0)
+            isc = bias_f * R("ci")
+            dimp_r = -msc * axial * (cdot + bias) - isc * imp_x
+            dimp_s = (-R("sm") * axial * (cdot + R("sb") * c)
+                      - R("si") * imp_x) * R("f_aux")
+            imp_spring = jnp.clip(imp_x + dimp_s, R("max2") * h,
+                                  R("max3") * h)
+            dimp = jnp.where(spring_mode > 0, imp_spring - imp_x, dimp_r)
+            acc["ix"] = imp_x + dimp
+            px, py = dimp * axx, dimp * axy
+            apply_lin(px, py, cross(rax, ray, px, py), cross(rbx, rby, px, py))
+
+            # limits (spring mode only, ref :186-242)
+            lim = R("f_limit")
+            new_low, dlow = soft_limit(ln - R("lower"), vr_dot(axx, axy),
+                                       axial, low_i)
+            dlow = dlow * lim
+            acc["lower"] = jnp.where(lim > 0, new_low, low_i)
+            px, py = dlow * axx, dlow * axy
+            apply_lin(px, py, cross(rax, ray, px, py), cross(rbx, rby, px, py))
+
+            new_up, dup = soft_limit(R("upper") - ln, -vr_dot(axx, axy),
+                                     axial, up_i)
+            dup = dup * lim
+            acc["upper"] = jnp.where(lim > 0, new_up, up_i)
+            px, py = -dup * axx, -dup * axy
+            apply_lin(px, py, cross(rax, ray, px, py), cross(rbx, rby, px, py))
+
+            # motor (ref :243-258)
+            mot = R("f_motor")
+            dimp_m = axial * (R("speed") - vr_dot(axx, axy))
+            max_i = h * R("max1")
+            new_mot = jnp.clip(mot_i + dimp_m, -max_i, max_i)
+            dimp_m = (new_mot - mot_i) * mot
+            acc["motor"] = jnp.where(mot > 0, new_mot, mot_i)
+            px, py = dimp_m * axx, dimp_m * axy
+            apply_lin(px, py, cross(rax, ray, px, py), cross(rbx, rby, px, py))
+
+        run_branch(warm, solve)
+
+    elif jtype == JOINT_REVOLUTE:
+        rel_angle = _atan2(rels, relc)
+
+        def warm():
+            axl = spr_i + mot_i + low_i - up_i
+            px, py = imp_x, imp_y
+            apply_lin(px, py, cross(rax, ray, px, py) + axl,
+                      cross(rbx, rby, px, py) + axl)
+
+        def solve():
+            # spring (ref RevoluteJoint.cs:131-142)
+            spr = R("f_spring")
+            cspr = _unwind(rel_angle - R("target"))
+            dimp = (-R("sm") * axial * ((st["wb"] - st["wa"]) + R("sb") * cspr)
+                    - R("si") * spr_i) * spr
+            acc["spring"] = spr_i + dimp
+            apply_ang(dimp)
+
+            # motor
+            mot = R("f_motor")
+            dimp = -axial * (st["wb"] - st["wa"] - R("speed"))
+            max_i = h * R("max1")
+            new_mot = jnp.clip(mot_i + dimp, -max_i, max_i)
+            dimp = (new_mot - mot_i) * mot
+            acc["motor"] = jnp.where(mot > 0, new_mot, mot_i)
+            apply_ang(dimp)
+
+            # limits
+            lim = R("f_limit")
+            new_low, dlow = soft_limit(rel_angle - R("lower"),
+                                       st["wb"] - st["wa"], axial, low_i)
+            dlow = dlow * lim
+            acc["lower"] = jnp.where(lim > 0, new_low, low_i)
+            apply_ang(dlow)
+            new_up, dup = soft_limit(R("upper") - rel_angle,
+                                     st["wa"] - st["wb"], axial, up_i)
+            dup = dup * lim
+            acc["upper"] = jnp.where(lim > 0, new_up, up_i)
+            apply_ang(-dup)
+
+            # point constraint 2x2 (ref :199-224)
+            cdx = (st["vbx"] - st["wb"] * rby) - (st["vax"] - st["wa"] * ray)
+            cdy = (st["vby"] + st["wb"] * rbx) - (st["vay"] + st["wa"] * rax)
+            sepx = dpbx - dpax + (rbx - rax) + R("dcx")
+            sepy = dpby - dpay + (rby - ray) + R("dcy")
+            bx_ = cdx + bias_f * R("cb") * sepx
+            by_ = cdy + bias_f * R("cb") * sepy
+            msc = 1.0 + bias_f * (R("cm") - 1.0)
+            isc = bias_f * R("ci")
+            k11 = ma + mb + ray * ray * ia + rby * rby * ib
+            k12 = -ray * rax * ia - rby * rbx * ib
+            k22 = ma + mb + rax * rax * ia + rbx * rbx * ib
+            det = k11 * k22 - k12 * k12
+            invd = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0),
+                             0.0)
+            sx = invd * (k22 * bx_ - k12 * by_)
+            sy = invd * (k11 * by_ - k12 * bx_)
+            dix = -msc * sx - isc * imp_x
+            diy = -msc * sy - isc * imp_y
+            acc["ix"] = imp_x + dix
+            acc["iy"] = imp_y + diy
+            apply_lin(dix, diy, cross(rax, ray, dix, diy),
+                      cross(rbx, rby, dix, diy))
+
+        run_branch(warm, solve)
+
+    elif jtype == JOINT_WELD:
+        rel_angle = _atan2(rels, relc)
+
+        def warm():
+            px, py = imp_x, imp_y
+            apply_lin(px, py, cross(rax, ray, px, py) + ang_i,
+                      cross(rbx, rby, px, py) + ang_i)
+
+        def solve():
+            # angular (ref WeldJoint.cs:104-118); f_motor = angular_hertz>0
+            ang_on = jnp.minimum(bias_f + R("f_motor"), 1.0)
+            bias = ang_on * R("ab") * rel_angle
+            msc = 1.0 + ang_on * (R("am_") - 1.0)
+            isc = ang_on * R("ai")
+            dimp = -msc * axial * (st["wb"] - st["wa"] + bias) - isc * ang_i
+            acc["angular"] = ang_i + dimp
+            apply_ang(dimp)
+            # linear 2x2; f_spring = hertz>0
+            lin_on = jnp.minimum(bias_f + R("f_spring"), 1.0)
+            sepx = dpbx - dpax + (rbx - rax) + R("dcx")
+            sepy = dpby - dpay + (rby - ray) + R("dcy")
+            cdx = (st["vbx"] - st["wb"] * rby) - (st["vax"] - st["wa"] * ray)
+            cdy = (st["vby"] + st["wb"] * rbx) - (st["vay"] + st["wa"] * rax)
+            bx_ = cdx + lin_on * R("sb") * sepx
+            by_ = cdy + lin_on * R("sb") * sepy
+            mscl = 1.0 + lin_on * (R("sm") - 1.0)
+            iscl = lin_on * R("si")
+            k11 = ma + mb + ray * ray * ia + rby * rby * ib
+            k12 = -ray * rax * ia - rby * rbx * ib
+            k22 = ma + mb + rax * rax * ia + rbx * rbx * ib
+            det = k11 * k22 - k12 * k12
+            invd = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0),
+                             0.0)
+            sx = invd * (k22 * bx_ - k12 * by_)
+            sy = invd * (k11 * by_ - k12 * bx_)
+            dix = -mscl * sx - iscl * imp_x
+            diy = -mscl * sy - iscl * imp_y
+            acc["ix"] = imp_x + dix
+            acc["iy"] = imp_y + diy
+            apply_lin(dix, diy, cross(rax, ray, dix, diy),
+                      cross(rbx, rby, dix, diy))
+
+        run_branch(warm, solve)
+
+    elif jtype == JOINT_MOTOR:
+        rel_angle = _atan2(rels, relc)
+
+        def warm():
+            px, py = imp_x + s2x, imp_y + s2y
+            am2 = ang_i + spr_i
+            apply_lin(px, py, cross(rax, ray, px, py) + am2,
+                      cross(rbx, rby, px, py) + am2)
+
+        def solve():
+            # angular spring (ref MotorJoint.cs:127-143)
+            aspr = R("f_spring")
+            dimp = (-R("am_") * axial
+                    * (st["wb"] - st["wa"] + R("ab") * rel_angle)
+                    - R("ai") * spr_i)
+            max_i = h * R("max2")
+            new_aspr = jnp.clip(spr_i + dimp, -max_i, max_i)
+            dimp = (new_aspr - spr_i) * aspr
+            acc["spring"] = jnp.where(aspr > 0, new_aspr, spr_i)
+            apply_ang(dimp)
+            # angular velocity drive; f_motor = max_velocity_torque>0
+            avel = R("f_motor")
+            dimp = -axial * (st["wb"] - st["wa"] - R("speed"))
+            max_i = h * R("max1")
+            new_avel = jnp.clip(ang_i + dimp, -max_i, max_i)
+            dimp = (new_avel - ang_i) * avel
+            acc["angular"] = jnp.where(avel > 0, new_avel, ang_i)
+            apply_ang(dimp)
+
+            k11 = ma + mb + ray * ray * ia + rby * rby * ib
+            k12 = -ray * rax * ia - rby * rbx * ib
+            k22 = ma + mb + rax * rax * ia + rbx * rbx * ib
+            det = k11 * k22 - k12 * k12
+            invd = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0),
+                             0.0)
+
+            def solve22(bx_, by_):
+                return (invd * (k22 * bx_ - k12 * by_),
+                        invd * (k11 * by_ - k12 * bx_))
+
+            # linear spring toward zero separation; f_limit = lspr flag
+            lspr = R("f_limit")
+            sepx = dpbx - dpax + (rbx - rax) + R("dcx")
+            sepy = dpby - dpay + (rby - ray) + R("dcy")
+            cdx = ((st["vbx"] - st["wb"] * rby)
+                   - (st["vax"] - st["wa"] * ray) + R("sb") * sepx)
+            cdy = ((st["vby"] + st["wb"] * rbx)
+                   - (st["vay"] + st["wa"] * rax) + R("sb") * sepy)
+            sx, sy = solve22(cdx, cdy)
+            dix = -R("sm") * sx - R("si") * s2x
+            diy = -R("sm") * sy - R("si") * s2y
+            nx_, ny_ = s2x + dix, s2y + diy
+            max_i = h * R("max3")
+            ln = jnp.sqrt(nx_ * nx_ + ny_ * ny_)
+            scale = jnp.where(ln > max_i,
+                              max_i / jnp.where(ln > 0.0, ln, 1.0), 1.0)
+            nx_, ny_ = nx_ * scale, ny_ * scale
+            dix = (nx_ - s2x) * lspr
+            diy = (ny_ - s2y) * lspr
+            acc["s2x"] = jnp.where(lspr > 0, nx_, s2x)
+            acc["s2y"] = jnp.where(lspr > 0, ny_, s2y)
+            apply_lin(dix, diy, cross(rax, ray, dix, diy),
+                      cross(rbx, rby, dix, diy))
+
+            # linear velocity drive; f_aux = max_velocity_force>0
+            lvel = R("f_aux")
+            cdx = ((st["vbx"] - st["wb"] * rby)
+                   - (st["vax"] - st["wa"] * ray) - R("lvx"))
+            cdy = ((st["vby"] + st["wb"] * rbx)
+                   - (st["vay"] + st["wa"] * rax) - R("lvy"))
+            sx, sy = solve22(cdx, cdy)
+            nx_, ny_ = imp_x - sx, imp_y - sy
+            max_i = h * R("max4")
+            ln = jnp.sqrt(nx_ * nx_ + ny_ * ny_)
+            scale = jnp.where(ln > max_i,
+                              max_i / jnp.where(ln > 0.0, ln, 1.0), 1.0)
+            nx_, ny_ = nx_ * scale, ny_ * scale
+            dix = (nx_ - imp_x) * lvel
+            diy = (ny_ - imp_y) * lvel
+            acc["ix"] = jnp.where(lvel > 0, nx_, imp_x)
+            acc["iy"] = jnp.where(lvel > 0, ny_, imp_y)
+            apply_lin(dix, diy, cross(rax, ray, dix, diy),
+                      cross(rbx, rby, dix, diy))
+
+        run_branch(warm, solve)
+
+    elif jtype in (JOINT_PRISMATIC, JOINT_WHEEL):
+        # world axis = rot(dqa * fa_q, (1,0)) = the qa unit vector itself
+        axx, axy = qac, qas
+        perpx, perpy = -axy, axx
+        a1 = cross(rax + dx, ray + dy, axx, axy)
+        a2 = cross(rbx, rby, axx, axy)
+        s1 = cross(rax + dx, ray + dy, perpx, perpy)
+        s2 = cross(rbx, rby, perpx, perpy)
+        translation = axx * dx + axy * dy
+        ka = ma + mb + ia * a1 * a1 + ib * a2 * a2
+        ax_mass = jnp.where(ka > 0.0, 1.0 / jnp.where(ka > 0.0, ka, 1.0), 0.0)
+
+        def adot():
+            base = (axx * (st["vbx"] - st["vax"])
+                    + axy * (st["vby"] - st["vay"]))
+            return base + a2 * st["wb"] - a1 * st["wa"]
+
+        def apply_axial(di):
+            px, py = di * axx, di * axy
+            st["vax"] = st["vax"] - ma * px
+            st["vay"] = st["vay"] - ma * py
+            st["wa"] = st["wa"] - ia * di * a1
+            st["vbx"] = st["vbx"] + mb * px
+            st["vby"] = st["vby"] + mb * py
+            st["wb"] = st["wb"] + ib * di * a2
+
+        if jtype == JOINT_PRISMATIC:
+            def warm():
+                axl = spr_i + mot_i + low_i - up_i
+                px = axl * axx + imp_x * perpx
+                py = axl * axy + imp_x * perpy
+                la = axl * a1 + imp_x * s1 + imp_y
+                lb = axl * a2 + imp_x * s2 + imp_y
+                apply_lin(px, py, la, lb)
+
+            def solve():
+                rel_angle = _atan2(rels, relc)
+                # spring
+                spr = R("f_spring")
+                cspr = translation - R("target")
+                dimp = (-R("sm") * ax_mass * (adot() + R("sb") * cspr)
+                        - R("si") * spr_i) * spr
+                acc["spring"] = spr_i + dimp
+                apply_axial(dimp)
+                # motor
+                mot = R("f_motor")
+                dimp = ax_mass * (R("speed") - adot())
+                max_i = h * R("max1")
+                new_mot = jnp.clip(mot_i + dimp, -max_i, max_i)
+                dimp = (new_mot - mot_i) * mot
+                acc["motor"] = jnp.where(mot > 0, new_mot, mot_i)
+                apply_axial(dimp)
+                # limits
+                lim = R("f_limit")
+                new_low, dlow = soft_limit(translation - R("lower"), adot(),
+                                           ax_mass, low_i)
+                dlow = dlow * lim
+                acc["lower"] = jnp.where(lim > 0, new_low, low_i)
+                apply_axial(dlow)
+                new_up, dup = soft_limit(R("upper") - translation, -adot(),
+                                         ax_mass, up_i)
+                dup = dup * lim
+                acc["upper"] = jnp.where(lim > 0, new_up, up_i)
+                apply_axial(-dup)
+                # perp + angle 2x2 block
+                cdot1 = (perpx * (st["vbx"] - st["vax"])
+                         + perpy * (st["vby"] - st["vay"])
+                         + s2 * st["wb"] - s1 * st["wa"])
+                cdot2 = st["wb"] - st["wa"]
+                bias1 = bias_f * R("cb") * (perpx * dx + perpy * dy)
+                bias2 = bias_f * R("cb") * rel_angle
+                msc = 1.0 + bias_f * (R("cm") - 1.0)
+                isc = bias_f * R("ci")
+                k11 = ma + mb + ia * s1 * s1 + ib * s2 * s2
+                k12 = ia * s1 + ib * s2
+                k22 = ia + ib
+                k22 = jnp.where(k22 == 0.0, 1.0, k22)
+                det = k11 * k22 - k12 * k12
+                invd = jnp.where(det != 0.0,
+                                 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+                bx_ = cdot1 + bias1
+                by_ = cdot2 + bias2
+                sx = invd * (k22 * bx_ - k12 * by_)
+                sy = invd * (k11 * by_ - k12 * bx_)
+                dix = -msc * sx - isc * imp_x
+                diy = -msc * sy - isc * imp_y
+                acc["ix"] = imp_x + dix
+                acc["iy"] = imp_y + diy
+                px = dix * perpx
+                py = dix * perpy
+                apply_lin(px, py, dix * s1 + diy, dix * s2 + diy)
+
+            run_branch(warm, solve)
+        else:  # JOINT_WHEEL
+            def warm():
+                axl = spr_i + low_i - up_i
+                px = axl * axx + imp_x * perpx
+                py = axl * axy + imp_x * perpy
+                la = axl * a1 + imp_x * s1 + mot_i
+                lb = axl * a2 + imp_x * s2 + mot_i
+                apply_lin(px, py, la, lb)
+
+            def solve():
+                km = ia + ib
+                motor_mass = jnp.where(
+                    km > 0.0, 1.0 / jnp.where(km > 0.0, km, 1.0), 0.0)
+                kp = ma + mb + ia * s1 * s1 + ib * s2 * s2
+                perp_mass = jnp.where(
+                    kp > 0.0, 1.0 / jnp.where(kp > 0.0, kp, 1.0), 0.0)
+                # rotational motor
+                mot = R("f_motor")
+                dimp = -motor_mass * (st["wb"] - st["wa"] - R("speed"))
+                max_i = h * R("max1")
+                new_mot = jnp.clip(mot_i + dimp, -max_i, max_i)
+                dimp = (new_mot - mot_i) * mot
+                acc["motor"] = jnp.where(mot > 0, new_mot, mot_i)
+                apply_ang(dimp)
+                # suspension spring
+                spr = R("f_spring")
+                dimp = (-R("sm") * ax_mass
+                        * (adot() + R("sb") * translation)
+                        - R("si") * spr_i) * spr
+                acc["spring"] = spr_i + dimp
+                apply_axial(dimp)
+                # limits
+                lim = R("f_limit")
+                new_low, dlow = soft_limit(translation - R("lower"), adot(),
+                                           ax_mass, low_i)
+                dlow = dlow * lim
+                acc["lower"] = jnp.where(lim > 0, new_low, low_i)
+                apply_axial(dlow)
+                new_up, dup = soft_limit(R("upper") - translation, -adot(),
+                                         ax_mass, up_i)
+                dup = dup * lim
+                acc["upper"] = jnp.where(lim > 0, new_up, up_i)
+                apply_axial(-dup)
+                # perpendicular point-on-line
+                cdot = (perpx * (st["vbx"] - st["vax"])
+                        + perpy * (st["vby"] - st["vay"])
+                        + s2 * st["wb"] - s1 * st["wa"])
+                bias = bias_f * R("cb") * (perpx * dx + perpy * dy)
+                msc = 1.0 + bias_f * (R("cm") - 1.0)
+                isc = bias_f * R("ci")
+                dimp = -msc * perp_mass * (cdot + bias) - isc * imp_x
+                acc["ix"] = imp_x + dimp
+                px = dimp * perpx
+                py = dimp * perpy
+                apply_lin(px, py, dimp * s1, dimp * s2)
+
+            run_branch(warm, solve)
+
+    elif jtype == JOINT_MOUSE:
+        def warm():
+            apply_lin(imp_x, imp_y, jnp.zeros_like(imp_x),
+                      cross(rbx, rby, imp_x, imp_y))
+
+        def solve():
+            # target drag on body B (ref joints.py mouse block):
+            # c = delta_center - fa_p + rb + dp_b
+            cx = R("dcx") - R("fapx") + rbx + dpbx
+            cy = R("dcy") - R("fapy") + rby + dpby
+            cdx = st["vbx"] - st["wb"] * rby + R("sb") * cx
+            cdy = st["vby"] + st["wb"] * rbx + R("sb") * cy
+            k11 = mb + rby * rby * ib
+            k12 = -rby * rbx * ib
+            k22 = mb + rbx * rbx * ib
+            det = k11 * k22 - k12 * k12
+            invd = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0),
+                             0.0)
+            sx = invd * (k22 * cdx - k12 * cdy)
+            sy = invd * (k11 * cdy - k12 * cdx)
+            dix = -R("sm") * sx - R("si") * imp_x
+            diy = -R("sm") * sy - R("si") * imp_y
+            nx_, ny_ = imp_x + dix, imp_y + diy
+            max_i = h * R("max1")
+            ln = jnp.sqrt(nx_ * nx_ + ny_ * ny_)
+            scale = jnp.where((ln > max_i) & (max_i > 0),
+                              max_i / jnp.where(ln > 0.0, ln, 1.0), 1.0)
+            nx_, ny_ = nx_ * scale, ny_ * scale
+            acc["ix"] = nx_
+            acc["iy"] = ny_
+            dix, diy = nx_ - imp_x, ny_ - imp_y
+            st["vbx"] = st["vbx"] + mb * dix
+            st["vby"] = st["vby"] + mb * diy
+            st["wb"] = st["wb"] + ib * cross(rbx, rby, dix, diy)
+
+        run_branch(warm, solve)
+    else:
+        raise ValueError(f"joint type {jtype} has no kernel sweep")
+
+    dva = jnp.concatenate([
+        (st["vax"] - vax) * live, (st["vay"] - vay) * live,
+        (st["wa"] - wa) * live], axis=0)
+    dvb = jnp.concatenate([
+        (st["vbx"] - vbx) * live, (st["vby"] - vby) * live,
+        (st["wb"] - wb) * live], axis=0)
+    acc_rows = [None] * len(_JA)
+    for k, v in _JA.items():
+        acc_rows[v] = jnp.where(live > 0, acc[k], a[v:v + 1])
+    acc_new = jnp.concatenate(acc_rows, axis=0)
+    return dva, dvb, acc_new
+
+
+def _unwind(angle):
+    """Map angle into [-pi, pi) without jnp.mod (floor-based)."""
+    two_pi = 6.283185307179586
+    x = (angle + 3.141592653589793) / two_pi
+    return (x - jnp.floor(x)) * two_pi - 3.141592653589793
+
+
+def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple,
+                  win_ref, tlo_ref, thi_ref, nact_ref, wrest_ref, kind_ref,
                   scal_ref, idx_ref, data_ref, acc_ref,
                   body_ref, param_ref,
                   out_body_ref, out_acc_ref):
@@ -713,9 +1327,12 @@ def _tiled_kernel(nsub: int, w: int, tb: int,
             oh = jnp.where(iota_tb + base == iab, 1.0, 0.0)   # (tb, 2w)
             return st + dotf(bt, oh)
 
-        # warm start (p==0) never reads body state — its deltas are pure
-        # functions of stored impulses — so skip the gather loop entirely
-        gthi = jnp.where(p == 0, tlo, thi)
+        # CONTACT warm start (p==0) never reads body state — its deltas are
+        # pure functions of stored impulses — so skip the gather loop
+        # entirely; JOINT warm start needs anchors (dq) so it gathers
+        kind = kind_ref[wi] if jtypes else jnp.int32(0)
+        skip_gather = ((p == 0) & (kind == 0)) if jtypes else (p == 0)
+        gthi = jnp.where(skip_gather, tlo, thi)
         st = lax.fori_loop(tlo, gthi, gather_tile,
                            jnp.zeros((8, 2 * w), jnp.float32))
         st_a, st_b = st[:, :w], st[:, w:]
@@ -874,14 +1491,34 @@ def _tiled_kernel(nsub: int, w: int, tb: int,
 
             acc_new = jnp.concatenate(
                 [nni[0], nni[1], nti[0], nti[1], ntni[0], ntni[1],
-                 roll + dl], 0)
+                 roll + dl, a[7:NA]], 0)
             dva = jnp.concatenate(
                 [vax - st_a[0:1], vay - st_a[1:2], wa - st_a[2:3]], 0)
             dvb = jnp.concatenate(
                 [vbx - st_b[0:1], vby - st_b[1:2], wb - st_b[2:3]], 0)
             return dva, dvb, acc_new
 
-        dva, dvb, acc_new = lax.cond(p == 0, warm_fn, solve_fn, None)
+        def contact_fn(_):
+            return lax.cond(p == 0, warm_fn, solve_fn, None)
+
+        if jtypes:
+            # kind-pure window dispatch: nested conds over the trace-time
+            # present joint types, contacts as the final else branch
+            bias_fj = jnp.where(p == 1, 1.0, 0.0)
+
+            def make_branch(t, els):
+                def joint_fn(_):
+                    return _joint_sweep(t, p, bias_fj, d, a, ia, st_a, st_b,
+                                        h, inv_h)
+
+                return lambda op: lax.cond(kind == 1 + t, joint_fn, els, op)
+
+            dispatch = contact_fn
+            for t in jtypes:
+                dispatch = make_branch(t, dispatch)
+            dva, dvb, acc_new = dispatch(None)
+        else:
+            dva, dvb, acc_new = contact_fn(None)
         out_acc_ref[:, pl.ds(col, w)] = acc_new
         dvab = jnp.concatenate([dva, dvb], axis=1)       # (3, 2w)
 
@@ -897,21 +1534,29 @@ def _tiled_kernel(nsub: int, w: int, tb: int,
 
 
 def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
-                    w: int, tb: int = DEFAULT_BODY_TILE, restitution=None):
-    """Active-window list + per-window body-tile ranges, all in layout order.
+                    w: int, tb: int = DEFAULT_BODY_TILE, restitution=None,
+                    kind=None, key=None):
+    """Active-window list + per-window body-tile ranges.
 
     live: (L,) bool; body_a/b: (L,) i32; dyn_a/b: (L,) bool (dynamic
     endpoint — only dynamic bodies bound the gather tile range; statics
     read as zeros == identity via the shifted-dq representation).
     restitution: optional (L,) — windows with no restitution lane skip the
-    restitution stage in-kernel."""
+    restitution stage in-kernel.
+    kind: optional (L,) i32 lane kind (0 = contact, 1+type = joint); windows
+    are kind-pure, so the per-window max IS the kind.
+    key: optional (L,) i32 visit-order key. Without it, windows are visited
+    in layout order (pure contact layouts are already color-ordered). With
+    it, active windows are sorted by (key, window index) — used when joint
+    windows live in a separate layout region but must be solved inside
+    their color's Gauss-Seidel slot."""
     n_win = layout_len // w
     lane_win = jnp.arange(layout_len, dtype=jnp.int32) // w
     win = jnp.where(live, lane_win, n_win)
 
-    # ONE packed (L, 4)-row scatter-max computes all per-window reductions
+    # ONE packed row scatter-max computes all per-window reductions
     # (scatters cost per-op on TPU, not per-element): occ, hi-tile, has-rest,
-    # and -lo-tile (min via negated max)
+    # and -lo-tile (min via negated max), plus kind/key when present
     big = jnp.int32(2**30)
     lo_cand = jnp.minimum(jnp.where(dyn_a, body_a, big),
                           jnp.where(dyn_b, body_b, big)) // tb
@@ -919,50 +1564,73 @@ def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
                           jnp.where(dyn_b, body_b, -1)) // tb + 1
     has_r = (jnp.zeros_like(live, jnp.int32) if restitution is None
              else (live & (restitution != 0.0)).astype(jnp.int32))
-    rows = jnp.stack([
+    row_list = [
         live.astype(jnp.int32),
         jnp.where(live, hi_cand, 0),
         has_r,
         jnp.where(live, -lo_cand, -big),
-    ], axis=1)                                              # (L, 4)
-    red = jnp.full((n_win + 1, 4), jnp.iinfo(jnp.int32).min,
+    ]
+    if kind is not None:
+        row_list.append(jnp.where(live, kind, 0))
+    if key is not None:
+        row_list.append(jnp.where(live, key, 0))
+    rows = jnp.stack(row_list, axis=1)                      # (L, 4..6)
+    red = jnp.full((n_win + 1, len(row_list)), jnp.iinfo(jnp.int32).min,
                    jnp.int32).at[win].max(rows)[:n_win]
     occ = jnp.maximum(red[:, 0], 0)
     thi_w = jnp.maximum(red[:, 1], 0)
     wrest_w = jnp.maximum(red[:, 2], 1 if restitution is None else 0)
     tlo_w = -red[:, 3]
+    kind_w = (jnp.maximum(red[:, 4], 0) if kind is not None
+              else jnp.zeros(n_win, jnp.int32))
 
-    pos = jnp.cumsum(occ) - 1
     nact = jnp.sum(occ).astype(jnp.int32)
-    wl = jnp.zeros(n_win, jnp.int32).at[
-        jnp.where(occ > 0, pos, n_win)].set(
-        jnp.arange(n_win, dtype=jnp.int32), mode="drop")
+    if key is None:
+        pos = jnp.cumsum(occ) - 1
+        wl = jnp.zeros(n_win, jnp.int32).at[
+            jnp.where(occ > 0, pos, n_win)].set(
+            jnp.arange(n_win, dtype=jnp.int32), mode="drop")
+    else:
+        key_w = jnp.maximum(red[:, 5], 0)
+        sortk = jnp.where(occ > 0,
+                          key_w * n_win + jnp.arange(n_win, dtype=jnp.int32),
+                          jnp.int32(jnp.iinfo(jnp.int32).max))
+        wl = jnp.argsort(sortk).astype(jnp.int32)
     last = wl[jnp.maximum(nact - 1, 0)]
     wl = jnp.where(jnp.arange(n_win) < nact, wl, last)
 
     tlo = jnp.minimum(tlo_w[wl], thi_w[wl])
     thi = thi_w[wl]
     wrest = wrest_w[wl]
-    return wl, tlo, thi, nact[None], wrest
+    return wl, tlo, thi, nact[None], wrest, kind_w[wl]
 
 
 def max_active_windows(n_win: int, max_pairs: int, max_colors: int,
-                       ovf_cap: int, w: int) -> int:
+                       ovf_cap: int, w: int, max_joints: int = 0,
+                       n_joint_groups: int = 0) -> int:
     """Static bound on the active-window count: each live lane occupies one
     window, plus at most one partial window per color bucket and the
-    overflow tail. Shrinks the grid's window dimension (skipped grid steps
-    still cost ~1us each)."""
-    return min(n_win, (max_pairs + w - 1) // w + max_colors + ovf_cap // w)
+    overflow tail, plus (when joints ride the kernel) one partial window
+    per non-empty (color, type) joint group. Shrinks the grid's window
+    dimension (skipped grid steps still cost ~1us each)."""
+    jw = ((max_joints + w - 1) // w + min(n_joint_groups, max_joints)
+          if max_joints else 0)
+    return min(n_win, (max_pairs + w - 1) // w + max_colors + ovf_cap // w
+               + jw)
 
 
 def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
                             params, win_list, tile_lo, tile_hi, nact, wrest,
+                            kinds=None, jtypes: tuple = (),
                             w: int = DEFAULT_WINDOW,
                             tb: int = DEFAULT_BODY_TILE,
                             grid_windows: int | None = None):
-    """Invoke the HBM-streaming tiled kernel. Shapes as run_solver_kernel;
-    body row 5 (dq.c) must be pre-shifted by -1 (see pack_bodies_tiled)."""
+    """Invoke the HBM-streaming tiled kernel. Shapes as run_solver_kernel
+    except data may carry NFJ rows when joint windows ride along (jtypes =
+    sorted trace-time joint types present); body row 5 (dq.c) must be
+    pre-shifted by -1 (see pack_bodies_tiled)."""
     L = data.shape[1]
+    nrows = data.shape[0]
     nb = body.shape[1]
     assert L % w == 0 and chunk % w == 0
     nb_pad = ((max(nb, 128) + tb - 1) // tb) * tb
@@ -972,16 +1640,19 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
     n_win = L // w
     stages = 3 * nsub + 1
     gw = n_win if grid_windows is None else min(grid_windows, n_win)
+    if kinds is None:
+        kinds = jnp.zeros_like(win_list)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(stages, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),    # scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),    # idx
             pl.BlockSpec(                             # data: streamed window
-                (NF, w),
-                lambda s, wi, win_r, lo_r, hi_r, na_r, re_r: (0, win_r[wi]),
+                (nrows, w),
+                lambda s, wi, win_r, lo_r, hi_r, na_r, re_r, kd_r: (
+                    0, win_r[wi]),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),    # acc (initial)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # body (initial)
@@ -990,17 +1661,131 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
     )
-    kern = functools.partial(_tiled_kernel, nsub, w, tb)
+    kern = functools.partial(_tiled_kernel, nsub, w, tb, tuple(jtypes))
     out_body, out_acc = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((NA, L), jnp.float32)),
-    )(win_list, tile_lo, tile_hi, nact, wrest,
+    )(win_list, tile_lo, tile_hi, nact, wrest, kinds,
       scalars, idx, data, acc, body, params)
     if nb_pad != nb:
         out_body = out_body[:, :nb]
     return out_body, out_acc
+
+
+def pack_joint_rows(jn, jc):
+    """Joints state + prepared JointConstraints -> ((J, NFJ) data, (J, NA)
+    acc, (J, 2) idx) column-packed to the _JF/_JA row tables, in JOINT-lane
+    order (the caller scatters into the kind-pure joint windows of the
+    layout). Predicate flags are TYPE-RESOLVED here so the kernel's
+    per-type branches read plain 0/1 rows (the trace-time analog of the
+    per-joint enable checks in ref src/joints/*.cs)."""
+    from .state import (JOINT_DISTANCE, JOINT_MOTOR, JOINT_PRISMATIC,
+                        JOINT_REVOLUTE, JOINT_WELD, JOINT_WHEEL)
+
+    ty = jn.type
+    f1 = lambda c: c.astype(jnp.float32)
+    fixed_rot = (jc.inv_i_a + jc.inv_i_b) == 0.0
+    spring_mode_d = jn.enable_spring & ((jn.lower < jn.upper)
+                                        | ~jn.enable_limit)
+
+    def bytype(dist, mot, pris, rev, weld, wheel, mouse=None, default=0.0):
+        out = jnp.where(ty == JOINT_DISTANCE, dist,
+              jnp.where(ty == JOINT_MOTOR, mot,
+              jnp.where(ty == JOINT_PRISMATIC, pris,
+              jnp.where(ty == JOINT_REVOLUTE, rev,
+              jnp.where(ty == JOINT_WELD, weld,
+              jnp.where(ty == JOINT_WHEEL, wheel, default))))))
+        if mouse is not None:
+            from .state import JOINT_MOUSE
+            out = jnp.where(ty == JOINT_MOUSE, mouse, out)
+        return out
+
+    z = jnp.zeros_like(jn.hertz)
+    f_spring = bytype(
+        f1(spring_mode_d),
+        f1((jn.max_spring_torque > 0.0) & (jn.angular_hertz > 0.0)),
+        f1(jn.enable_spring),
+        f1(jn.enable_spring & ~fixed_rot),
+        f1(jn.hertz > 0.0),
+        f1(jn.enable_spring))
+    f_motor = bytype(
+        f1(spring_mode_d & jn.enable_motor),
+        f1(jn.max_velocity_torque > 0.0),
+        f1(jn.enable_motor),
+        f1(jn.enable_motor & ~fixed_rot),
+        f1(jn.angular_hertz > 0.0),
+        f1(jn.enable_motor & ~fixed_rot))
+    f_limit = bytype(
+        f1(spring_mode_d & jn.enable_limit),
+        f1((jn.max_spring_force > 0.0) & (jn.hertz > 0.0)),
+        f1(jn.enable_limit),
+        f1(jn.enable_limit & ~fixed_rot),
+        z,
+        f1(jn.enable_limit))
+    f_aux = bytype(
+        f1(jn.hertz > 0.0),
+        f1(jn.max_velocity_force > 0.0),
+        z, z, z, z)
+    target = bytype(jn.length, z, jn.spring_target, jn.spring_target, z, z)
+    speed = bytype(jn.motor_speed, jn.angular_velocity, jn.motor_speed,
+                   jn.motor_speed, z, jn.motor_speed)
+    max1 = bytype(jn.max_motor_force, jn.max_velocity_torque,
+                  jn.max_motor_force, jn.max_motor_force, z,
+                  jn.max_motor_force, mouse=jn.max_velocity_force)
+    max2 = bytype(jn.lower_spring_force, jn.max_spring_torque, z, z, z, z)
+    max3 = bytype(jn.upper_spring_force, jn.max_spring_force, z, z, z, z)
+    max4 = bytype(z, jn.max_velocity_force, z, z, z, z)
+
+    live = jc.color >= 0
+    livef = live.astype(jnp.float32)
+    data = jnp.stack([
+        jc.inv_mass_a * livef, jc.inv_mass_b * livef,
+        jc.inv_i_a * livef, jc.inv_i_b * livef,
+        jc.fa_p[:, 0], jc.fa_p[:, 1], jc.fa_q[:, 0], jc.fa_q[:, 1],
+        jc.fb_p[:, 0], jc.fb_p[:, 1], jc.fb_q[:, 0], jc.fb_q[:, 1],
+        jc.delta_center[:, 0], jc.delta_center[:, 1], jc.axial_mass,
+        jc.spring_soft[:, 0], jc.spring_soft[:, 1], jc.spring_soft[:, 2],
+        jc.angular_soft[:, 0], jc.angular_soft[:, 1], jc.angular_soft[:, 2],
+        jc.constraint_soft[:, 0], jc.constraint_soft[:, 1],
+        jc.constraint_soft[:, 2],
+        f_spring, f_motor, f_limit, f_aux,
+        jn.lower, jn.upper, target, speed,
+        max1, max2, max3,
+        jn.linear_velocity[:, 0], jn.linear_velocity[:, 1], max4,
+        jnp.ones_like(z),   # jrelax (reserved for overflow mass-splitting)
+    ], axis=1)
+    acc = jnp.stack([
+        jc.impulse[:, 0], jc.impulse[:, 1],
+        jc.spring_impulse, jc.motor_impulse,
+        jc.lower_impulse, jc.upper_impulse, jc.angular_impulse,
+        jc.spring_impulse2[:, 0], jc.spring_impulse2[:, 1],
+    ], axis=1)
+    sentinel = jnp.int32(-1)
+    idx = jnp.stack([
+        jnp.where(live, jc.body_a, sentinel),
+        jnp.where(live, jc.body_b, sentinel),
+    ], axis=1)
+    return data, acc, idx
+
+
+def unpack_joint_acc(jc, jacc, active):
+    """Write kernel joint accumulators (J, NA) back into JointConstraints."""
+    def sel(new, old):
+        m = active[:, None] if old.ndim == 2 else active
+        return jnp.where(m, new, old)
+
+    return jc._replace(
+        impulse=sel(jacc[:, 0:2], jc.impulse),
+        spring_impulse=sel(jacc[:, _JA["spring"]], jc.spring_impulse),
+        motor_impulse=sel(jacc[:, _JA["motor"]], jc.motor_impulse),
+        lower_impulse=sel(jacc[:, _JA["lower"]], jc.lower_impulse),
+        upper_impulse=sel(jacc[:, _JA["upper"]], jc.upper_impulse),
+        angular_impulse=sel(jacc[:, _JA["angular"]], jc.angular_impulse),
+        spring_impulse2=sel(jacc[:, _JA["s2x"]:_JA["s2y"] + 1],
+                            jc.spring_impulse2),
+    )
 
 
 def pack_bodies_tiled(bodies, bs, tuning, h, inv_dt):

@@ -282,6 +282,10 @@ class Profile:
     #   no TOI this step and may tunnel; never silent
     overflow_particles: Any   # particle neighbor-window overflow: neighbors
     #   beyond the fixed K_SAME/K_UP scan windows shed contacts this step
+    events_dropped: Any       # events beyond Capacity.event_capacity this
+    #   step (begin/end/hit/joint); raise event_capacity if nonzero — a good
+    #   sizing rule is ~2x the largest expected per-step begin-touch burst
+    #   (scene drops / explosions), the reference grows its arrays instead
 
 
 @_pytree
@@ -386,4 +390,4 @@ def zero_events(cap: Capacity) -> Events:
 
 def zero_profile() -> Profile:
     i0 = jnp.int32(0)
-    return Profile(i0, i0, i0, i0, i0, i0, i0, i0)
+    return Profile(i0, i0, i0, i0, i0, i0, i0, i0, i0)

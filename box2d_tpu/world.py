@@ -289,31 +289,94 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     gidx = jnp.clip(layout_idx, 0, layout_len - 1)
     active_lane = layout_idx < layout_len
 
-    if use_pallas and not joint_types:
+    from .state import JOINT_FILTER
+    solvable_joints = tuple(sorted(
+        int(t) for t in joint_types if int(t) != JOINT_FILTER))
+    if use_pallas and (not solvable_joints or use_pallas == 2):
         # flagship path: the whole substep pipeline in one Pallas kernel.
-        # mode 1 = VMEM-resident mega-kernel (small scenes / batched worlds),
-        # mode 2 = HBM-streaming tiled kernel (large scenes).
+        # mode 1 = VMEM-resident mega-kernel (small scenes / batched worlds,
+        # contact-only), mode 2 = HBM-streaming tiled kernel (large scenes
+        # AND any jointed scene: joints ride kind-pure windows).
         # Constraints go straight from pair order into the packed kernel
         # matrices with ONE layout scatter per matrix (the 27 per-field
         # scatters of the XLA path cost ~12 ms/step at 39k pairs).
-        from .solver_pallas import (NA, NF, max_active_windows, pack_bodies,
-                                    pack_bodies_tiled,
-                                    pack_constraints_pairs,
+        from .solver_pallas import (NA, NF, NFJ, max_active_windows,
+                                    pack_bodies, pack_bodies_tiled,
+                                    pack_constraints_pairs, pack_joint_rows,
                                     run_solver_kernel,
                                     run_solver_kernel_tiled, unpack_bodies,
-                                    unpack_bodies_tiled, window_metadata,
-                                    window_width)
+                                    unpack_bodies_tiled, unpack_joint_acc,
+                                    window_metadata, window_width)
 
         data_p, acc_p, idx_p = pack_constraints_pairs(cc, contact_relax)
+        with_joints = bool(solvable_joints) and use_pallas == 2
+        w_win = window_width(chunk)
+        J = jn.type.shape[0]
+        n_groups = 0
+        if with_joints:
+            # joint region: kind-pure windows appended after the overflow
+            # tail, grouped by (color, type) at dynamic w-aligned offsets;
+            # visit ORDER is restored per color by the window sort key, so
+            # the region's position in memory is irrelevant
+            ntp = len(solvable_joints)
+            n_groups = cap.max_colors * ntp
+            jl = (-(-J // w_win)) * w_win + min(n_groups, J) * w_win
+            lay_len_k = layout_len + jl
+            trank = jnp.zeros_like(jn.type)
+            for r, t in enumerate(solvable_joints):
+                trank = jnp.where(jn.type == t, r, trank)
+            jlive = joint_color >= 0
+            grp = jnp.where(jlive, joint_color * ntp + trank, n_groups)
+            oh_g = grp[:, None] == jnp.arange(n_groups)[None, :]
+            granks = jnp.cumsum(oh_g.astype(jnp.int32), axis=0)
+            jslot = jnp.sum(jnp.where(oh_g, granks, 0), axis=1) - 1
+            padded = -(-granks[-1] // w_win) * w_win
+            offs = layout_len + jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1]])
+            jpos = jnp.where(jlive, offs[grp] + jslot, lay_len_k)
+            # dead contact lanes previously dropped at index layout_len,
+            # which is now INSIDE the extended array — remap past the end
+            cidx = jnp.where(layout_idx >= layout_len, lay_len_k, layout_idx)
+            nrows = NFJ
+        else:
+            lay_len_k = layout_len
+            cidx = layout_idx
+            nrows = NF
         # ONE combined float scatter for data+acc (scatter ops cost ~1.3ms
         # each at 40k source rows regardless of width), ints separately
-        combL = jnp.zeros((layout_len, NF + NA), jnp.float32).at[
-            layout_idx].set(jnp.concatenate([data_p, acc_p], axis=1),
-                            mode="drop")
-        dataL = combL[:, :NF]
-        accL = combL[:, NF:]
-        idxL = jnp.full((layout_len, 2), -1, jnp.int32).at[
-            layout_idx].set(idx_p, mode="drop")
+        if nrows != NF:
+            data_p = jnp.pad(data_p, ((0, 0), (0, nrows - NF)))
+        combL = jnp.zeros((lay_len_k, nrows + NA), jnp.float32).at[
+            cidx].set(jnp.concatenate([data_p, acc_p], axis=1),
+                      mode="drop")
+        if with_joints:
+            jdata, jacc0, jidx = pack_joint_rows(state.joints, jc)
+            combL = combL.at[jpos].set(
+                jnp.concatenate([jdata, jacc0], axis=1), mode="drop")
+            # int columns: [body_a, body_b, kind, visit key]; joints sort
+            # before contacts of the same color (matching the XLA order,
+            # though same-color windows are conflict-free either way) and
+            # overflow-tail contacts last
+            key_c = jnp.where(is_ovf_lane, 2 * cap.max_colors,
+                              2 * jnp.maximum(cc.color, 0) + 1)
+            int_c = jnp.concatenate(
+                [idx_p, jnp.zeros((p_cap, 1), jnp.int32),
+                 key_c[:, None]], axis=1)
+            int_j = jnp.concatenate(
+                [jidx, 1 + jn.type[:, None],
+                 2 * jnp.maximum(joint_color, 0)[:, None]], axis=1)
+            idxL4 = jnp.full((lay_len_k, 4), -1, jnp.int32).at[
+                cidx].set(int_c, mode="drop").at[jpos].set(
+                int_j, mode="drop")
+            idxL = idxL4[:, :2]
+            kindL = jnp.maximum(idxL4[:, 2], 0)
+            keyL = idxL4[:, 3]
+        else:
+            idxL = jnp.full((lay_len_k, 2), -1, jnp.int32).at[
+                cidx].set(idx_p, mode="drop")
+            kindL = keyL = None
+        dataL = combL[:, :nrows]
+        accL = combL[:, nrows:]
         datap, accp, idxp = dataL.T, accL.T, idxL.T
         if until == "layout":
             return datap, accp, idxp
@@ -326,7 +389,6 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             liveL = idxL[:, 0] >= 0
             bodyL_a = jnp.maximum(idxL[:, 0], 0)
             bodyL_b = jnp.maximum(idxL[:, 1], 0)
-            w_win = window_width(chunk)
             # tile ranges must span every NON-STATIC endpoint: the shifted-dq
             # zero-read trick is only exact for static bodies — a KINEMATIC
             # body (nonzero v/w, integrates dp/dq) outside the gathered range
@@ -334,21 +396,28 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             # conveyor contacts whenever its index lies beyond the dynamic
             # bodies' tiles
             nonstatic = b.type != 0
-            wl, tlo, thi, nactp, wrest = window_metadata(
+            restL = (dataL[:, 3] if not with_joints
+                     else jnp.where(kindL == 0, dataL[:, 3], 0.0))
+            wl, tlo, thi, nactp, wrest, kindw = window_metadata(
                 liveL, bodyL_a, bodyL_b,
                 nonstatic[bodyL_a] & liveL, nonstatic[bodyL_b] & liveL,
-                layout_len, w_win, restitution=dataL[:, 3])
+                lay_len_k, w_win, restitution=restL,
+                kind=kindL, key=keyL)
             if until == "meta":
-                return wl, tlo, thi, nactp, wrest, bodyp, paramsp
+                return wl, tlo, thi, nactp, wrest, kindw, bodyp, paramsp
             out_body, out_acc = run_solver_kernel_tiled(
                 substeps, chunk, scalars, idxp, datap, accp, bodyp,
-                paramsp, wl, tlo, thi, nactp, wrest, w=w_win,
+                paramsp, wl, tlo, thi, nactp, wrest, kinds=kindw,
+                jtypes=solvable_joints if with_joints else (), w=w_win,
                 grid_windows=max_active_windows(
-                    layout_len // w_win, p_cap, cap.max_colors, ovf_cap,
-                    w_win))
+                    lay_len_k // w_win, p_cap, cap.max_colors, ovf_cap,
+                    w_win, J if with_joints else 0, n_groups))
             if until == "kernel":
                 return out_body, out_acc
             bs = unpack_bodies_tiled(bs, out_body)
+            if with_joints:
+                jacc = out_acc.T[jnp.clip(jpos, 0, lay_len_k - 1)]
+                jc = unpack_joint_acc(jc, jacc, jlive)
         else:
             bodyp, paramsp = pack_bodies(b, bs, tn, h, inv_dt)
             out_body, out_acc = run_solver_kernel(
@@ -513,9 +582,11 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
     # --- events -----------------------------------------------------------
     if until == "store":
         return state.contacts
-    events = _contact_events(state, data, touching, cap, orphan_info)
-    events = _hit_events(state, data, tni, relv, touching, events, cap)
-    events = _joint_events(state, jc, inv_h, events, cap)
+    events, ev_drop = _contact_events(state, data, touching, cap,
+                                      orphan_info)
+    events, d_hit = _hit_events(state, data, tni, relv, touching, events, cap)
+    events, d_joint = _joint_events(state, jc, inv_h, events, cap)
+    ev_drop = ev_drop + d_hit + d_joint
     if until == "events":
         return events
 
@@ -559,6 +630,7 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
         overflow_ccd=overflow_ccd,
         overflow_particles=(particle_overflow if particle_overflow is not None
                             else jnp.int32(0)),
+        events_dropped=ev_drop,
     )
     return dataclasses.replace(
         state, events=events, profile=profile,
@@ -587,12 +659,16 @@ def _store_joint_impulses(joints, jc):
 
 
 def _compact_events(mask, payload, capacity):
-    """Scatter masked lanes into a fixed-size event array."""
+    """Scatter masked lanes into a fixed-size event array. Returns
+    (array, clamped count, dropped count) — drops are surfaced in
+    Profile.events_dropped, never silent (the reference grows its event
+    arrays instead, ref: src/World.cs:376-450)."""
     pos = jnp.cumsum(mask) - 1
     count = jnp.sum(mask)
     out = jnp.zeros((capacity,) + payload.shape[1:], payload.dtype)
     out = out.at[jnp.where(mask, pos, capacity)].set(payload, mode="drop")
-    return out, jnp.minimum(count, capacity).astype(jnp.int32)
+    return (out, jnp.minimum(count, capacity).astype(jnp.int32),
+            jnp.maximum(count - capacity, 0).astype(jnp.int32))
 
 
 def _contact_events(state: WorldState, data: ContactData, touching, cap,
@@ -610,14 +686,17 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
     begin = touching & ~data.was_touching & ev_enabled
     end = ~touching & data.was_touching & ev_enabled
     pairs_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
-    begin_arr, begin_count = _compact_events(begin, pairs_ab, cap.event_capacity)
-    end_arr, end_count = _compact_events(end, pairs_ab, cap.event_capacity)
+    begin_arr, begin_count, drop_b = _compact_events(
+        begin, pairs_ab, cap.event_capacity)
+    end_arr, end_count, drop_e = _compact_events(
+        end, pairs_ab, cap.event_capacity)
+    dropped = drop_b + drop_e
 
     if orphan_info is not None:
         orphan_mask, old_key_a, old_key_b, _ = orphan_info
 
         def orphan_pass(args):
-            end_arr, end_count = args
+            end_arr, end_count, dropped = args
             ka = jnp.maximum(old_key_a, 0)
             kb = jnp.maximum(old_key_b, 0)
             orphan = (orphan_mask
@@ -628,19 +707,20 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
             tgt = jnp.where(orphan & (pos < e), pos, e)
             new_arr = end_arr.at[tgt].set(
                 jnp.stack([ka, kb], axis=1), mode="drop")
-            return new_arr, jnp.minimum(
-                end_count + jnp.sum(orphan), e).astype(jnp.int32)
+            total = end_count + jnp.sum(orphan)
+            return (new_arr, jnp.minimum(total, e).astype(jnp.int32),
+                    dropped + jnp.maximum(total - e, 0).astype(jnp.int32))
 
-        end_arr, end_count = jax.lax.cond(
+        end_arr, end_count, dropped = jax.lax.cond(
             jnp.any(orphan_mask), orphan_pass, lambda a: a,
-            (end_arr, end_count))
+            (end_arr, end_count, dropped))
 
     events = zero_events(cap)
     return dataclasses.replace(
         events,
         contact_begin=begin_arr, contact_begin_count=begin_count,
         contact_end=end_arr, contact_end_count=end_count,
-    )
+    ), dropped
 
 
 def _hit_events(state, data, tni, relv, touching, events, cap):
@@ -661,14 +741,15 @@ def _hit_events(state, data, tni, relv, touching, events, cap):
     pos = jnp.cumsum(hit) - 1
     e = cap.event_capacity
     tgt = jnp.where(hit, pos, e)
+    n_hit = jnp.sum(hit)
     return dataclasses.replace(
         events,
         hit_point=events.hit_point.at[tgt].set(point, mode="drop"),
         hit_normal=events.hit_normal.at[tgt].set(normal, mode="drop"),
         hit_speed=events.hit_speed.at[tgt].set(speed, mode="drop"),
         hit_shapes=events.hit_shapes.at[tgt].set(shapes_ab, mode="drop"),
-        hit_count=jnp.minimum(jnp.sum(hit), e).astype(jnp.int32),
-    )
+        hit_count=jnp.minimum(n_hit, e).astype(jnp.int32),
+    ), jnp.maximum(n_hit - e, 0).astype(jnp.int32)
 
 
 def _joint_events(state, jc, inv_h, events, cap):
@@ -703,8 +784,9 @@ def _joint_events(state, jc, inv_h, events, cap):
     e = cap.event_capacity
     tgt = jnp.where(over, pos, e)
     ids = jnp.arange(jn.type.shape[0], dtype=jnp.int32)
+    n_over = jnp.sum(over)
     return dataclasses.replace(
         events,
         joint_force=events.joint_force.at[tgt].set(ids, mode="drop"),
-        joint_force_count=jnp.minimum(jnp.sum(over), e).astype(jnp.int32),
-    )
+        joint_force_count=jnp.minimum(n_over, e).astype(jnp.int32),
+    ), jnp.maximum(n_over - e, 0).astype(jnp.int32)

@@ -119,3 +119,100 @@ def test_tiled_kernel_kinematic_beyond_dynamic_tiles():
                                np.asarray(sx.bodies.v[box]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(st.bodies.center[box]),
                                np.asarray(sx.bodies.center[box]), atol=1e-4)
+
+
+def _equiv_check(w, steps=6, substeps=4):
+    """Run the XLA path vs the tiled kernel (mode 2) on a jointed scene in
+    interpret mode and require matching trajectories + joint impulses."""
+    from jax.experimental.pallas import tpu as pltpu
+    from box2d_tpu.joints import joint_types_present
+
+    state, cap = w.builder.build()
+    classes = classes_for_shape_types(s["geom"].type for s in w.builder._shapes)
+    jtypes = joint_types_present(j["_type"] for j in w.builder._joints)
+    step_x = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes,
+                                     substeps, jtypes, (), False, None, 0))
+    step_t = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes,
+                                     substeps, jtypes, (), False, None, 2))
+    sx = state
+    st = state
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(steps):
+            sx = step_x(sx)
+            st = step_t(st)
+    np.testing.assert_allclose(np.asarray(st.bodies.center),
+                               np.asarray(sx.bodies.center), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.bodies.v),
+                               np.asarray(sx.bodies.v), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st.joints.impulse),
+                               np.asarray(sx.joints.impulse), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st.joints.motor_impulse),
+                               np.asarray(sx.joints.motor_impulse), atol=5e-3)
+
+
+def test_joints_in_tiled_kernel_match_xla_ragdolls():
+    """Revolute + prismatic + distance joints riding the mode-2 kernel's
+    kind-pure windows must reproduce the XLA joint path
+    (ref: src/Solver.cs:624-682 interleaves joints in the same stages)."""
+    _equiv_check(scenes.joint_farm(ragdolls=2), steps=6)
+
+
+def test_joints_in_tiled_kernel_match_xla_all_types():
+    """Weld/wheel/motor/mouse + limits/springs/motors in one scene."""
+    from box2d_tpu import geometry as g
+    from box2d_tpu import types as t
+    from box2d_tpu.api import World
+
+    w = World(t.WorldDef(gravity=(0.0, -10.0)))
+    ground = w.create_body(t.BodyDef(type=0, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(50.0, 0.5))
+
+    # weld pair tumbling under gravity
+    a = w.create_body(t.BodyDef(type=2, position=(0.0, 5.0),
+                                angular_velocity=2.0))
+    w.create_polygon_shape(a, t.ShapeDef(), g.box(0.4, 0.4))
+    b = w.create_body(t.BodyDef(type=2, position=(1.0, 5.0)))
+    w.create_polygon_shape(b, t.ShapeDef(), g.box(0.4, 0.4))
+    w.create_joint(t.WeldJointDef(body_a=a, body_b=b,
+                                  local_anchor_a=(0.5, 0.0),
+                                  local_anchor_b=(-0.5, 0.0)))
+
+    # wheel with suspension spring + motor
+    chassis = w.create_body(t.BodyDef(type=2, position=(5.0, 2.0)))
+    w.create_polygon_shape(chassis, t.ShapeDef(), g.box(1.0, 0.25))
+    wheel = w.create_body(t.BodyDef(type=2, position=(5.0, 1.0)))
+    w.create_circle_shape(wheel, t.ShapeDef(), (0.0, 0.0), 0.4)
+    w.create_joint(t.WheelJointDef(body_a=chassis, body_b=wheel,
+                                   local_anchor_a=(0.0, -1.0),
+                                   enable_motor=True, motor_speed=3.0,
+                                   max_motor_torque=20.0,
+                                   hertz=4.0, damping_ratio=0.7))
+
+    # motor joint velocity drive
+    puck = w.create_body(t.BodyDef(type=2, position=(-5.0, 3.0),
+                                   gravity_scale=0.0))
+    w.create_circle_shape(puck, t.ShapeDef(), (0.0, 0.0), 0.3)
+    w.create_joint(t.MotorJointDef(body_a=ground, body_b=puck,
+                                   linear_velocity=(1.0, 0.0),
+                                   max_velocity_force=10.0,
+                                   angular_velocity=1.0,
+                                   max_velocity_torque=5.0))
+
+    # mouse drag
+    ball = w.create_body(t.BodyDef(type=2, position=(-8.0, 3.0)))
+    w.create_circle_shape(ball, t.ShapeDef(), (0.0, 0.0), 0.3)
+    w.create_joint(t.MouseJointDef(body_a=ground, body_b=ball,
+                                   target=(-7.0, 4.0), hertz=4.0,
+                                   damping_ratio=0.7, max_force=50.0))
+
+    # distance spring with limits + motor (spring mode)
+    p1 = w.create_body(t.BodyDef(type=2, position=(8.0, 4.0)))
+    w.create_circle_shape(p1, t.ShapeDef(), (0.0, 0.0), 0.2)
+    anchor2 = w.create_body(t.BodyDef(type=0, position=(8.0, 6.0)))
+    w.create_joint(t.DistanceJointDef(body_a=anchor2, body_b=p1,
+                                      length=1.5, enable_spring=True,
+                                      hertz=3.0, damping_ratio=0.5,
+                                      enable_limit=True, min_length=1.0,
+                                      max_length=2.5, enable_motor=True,
+                                      max_motor_force=5.0, motor_speed=0.2))
+    _equiv_check(w, steps=6)

@@ -145,3 +145,90 @@ def test_cast_mover_encroached_can_slide():
     # capsule bottom exactly on the ground surface
     frac = w.cast_mover((0.0, 0.3), (0.0, 1.0), 0.3, (2.0, 0.0))
     assert frac > 0.9, frac
+
+
+def test_cast_ray_all_returns_sorted_hits():
+    """All-hits ray cast (ref: api/World.cs:442-465): three circles along
+    the ray come back fraction-ascending."""
+    w = api.World()
+    for x in (2.0, 4.0, 6.0):
+        b = w.create_body(t.BodyDef(type=t.STATIC, position=(x, 0.0)))
+        w.create_circle_shape(b, t.ShapeDef(), (0.0, 0.0), 0.5)
+    w.compile()
+    r = w.cast_ray_all((0.0, 0.0), (10.0, 0.0))
+    assert len(r["fraction"]) == 3
+    assert np.all(np.diff(r["fraction"]) > 0)
+    np.testing.assert_allclose(r["point"][:, 0], [1.5, 3.5, 5.5], atol=1e-3)
+    # max_hits truncates
+    r2 = w.cast_ray_all((0.0, 0.0), (10.0, 0.0), max_hits=2)
+    assert len(r2["fraction"]) == 2
+
+
+def test_point_queries():
+    """TestPoint / OverlapPoint (ref: include/Geometry.cs PointIn*)."""
+    w = api.World()
+    b = w.create_body(t.BodyDef(type=t.STATIC, position=(1.0, 2.0)))
+    s_box = w.create_polygon_shape(b, t.ShapeDef(), g.box(0.5, 0.5))
+    c = w.create_body(t.BodyDef(type=t.STATIC, position=(5.0, 0.0)))
+    s_circ = w.create_circle_shape(c, t.ShapeDef(), (0.0, 0.0), 0.4)
+    w.compile()
+    assert w.test_point(s_box, (1.2, 2.2))
+    assert not w.test_point(s_box, (1.8, 2.0))
+    assert w.test_point(s_circ, (5.3, 0.0))
+    assert not w.test_point(s_circ, (5.5, 0.0))
+    mask = w.overlap_point((1.0, 2.0))
+    assert mask[s_box] and not mask[s_circ]
+
+
+def test_shape_aabb_getter():
+    w = api.World()
+    b = w.create_body(t.BodyDef(type=t.STATIC, position=(3.0, 1.0)))
+    s = w.create_polygon_shape(b, t.ShapeDef(), g.box(0.5, 0.25))
+    w.compile()
+    lo_x, lo_y, hi_x, hi_y = w.shape_aabb(s)
+    assert lo_x <= 2.5 + 1e-3 and hi_x >= 3.5 - 1e-3
+    assert lo_y <= 0.75 + 1e-3 and hi_y >= 1.25 - 1e-3
+
+
+def test_contact_data_readout():
+    """ContactAPI.GetData analog (ref: api/Contact.cs:20-33): manifolds of
+    touching pairs on current poses."""
+    w = api.World()
+    g_ = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(g_, t.ShapeDef(), g.box(10.0, 0.5))
+    bx = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 0.5)))
+    w.create_polygon_shape(bx, t.ShapeDef(), g.box(0.5, 0.5))
+    w.compile()
+    for _ in range(30):
+        w.step(1 / 60)
+    d = w.contact_data()
+    assert len(d["shape_a"]) >= 1
+    # resting box-on-ground: upward normal, ~zero separation, 2 points
+    i = 0
+    assert abs(abs(d["normal"][i, 1]) - 1.0) < 1e-3
+    assert d["point_count"][i] == 2
+    assert np.all(d["separation"][i] < 1e-2)
+    assert np.any(d["normal_impulse"][i] > 0)
+
+
+def test_events_dropped_counter():
+    """Events beyond event_capacity are COUNTED, not silently clamped."""
+    from box2d_tpu.state import Capacity
+
+    w = api.World()
+    ev = t.ShapeDef(enable_contact_events=True)
+    g_ = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(g_, ev, g.box(50.0, 0.5))
+    for i in range(8):
+        b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(i * 1.5, 0.55)))
+        w.create_polygon_shape(b, ev, g.box(0.5, 0.5))
+    cap = Capacity(max_bodies=16, max_shapes=16, max_joints=1,
+                   max_contact_pairs=64, event_capacity=2)
+    w.compile(cap)
+    dropped = 0
+    for _ in range(30):
+        w.step(1 / 60)
+        dropped += int(w.state.profile.events_dropped)
+    # 8 boxes dropped 0.05 onto the ground -> >2 begin events in one step
+    assert dropped > 0
+    assert int(w.counters()["events_dropped"]) >= 0
