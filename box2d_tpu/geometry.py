@@ -185,7 +185,8 @@ def compute_hull(points: Sequence) -> np.ndarray:
     """Compute a convex hull (CCW, welded, collinear-merged).
 
     Behavioral match of the reference quickhull (ref: src/Hull.cs:43-160):
-    - points welded within 16 * linearSlop
+    - points welded within 4 * linearSlop (ref tolSqr = 16 * slop^2 over
+      SQUARED distance, Hull.cs:50)
     - collinear points within 2 * linearSlop of a hull edge are removed
     - at most MAX_POLYGON_VERTICES points kept
     """
@@ -200,8 +201,9 @@ def compute_hull(points: Sequence) -> np.ndarray:
     if native is not None:
         return native
 
-    # weld close points (ref: Hull.cs:54-74)
-    tol = 16.0 * LINEAR_SLOP
+    # weld close points (ref: Hull.cs:50 tolSqr = 16*slop^2 on SQUARED
+    # distance => 4*slop on distance)
+    tol = 4.0 * LINEAR_SLOP
     unique: list[np.ndarray] = []
     for p in pts:
         if all(np.hypot(*(p - q)) >= tol for q in unique):

@@ -34,9 +34,10 @@ int compute_hull(const double* points, int n, double linear_slop,
         for (int i = 0; i < n; i++) { out[2*i] = points[2*i]; out[2*i+1] = points[2*i+1]; }
         return n;
     }
-    // weld close points (ref: Hull.cs:54-74)
+    // weld close points (ref: Hull.cs:50 tolSqr = 16*slop^2 on SQUARED
+    // distance => 4*slop on distance)
     std::vector<double> px, py;
-    double tol = 16.0 * linear_slop;
+    double tol = 4.0 * linear_slop;
     for (int i = 0; i < n; i++) {
         double x = points[2*i], y = points[2*i+1];
         bool dup = false;

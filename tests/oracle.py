@@ -320,14 +320,337 @@ def apply_restitution(bodies, contacts, threshold):
             bb.v, bb.w = vb.astype(F), F(wb)
 
 
-def solve_step(bodies, raw_contacts, tuning, dt, substeps):
+# ---------------------------------------------------------------------------
+# joints: scalar transliterations of src/joints/RevoluteJoint.cs and
+# src/joints/DistanceJoint.cs (the two oracle-covered types).
+#
+# Port deviation implemented upstream-correct (like the engine,
+# box2d_tpu/joints.py header): ref DistanceJoint.cs:99-100 assigns
+# `iA = bodySimA.invMass` — upstream Box2D v3 uses the inverse INERTIA.
+# ---------------------------------------------------------------------------
+
+
+def _rot_mul(q, r):
+    return np.array([q[0] * r[0] - q[1] * r[1],
+                     q[1] * r[0] + q[0] * r[1]], F)
+
+
+def _inv_mul_rot(q, r):
+    """InvMulRot (ref: include/MathFunctions.cs:158-162)."""
+    return np.array([q[0] * r[0] + q[1] * r[1],
+                     q[0] * r[1] - q[1] * r[0]], F)
+
+
+def _rot_vec(q, v):
+    return np.array([q[0] * v[0] - q[1] * v[1],
+                     q[1] * v[0] + q[0] * v[1]], F)
+
+
+def _unwind(a):
+    """ref: include/MathFunctions.cs:164."""
+    return F((a + np.pi) % (2 * np.pi) - np.pi)
+
+
+def _mat22_solve(k11, k12, k22, b):
+    """Mat22.Solve by Cramer (ref: include/MathFunctions.cs:196-217)."""
+    det = k11 * k22 - k12 * k12
+    if det == 0:
+        return np.zeros(2, F)
+    inv = F(1) / det
+    return np.array([inv * (k22 * b[0] - k12 * b[1]),
+                     inv * (k11 * b[1] - k12 * b[0])], F)
+
+
+@dataclasses.dataclass
+class OJoint:
+    """One revolute or distance joint, prepared fresh each step.
+
+    Static params come from the dict `d` (read from the engine's Joints
+    state once); world frames/axial masses are recomputed in prepare."""
+    kind: str
+    index_a: int
+    index_b: int
+    d: dict
+    # prepared per step:
+    frame_a_p: np.ndarray = None
+    frame_a_q: np.ndarray = None
+    frame_b_p: np.ndarray = None
+    frame_b_q: np.ndarray = None
+    delta_center: np.ndarray = None
+    axial_mass: F = F(0)
+    spring_soft: tuple = (F(0), F(0), F(0))
+    constraint_soft: tuple = (F(0), F(0), F(0))
+    # persistent impulses:
+    impulse: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2, F))   # revolute linear / [dist,0]
+    spring_impulse: F = F(0)
+    motor_impulse: F = F(0)
+    lower_impulse: F = F(0)
+    upper_impulse: F = F(0)
+
+
+def prepare_joints(bodies, center, rot, joints, tuning, h, inv_h):
+    """ref: src/Joint.cs:125-130 PrepareJoint + per-type Prepare."""
+    warm = F(1.0) if tuning.get("enable_warm_starting", True) else F(0.0)
+    for j in joints:
+        d = j.d
+        a, b_ = j.index_a, j.index_b
+        qa, qb = rot[a], rot[b_]
+        j.frame_a_q = _rot_mul(qa, d["frame_a_q"])
+        j.frame_a_p = _rot_vec(qa, d["frame_a_p"] - d["local_center_a"])
+        j.frame_b_q = _rot_mul(qb, d["frame_b_q"])
+        j.frame_b_p = _rot_vec(qb, d["frame_b_p"] - d["local_center_b"])
+        j.delta_center = (center[b_] - center[a]).astype(F)
+        ma, mb = bodies[a].inv_mass, bodies[b_].inv_mass
+        ia, ib = bodies[a].inv_inertia, bodies[b_].inv_inertia
+        c_hertz = min(F(d["constraint_hertz"]), F(0.25) * inv_h)
+        j.constraint_soft = softness(c_hertz, d["constraint_damping_ratio"], h)
+        j.spring_soft = softness(d["hertz"], d["damping_ratio"], h)
+        if j.kind == "revolute":
+            k = ia + ib
+            j.axial_mass = F(1) / k if k > 0 else F(0)
+        else:  # distance (upstream-correct inverse inertia, see header)
+            sep = j.frame_b_p - j.frame_a_p + j.delta_center
+            ln = F(np.sqrt(sep @ sep))
+            axis = sep / ln if ln > 0 else np.array([1, 0], F)
+            cr_a, cr_b = _cross(j.frame_a_p, axis), _cross(j.frame_b_p, axis)
+            k = ma + mb + ia * cr_a * cr_a + ib * cr_b * cr_b
+            j.axial_mass = F(1) / k if k > 0 else F(0)
+        j.impulse = (warm * j.impulse).astype(F)
+        j.spring_impulse = F(warm * j.spring_impulse)
+        j.motor_impulse = F(warm * j.motor_impulse)
+        j.lower_impulse = F(warm * j.lower_impulse)
+        j.upper_impulse = F(warm * j.upper_impulse)
+
+
+def warm_start_joints(bodies, joints):
+    """ref: RevoluteJoint.cs:102-122 / DistanceJoint.cs:123-147."""
+    for j in joints:
+        ba, bb = bodies[j.index_a], bodies[j.index_b]
+        ma, mb = ba.inv_mass, bb.inv_mass
+        ia, ib = ba.inv_inertia, bb.inv_inertia
+        ra = _rot_vec(ba.dq, j.frame_a_p)
+        rb = _rot_vec(bb.dq, j.frame_b_p)
+        if j.kind == "revolute":
+            axial = (j.spring_impulse + j.motor_impulse
+                     + j.lower_impulse - j.upper_impulse)
+            P = j.impulse
+            if ba.dynamic:
+                ba.v = (ba.v - ma * P).astype(F)
+                ba.w = F(ba.w - ia * (_cross(ra, P) + axial))
+            if bb.dynamic:
+                bb.v = (bb.v + mb * P).astype(F)
+                bb.w = F(bb.w + ib * (_cross(rb, P) + axial))
+        else:
+            ds = bb.dp - ba.dp + (rb - ra)
+            sep = j.delta_center + ds
+            ln = F(np.sqrt(sep @ sep))
+            axis = sep / ln if ln > 0 else np.array([1, 0], F)
+            axial = (j.impulse[0] + j.lower_impulse - j.upper_impulse
+                     + j.motor_impulse)
+            P = axial * axis
+            if ba.dynamic:
+                ba.v = (ba.v - ma * P).astype(F)
+                ba.w = F(ba.w - ia * _cross(ra, P))
+            if bb.dynamic:
+                bb.v = (bb.v + mb * P).astype(F)
+                bb.w = F(bb.w + ib * _cross(rb, P))
+
+
+def solve_joint(bodies, j, h, inv_h, use_bias):
+    """ref: RevoluteJoint.cs:123-235 Solve / DistanceJoint.cs:148-260."""
+    ba, bb = bodies[j.index_a], bodies[j.index_b]
+    ma, mb = ba.inv_mass, bb.inv_mass
+    ia, ib = ba.inv_inertia, bb.inv_inertia
+    va, wa, vb, wb = ba.v.copy(), ba.w, bb.v.copy(), bb.w
+    d = j.d
+    cs_bias, cs_mass, cs_imp = j.constraint_soft
+    if j.kind == "revolute":
+        qa = _rot_mul(ba.dq, j.frame_a_q)
+        qb = _rot_mul(bb.dq, j.frame_b_q)
+        rel_q = _inv_mul_rot(qa, qb)
+        fixed_rot = ia + ib == 0
+        if d["enable_spring"] and not fixed_rot:
+            joint_angle = F(np.arctan2(rel_q[1], rel_q[0]))
+            delta = _unwind(joint_angle - F(d["spring_target"]))
+            s_bias, s_mass, s_imp = j.spring_soft
+            cdot = wb - wa
+            imp = (-s_mass * j.axial_mass * (cdot + s_bias * delta)
+                   - s_imp * j.spring_impulse)
+            j.spring_impulse = F(j.spring_impulse + imp)
+            wa -= ia * imp
+            wb += ib * imp
+        if d["enable_motor"] and not fixed_rot:
+            cdot = wb - wa - F(d["motor_speed"])
+            imp = -j.axial_mass * cdot
+            old = j.motor_impulse
+            max_imp = h * F(d["max_motor_force"])
+            j.motor_impulse = F(np.clip(old + imp, -max_imp, max_imp))
+            imp = j.motor_impulse - old
+            wa -= ia * imp
+            wb += ib * imp
+        if d["enable_limit"] and not fixed_rot:
+            joint_angle = F(np.arctan2(rel_q[1], rel_q[0]))
+            # lower
+            C = joint_angle - F(d["lower"])
+            bias, msc, isc = F(0), F(1), F(0)
+            if C > 0:
+                bias = C * inv_h
+            elif use_bias:
+                bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+            cdot = wb - wa
+            old = j.lower_impulse
+            imp = -msc * j.axial_mass * (cdot + bias) - isc * old
+            j.lower_impulse = F(max(old + imp, 0))
+            imp = j.lower_impulse - old
+            wa -= ia * imp
+            wb += ib * imp
+            # upper
+            C = F(d["upper"]) - joint_angle
+            bias, msc, isc = F(0), F(1), F(0)
+            if C > 0:
+                bias = C * inv_h
+            elif use_bias:
+                bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+            cdot = wa - wb
+            old = j.upper_impulse
+            imp = -msc * j.axial_mass * (cdot + bias) - isc * old
+            j.upper_impulse = F(max(old + imp, 0))
+            imp = j.upper_impulse - old
+            wa += ia * imp
+            wb -= ib * imp
+        # point-to-point 2x2 block (ref: RevoluteJoint.cs:200-224)
+        ra = _rot_vec(ba.dq, j.frame_a_p)
+        rb = _rot_vec(bb.dq, j.frame_b_p)
+        cdot = (vb + _cross_sv(wb, rb)) - (va + _cross_sv(wa, ra))
+        bias = np.zeros(2, F)
+        msc, isc = F(1), F(0)
+        if use_bias:
+            sep = (bb.dp - ba.dp) + (rb - ra) + j.delta_center
+            bias = (cs_bias * sep).astype(F)
+            msc, isc = cs_mass, cs_imp
+        k11 = ma + mb + ra[1] * ra[1] * ia + rb[1] * rb[1] * ib
+        k12 = -ra[1] * ra[0] * ia - rb[1] * rb[0] * ib
+        k22 = ma + mb + ra[0] * ra[0] * ia + rb[0] * rb[0] * ib
+        bsol = _mat22_solve(F(k11), F(k12), F(k22), (cdot + bias).astype(F))
+        imp = (-msc * bsol - isc * j.impulse).astype(F)
+        j.impulse = (j.impulse + imp).astype(F)
+        va = va - ma * imp
+        wa -= ia * _cross(ra, imp)
+        vb = vb + mb * imp
+        wb += ib * _cross(rb, imp)
+    else:  # distance
+        ra = _rot_vec(ba.dq, j.frame_a_p)
+        rb = _rot_vec(bb.dq, j.frame_b_p)
+        ds = bb.dp - ba.dp + (rb - ra)
+        sep = j.delta_center + ds
+        length = F(np.sqrt(sep @ sep))
+        axis = sep / length if length > 0 else np.array([1, 0], F)
+        min_len, max_len = F(d["lower"]), F(d["upper"])
+        if d["enable_spring"] and (min_len < max_len
+                                   or not d["enable_limit"]):
+            if d["hertz"] > 0:
+                vr = (vb - va) + (_cross_sv(wb, rb) - _cross_sv(wa, ra))
+                cdot = F(axis @ vr)
+                C = length - F(d["length"])
+                s_bias, s_mass, s_imp = j.spring_soft
+                old = j.impulse[0]
+                imp = (-s_mass * j.axial_mass * (cdot + s_bias * C)
+                       - s_imp * old)
+                lo = F(d["lower_spring_force"]) * h
+                hi = F(d["upper_spring_force"]) * h
+                j.impulse[0] = F(np.clip(old + imp, lo, hi))
+                imp = j.impulse[0] - old
+                P = imp * axis
+                va = va - ma * P
+                wa -= ia * _cross(ra, P)
+                vb = vb + mb * P
+                wb += ib * _cross(rb, P)
+            if d["enable_limit"]:
+                # lower (ref: DistanceJoint.cs:183-202)
+                vr = (vb - va) + (_cross_sv(wb, rb) - _cross_sv(wa, ra))
+                cdot = F(axis @ vr)
+                C = length - min_len
+                bias, msc, isc = F(0), F(1), F(0)
+                if C > 0:
+                    bias = C * inv_h
+                elif use_bias:
+                    bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+                old = j.lower_impulse
+                imp = -msc * j.axial_mass * (cdot + bias) - isc * old
+                j.lower_impulse = F(max(0, old + imp))
+                imp = j.lower_impulse - old
+                P = imp * axis
+                va = va - ma * P
+                wa -= ia * _cross(ra, P)
+                vb = vb + mb * P
+                wb += ib * _cross(rb, P)
+                # upper (ref: DistanceJoint.cs:203-222)
+                vr = (va - vb) + (_cross_sv(wa, ra) - _cross_sv(wb, rb))
+                cdot = F(axis @ vr)
+                C = max_len - length
+                bias, msc, isc = F(0), F(1), F(0)
+                if C > 0:
+                    bias = C * inv_h
+                elif use_bias:
+                    bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+                old = j.upper_impulse
+                imp = -msc * j.axial_mass * (cdot + bias) - isc * old
+                j.upper_impulse = F(max(0, old + imp))
+                imp = j.upper_impulse - old
+                P = -imp * axis
+                va = va - ma * P
+                wa -= ia * _cross(ra, P)
+                vb = vb + mb * P
+                wb += ib * _cross(rb, P)
+            if d["enable_motor"]:
+                vr = (vb - va) + (_cross_sv(wb, rb) - _cross_sv(wa, ra))
+                cdot = F(axis @ vr)
+                imp = j.axial_mass * (F(d["motor_speed"]) - cdot)
+                old = j.motor_impulse
+                max_imp = h * F(d["max_motor_force"])
+                j.motor_impulse = F(np.clip(old + imp, -max_imp, max_imp))
+                imp = j.motor_impulse - old
+                P = imp * axis
+                va = va - ma * P
+                wa -= ia * _cross(ra, P)
+                vb = vb + mb * P
+                wb += ib * _cross(rb, P)
+        else:
+            # rigid (ref: DistanceJoint.cs:238-255)
+            vr = (vb - va) + (_cross_sv(wb, rb) - _cross_sv(wa, ra))
+            cdot = F(axis @ vr)
+            C = length - F(d["length"])
+            bias, msc, isc = F(0), F(1), F(0)
+            if use_bias:
+                bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+            imp = -msc * j.axial_mass * (cdot + bias) - isc * j.impulse[0]
+            j.impulse[0] = F(j.impulse[0] + imp)
+            P = imp * axis
+            va = va - ma * P
+            wa -= ia * _cross(ra, P)
+            vb = vb + mb * P
+            wb += ib * _cross(rb, P)
+    if ba.dynamic:
+        ba.v, ba.w = va.astype(F), F(wa)
+    if bb.dynamic:
+        bb.v, bb.w = vb.astype(F), F(wb)
+
+
+def solve_step(bodies, raw_contacts, tuning, dt, substeps,
+               joints=None, center=None, rot=None):
     """Full reference solve (ref: src/Solver.cs:599-727): returns per-contact
-    stored impulses. Mutates bodies (v, w, dp, dq)."""
+    stored impulses. Mutates bodies (v, w, dp, dq). `joints` is a list of
+    OJoint solved in the reference stage order (joints before contacts in
+    each stage, ref: src/Solver.cs:624-682)."""
     dt = F(dt)
     h = dt / F(substeps)
     inv_h = F(1) / h if h > 0 else F(0)
     inv_dt = F(1) / dt if dt > 0 else F(0)
     gravity = np.asarray(tuning["gravity"], F)
+    joints = joints or []
+    if joints:
+        prepare_joints(bodies, center, rot, joints, tuning, h, inv_h)
     contacts = prepare_contacts(bodies, raw_contacts, tuning, h, inv_h)
     for b in bodies:
         b.dp = np.zeros(2, F)
@@ -335,9 +658,14 @@ def solve_step(bodies, raw_contacts, tuning, dt, substeps):
     for _ in range(substeps):
         integrate_velocities(bodies, gravity, h, inv_dt,
                              F(tuning["max_linear_speed"]))
+        warm_start_joints(bodies, joints)
         warm_start(bodies, contacts)
+        for j in joints:
+            solve_joint(bodies, j, h, inv_h, True)
         solve(bodies, contacts, inv_h, F(tuning["contact_speed"]), True)
         integrate_positions(bodies, h)
+        for j in joints:
+            solve_joint(bodies, j, h, inv_h, False)
         solve(bodies, contacts, inv_h, F(tuning["contact_speed"]), False)
     apply_restitution(bodies, contacts, F(tuning["restitution_threshold"]))
     return contacts

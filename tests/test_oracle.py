@@ -87,6 +87,35 @@ def _tuning_dict(state):
     }
 
 
+def _oracle_joints(state):
+    """Read static joint params from the engine's compiled Joints state into
+    OJoint records (the oracle's math is independent; only the parameters
+    are shared, mirroring how contacts consume the engine narrow phase)."""
+    from box2d_tpu.state import JOINT_DISTANCE, JOINT_REVOLUTE
+
+    jn = state.joints
+    lc = np.asarray(state.bodies.local_center, F)
+    out = []
+    for i in range(int(np.asarray(jn.type).shape[0])):
+        ty = int(np.asarray(jn.type[i]))
+        if ty < 0:
+            continue
+        kind = {JOINT_REVOLUTE: "revolute",
+                JOINT_DISTANCE: "distance"}[ty]
+        a, b = int(np.asarray(jn.body_a[i])), int(np.asarray(jn.body_b[i]))
+        d = {k: np.asarray(getattr(jn, k)[i])
+             for k in ("frame_a_p", "frame_a_q", "frame_b_p", "frame_b_q",
+                       "constraint_hertz", "constraint_damping_ratio",
+                       "hertz", "damping_ratio", "spring_target",
+                       "enable_spring", "enable_limit", "enable_motor",
+                       "lower", "upper", "motor_speed", "max_motor_force",
+                       "length", "lower_spring_force", "upper_spring_force")}
+        d["local_center_a"] = lc[a]
+        d["local_center_b"] = lc[b]
+        out.append(oracle.OJoint(kind=kind, index_a=a, index_b=b, d=d))
+    return out
+
+
 def _run_oracle(w, steps, dt=1.0 / 60.0, substeps=4):
     """Advance a copy of the world with the scalar oracle solver; returns
     (Nb, 2) centers after `steps`."""
@@ -125,6 +154,7 @@ def _run_oracle(w, steps, dt=1.0 / 60.0, substeps=4):
     center = np.asarray(b0.center, F).copy()
     rot = np.asarray(b0.rot, F).copy()
     tuning = _tuning_dict(state)
+    joints = _oracle_joints(state)
     warm = {}       # (pair_key, feature_id) -> (ni, ti)
     warm_roll = {}  # pair_key -> rolling impulse
 
@@ -156,7 +186,8 @@ def _run_oracle(w, steps, dt=1.0 / 60.0, substeps=4):
                 "tangent_speed": ts[lane], "rolling_resistance": rr[lane],
                 "_key": k, "_ids": [int(ids[lane, j]) for j in range(n_pts)],
             })
-        contacts = oracle.solve_step(bodies, raw, tuning, dt, substeps)
+        contacts = oracle.solve_step(bodies, raw, tuning, dt, substeps,
+                                     joints=joints, center=center, rot=rot)
         warm, warm_roll = {}, {}
         for rc, oc in zip(raw, contacts):
             for j, p in enumerate(oc.points):
@@ -183,14 +214,58 @@ def _run_engine(w, steps, dt=1.0 / 60.0):
     return np.asarray(w.state.bodies.center)
 
 
+def _pendulum(motor=False, limit=False, spring=False):
+    """Revolute pendulum: rod swinging from a static anchor (joint oracle,
+    ref: src/joints/RevoluteJoint.cs:72-235)."""
+    w = _world()
+    anchor = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 4.0)))
+    rod = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(1.0, 4.0)))
+    w.create_capsule_shape(rod, t.ShapeDef(density=1.0),
+                           (-0.5, 0.0), (0.5, 0.0), 0.1)
+    kw = {}
+    if motor:
+        kw = dict(enable_motor=True, max_motor_torque=3.0, motor_speed=1.0)
+    if limit:
+        kw.update(enable_limit=True, lower_angle=-0.7, upper_angle=0.7)
+    if spring:
+        kw.update(enable_spring=True, hertz=1.5, damping_ratio=0.3,
+                  target_angle=0.4)
+    w.create_joint(t.RevoluteJointDef(
+        body_a=anchor, body_b=rod,
+        local_anchor_a=(0.0, 0.0), local_anchor_b=(-0.5, 0.0), **kw))
+    return w
+
+
+def _dist_bob(spring=False):
+    """Distance-joint bob under gravity (joint oracle, ref:
+    src/joints/DistanceJoint.cs:88-260)."""
+    w = _world()
+    anchor = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 6.0)))
+    bob = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(1.2, 5.0)))
+    w.create_circle_shape(bob, t.ShapeDef(density=1.0), (0.0, 0.0), 0.2)
+    kw = {}
+    if spring:
+        kw = dict(enable_spring=True, hertz=2.0, damping_ratio=0.4)
+    w.create_joint(t.DistanceJointDef(
+        body_a=anchor, body_b=bob, local_anchor_a=(0.0, 0.0),
+        local_anchor_b=(0.0, 0.0), length=1.5, **kw))
+    return w
+
+
 @pytest.mark.parametrize("scene,steps,bound", [
-    ("drop", 400, 1e-3), ("bounce", 400, 1e-3), ("slide", 400, 1e-3),
-    ("capsule", 400, 1e-3),
+    # single-contact scenes hold the 1000-step north-star bound
+    # (BASELINE.json: <1e-3 drift over 1000 steps)
+    ("drop", 1000, 1e-3), ("bounce", 1000, 1e-3), ("slide", 1000, 1e-3),
+    ("capsule", 1000, 1e-3),
     # stacks have simultaneous contacts sharing a body: the engine's
     # color-parallel Gauss-Seidel visits them in a different order than the
     # oracle's sequential sweep, so the settling transient accumulates a few
     # mm before rest (single-contact scenes above hold the tight bound)
     ("stack2", 600, 1e-2), ("stack3", 600, 1e-2),
+    # joint oracles (revolute + distance transliterations)
+    ("pendulum", 1000, 1e-3), ("pendulum_motor", 1000, 1e-3),
+    ("pendulum_spring", 1000, 1e-3),
+    ("dist_rigid", 1000, 1e-3), ("dist_spring", 1000, 1e-3),
 ])
 def test_oracle_drift(scene, steps, bound):
     builders = {
@@ -200,6 +275,11 @@ def test_oracle_drift(scene, steps, bound):
         "stack2": lambda: _stack(2),
         "stack3": lambda: _stack(3),
         "capsule": _capsule_rest,
+        "pendulum": _pendulum,
+        "pendulum_motor": lambda: _pendulum(motor=True, limit=True),
+        "pendulum_spring": lambda: _pendulum(spring=True),
+        "dist_rigid": _dist_bob,
+        "dist_spring": lambda: _dist_bob(spring=True),
     }
     oracle_c = _run_oracle(builders[scene](), steps)
     engine_c = _run_engine(builders[scene](), steps)
