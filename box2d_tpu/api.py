@@ -154,11 +154,21 @@ class World:
                 use_pallas = 1
             elif fits_tiled(self.capacity.max_bodies, l0 + ovf + jl, w_win):
                 use_pallas = 2
-        self._step = make_step(self.capacity, classes, self.substeps, jtypes,
-                               sensors,
-                               continuous=self.builder.def_.enable_continuous,
-                               particle_cfg=pcfg, use_pallas=use_pallas)
+        # keep the derived static config so the step can be re-made with a
+        # tweaked Capacity without resetting runtime state (see set_filter)
+        self._jtypes = jtypes
+        self._sensors = sensors
+        self._pcfg = pcfg
+        self._use_pallas = use_pallas
+        self._remake_step()
         return self
+
+    def _remake_step(self):
+        self._step = make_step(
+            self.capacity, self._classes, self.substeps, self._jtypes,
+            self._sensors,
+            continuous=self.builder.def_.enable_continuous,
+            particle_cfg=self._pcfg, use_pallas=self._use_pallas)
 
     def step(self, dt: float = 1.0 / 60.0):
         if self._step is None:
@@ -319,6 +329,9 @@ class World:
     def set_body_enabled(self, body: int, enabled: bool):
         bd = self.state.bodies
         self._update_bodies(enabled=bd.enabled.at[body].set(bool(enabled)))
+        # enabling/disabling removes or restores the body's constraint
+        # edges without a touch event — islands must re-partition
+        self._mark_islands_dirty()
 
     def apply_angular_impulse(self, body: int, impulse: float, wake=True):
         bd = self.state.bodies
@@ -473,6 +486,7 @@ class World:
         the used-mask bit carry in repair_colors. Clearing forces a fresh
         repair round instead."""
         self._set_joint(joint, enabled=flag, color=-1)
+        self._mark_islands_dirty()
 
     def set_mouse_target(self, joint: int, target):
         """Move a mouse joint's world target (ref: MouseJoint SetTarget)."""
@@ -821,6 +835,17 @@ class World:
         alive = np.asarray(pt.alive)
         return np.where(alive & (cons > threshold))[0]
 
+    def _mark_islands_dirty(self):
+        """Schedule an island label re-propagation — needed after host
+        mutations that change the constraint-edge set without a begin/end
+        touch event (joint enable/disable, body type flips, destroys)."""
+        self.state = dataclasses.replace(
+            self.state,
+            bodies=dataclasses.replace(
+                self.state.bodies, island_dirty=jnp.asarray(True),
+                island_fresh=jnp.arange(
+                    self.state.bodies.type.shape[0], dtype=jnp.int32)))
+
     def _mark_broadphase_dirty(self):
         """Force a pair-set rebuild next step — needed after mutations that
         change pair ADMISSIBILITY (filters, body type) rather than position
@@ -830,6 +855,7 @@ class World:
                 self.state,
                 broadphase=dataclasses.replace(
                     self.state.broadphase, dirty=jnp.asarray(True)))
+        self._mark_islands_dirty()
 
     def destroy_body(self, body: int):
         """Disable a body and its shapes (the masked analog of ref
@@ -911,6 +937,13 @@ class World:
         """Update a shape's collision filter at runtime (ref:
         api/Shape.cs:157-169 SetFilter — the reference re-pairs proxies;
         the stateless broadphase applies the new filter next step)."""
+        if not self.capacity.has_filters:
+            # the builder traced the broadphase WITHOUT filter checks (no
+            # shape had a non-default filter at compile); enable them and
+            # re-make the step — a one-time recompile on first use
+            self.capacity = dataclasses.replace(self.capacity,
+                                                has_filters=True)
+            self._remake_step()
         sh = self.state.shapes
         self.state = dataclasses.replace(
             self.state,

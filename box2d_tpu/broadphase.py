@@ -37,16 +37,20 @@ from .state import DYNAMIC, Capacity, WorldState
 _LANES = jnp.arange(MAX_POLYGON_VERTICES)
 
 
-def compute_shape_aabbs(state: WorldState):
+def compute_shape_aabbs(state: WorldState, max_verts: int = 8):
     """World-space AABBs for all shapes from current body transforms
-    (ref: include/Collision.cs ComputeAABB per geometry)."""
+    (ref: include/Collision.cs ComputeAABB per geometry).
+
+    max_verts (Capacity.max_verts): vertex lanes beyond the scene-wide max
+    polygon width are sliced off before the rotate/reduce (halves the vector
+    work for box-only scenes); the body transform rides ONE packed gather."""
     sh = state.shapes
     b = state.bodies
-    origin = b.origin  # (Nb, 2)
-    p = origin[sh.body]      # (S, 2)
-    q = b.rot[sh.body]       # (S, 2)
-    wv = m.rot_vec(q[:, None, :], sh.verts) + p[:, None, :]   # (S, 8, 2)
-    lane_ok = (_LANES[None, :] < sh.count[:, None])[..., None]
+    V = max(2, min(max_verts, sh.verts.shape[1]))
+    pq = jnp.concatenate([b.origin, b.rot], axis=1)[sh.body]  # (S, 4)
+    p, q = pq[:, :2], pq[:, 2:]
+    wv = m.rot_vec(q[:, None, :], sh.verts[:, :V]) + p[:, None, :]  # (S,V,2)
+    lane_ok = (_LANES[None, :V] < sh.count[:, None])[..., None]
     lo = jnp.min(jnp.where(lane_ok, wv, jnp.inf), axis=1) - sh.radius[:, None]
     hi = jnp.max(jnp.where(lane_ok, wv, -jnp.inf), axis=1) + sh.radius[:, None]
     return jnp.concatenate([lo, hi], axis=-1)  # (S, 4)

@@ -272,6 +272,7 @@ class WorldBuilder:
             max_extent=jnp.asarray(max_extent),
             island_label=jnp.arange(Nb, dtype=jnp.int32),
             island_fresh=jnp.arange(Nb, dtype=jnp.int32),
+            island_dirty=jnp.asarray(True),
             awake=farr("awake", dtype=bool),
             enabled=farr("enabled", dtype=bool),
             user_data=farr("user_data", dtype=np.int32),
@@ -320,7 +321,12 @@ class WorldBuilder:
             enable_hit_events=sarr("enable_hit_events", dtype=bool),
             enable_sensor_events=sarr("enable_sensor_events", dtype=bool),
             enabled=jnp.asarray(np.arange(S) < ns),
+            table=None,
         )
+        from .narrowphase import build_static_table
+        shapes = dataclasses.replace(
+            shapes, table=build_static_table(
+                shapes, max(2, min(capacity.max_verts, 8))))
 
         from .narrowphase import empty_cache
         contacts = empty_cache(capacity.max_contact_pairs)

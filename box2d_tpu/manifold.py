@@ -137,7 +137,7 @@ def collide_polygon_circle(verts, normals, count, radius_a, p_a, q_a,
     radius = radius_a + radius_b
 
     seps = m.dot(normals, center[None, :] - verts)
-    seps = jnp.where(_LANES < count, seps, -jnp.inf)
+    seps = jnp.where(jnp.arange(verts.shape[0]) < count, seps, -jnp.inf)
     normal_index = jnp.argmax(seps).astype(jnp.int32)
     separation = seps[normal_index]
 
@@ -283,9 +283,9 @@ def _find_max_separation(n1, v1, c1, v2, c2):
     # (i, j) separation matrix via broadcasting
     diff = v2[None, :, :] - v1[:, None, :]            # (8, 8, 2)
     sij = jnp.einsum("ik,ijk->ij", n1, diff)          # (8, 8)
-    sij = jnp.where((_LANES < c2)[None, :], sij, jnp.inf)
+    sij = jnp.where((jnp.arange(v2.shape[0]) < c2)[None, :], sij, jnp.inf)
     si = jnp.min(sij, axis=1)
-    si = jnp.where(_LANES < c1, si, -jnp.inf)
+    si = jnp.where(jnp.arange(v1.shape[0]) < c1, si, -jnp.inf)
     best = jnp.argmax(si).astype(jnp.int32)
     return si[best], best
 
@@ -343,10 +343,10 @@ def collide_polygons(va, na, ca, ra, p_a, q_a, vb, nb, cb, rb, p_b, q_b) -> Mani
 
     # incident edge search: most anti-parallel normal (ref: :444-472)
     dots_b = lnb @ lna[edge_a0]
-    dots_b = jnp.where(_LANES < cb, dots_b, jnp.inf)
+    dots_b = jnp.where(jnp.arange(lnb.shape[0]) < cb, dots_b, jnp.inf)
     inc_b = jnp.argmin(dots_b).astype(jnp.int32)
     dots_a = lna @ lnb[edge_b0]
-    dots_a = jnp.where(_LANES < ca, dots_a, jnp.inf)
+    dots_a = jnp.where(jnp.arange(lna.shape[0]) < ca, dots_a, jnp.inf)
     inc_a = jnp.argmin(dots_a).astype(jnp.int32)
     edge_a = jnp.where(flip, inc_a, edge_a0)
     edge_b = jnp.where(flip, edge_b0, inc_b)
@@ -489,7 +489,7 @@ def collide_chain_segment_polygon(p1, p2, ghost1, ghost2, p_a, q_a,
     lvb = m.rot_vec(xq[None, :], vb) + xp[None, :]
     lnb = m.rot_vec(xq[None, :], nb)
     centroid_b = jnp.sum(
-        jnp.where((_LANES < cb)[:, None], lvb, 0.0), axis=0
+        jnp.where((jnp.arange(lvb.shape[0]) < cb)[:, None], lvb, 0.0), axis=0
     ) / jnp.maximum(cb, 1).astype(jnp.float32)
 
     edge1 = m.normalize(p2 - p1)
@@ -569,23 +569,23 @@ def collide_chain_segment_polygon(p1, p2, ghost1, ghost2, p_a, q_a,
 
     # ---------------- behind/deep path ----------------
     svals = m.dot(lnb * 0 + normal1[None, :], lvb - p1[None, :])
-    svals = jnp.where(_LANES < cb, svals, jnp.inf)
+    svals = jnp.where(jnp.arange(lvb.shape[0]) < cb, svals, jnp.inf)
     edge_sep = jnp.min(svals)
     inc_idx_deep = jnp.argmin(svals).astype(jnp.int32)
 
-    s0vals = jnp.where(_LANES < cb, m.dot(normal0[None, :] * jnp.ones_like(lvb), lvb - p1[None, :]), jnp.inf)
+    s0vals = jnp.where(jnp.arange(lvb.shape[0]) < cb, m.dot(normal0[None, :] * jnp.ones_like(lvb), lvb - p1[None, :]), jnp.inf)
     s0 = jnp.min(s0vals)
     use0 = convex1 & (s0 > edge_sep)
     edge_sep2 = jnp.where(use0, s0, edge_sep)
-    s2vals = jnp.where(_LANES < cb, m.dot(normal2[None, :] * jnp.ones_like(lvb), lvb - p2[None, :]), jnp.inf)
+    s2vals = jnp.where(jnp.arange(lvb.shape[0]) < cb, m.dot(normal2[None, :] * jnp.ones_like(lvb), lvb - p2[None, :]), jnp.inf)
     s2 = jnp.min(s2vals)
     use2 = convex2 & (s2 > edge_sep2)
     edge_sep_f = jnp.where(use2, s2, edge_sep2)
     ghost_best = use0 | use2
 
     # polygon reference faces admissible by smoothness (ref: :828-838)
-    types = jnp.stack([classify(-lnb[i]) for i in range(MAX_POLYGON_VERTICES)])
-    admit = (types == 1) & (_LANES < cb)
+    types = jnp.stack([classify(-lnb[i]) for i in range(lnb.shape[0])])
+    admit = (types == 1) & (jnp.arange(lnb.shape[0]) < cb)
     poly_seps = jnp.minimum(
         jnp.einsum("ik,ik->i", lnb, p2[None, :] - lvb),
         jnp.einsum("ik,ik->i", lnb, p1[None, :] - lvb))

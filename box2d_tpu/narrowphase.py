@@ -102,29 +102,12 @@ def dyn_col(name: str) -> int:
     return _DYN[name]
 
 
-def build_shape_table(state: WorldState, V: int):
-    """Packed per-shape operand table (S, 4V+14+N_DYN):
-
-      [verts(2V) | normals(2V) | radius count type g1(2) g2(2) friction
-       restitution rolling tspeed evc evh body | body-dyn row (N_DYN)]
-
-    Static columns are plain per-shape arrays (no gather); the body-dyn
-    block costs ONE (S,)-row gather. int-valued columns (count/type/body)
-    ride as exact f32. Downstream, narrow_phase fetches each pair side with
-    ONE row gather — replacing ~14 per-field gathers per side."""
-    sh = state.shapes
-    b = state.bodies
+def build_static_table(sh, V: int):
+    """The static half of the packed shape table (S, 4V+14) — pure function
+    of per-shape data, so the builder precomputes it into Shapes.table and
+    host mutators that touch shape data rebuild it."""
     S = sh.type.shape[0]
-    off = m.rot_vec(b.rot, b.local_center)
-    pose = jnp.concatenate([
-        b.origin, b.rot, off, b.v, b.w[:, None],
-        b.inv_mass[:, None], b.inv_inertia[:, None],
-        b.type.astype(jnp.float32)[:, None],
-        b.awake.astype(jnp.float32)[:, None],
-        b.enabled.astype(jnp.float32)[:, None],
-    ], axis=1)                              # (Nb, N_DYN)
-    dyn = pose[sh.body]                     # (S, N_DYN) — one gather
-    static = jnp.concatenate([
+    return jnp.concatenate([
         sh.verts[:, :V].reshape(S, 2 * V),
         sh.normals[:, :V].reshape(S, 2 * V),
         sh.radius[:, None],
@@ -137,6 +120,35 @@ def build_shape_table(state: WorldState, V: int):
         sh.enable_hit_events.astype(jnp.float32)[:, None],
         sh.body.astype(jnp.float32)[:, None],
     ], axis=1)                              # (S, 4V+14)
+
+
+def build_shape_table(state: WorldState, V: int):
+    """Packed per-shape operand table (S, 4V+14+N_DYN):
+
+      [verts(2V) | normals(2V) | radius count type g1(2) g2(2) friction
+       restitution rolling tspeed evc evh body | body-dyn row (N_DYN)]
+
+    Static columns come precomputed from Shapes.table (rebuilt only on host
+    shape mutation); the body-dyn block costs ONE (S,)-row gather.
+    int-valued columns (count/type/body) ride as exact f32. Downstream,
+    narrow_phase fetches each pair side with ONE row gather — replacing ~14
+    per-field gathers per side."""
+    sh = state.shapes
+    b = state.bodies
+    off = m.rot_vec(b.rot, b.local_center)
+    pose = jnp.concatenate([
+        b.origin, b.rot, off, b.v, b.w[:, None],
+        b.inv_mass[:, None], b.inv_inertia[:, None],
+        b.type.astype(jnp.float32)[:, None],
+        b.awake.astype(jnp.float32)[:, None],
+        b.enabled.astype(jnp.float32)[:, None],
+    ], axis=1)                              # (Nb, N_DYN)
+    dyn = pose[sh.body]                     # (S, N_DYN) — one gather
+    static = sh.table
+    if static is None or static.shape[1] != 4 * V + 14:
+        # caller's V differs from the precomputed width (direct narrow_phase
+        # calls with the default 8): assemble in-trace
+        static = build_static_table(sh, V)
     return jnp.concatenate([static, dyn], axis=1)
 
 
@@ -153,19 +165,12 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
     """max_verts: scene-wide max polygon vertex count (Capacity.max_verts).
     Vertex/normal tables are sliced to this width BEFORE the per-pair
     gather — TPU gathers cost ~3-9ns/element, and for box-only scenes this
-    halves the dominant gather volume — then zero-padded back to the fixed
-    8-lane manifold math (pad lanes are masked by `count`)."""
+    halves the dominant gather volume — and the manifold kernels are
+    vertex-width generic, so the SAT/clip math also runs V-wide (box
+    scenes: half the vector work of the 8-lane version)."""
     sh = state.shapes
     S = sh.type.shape[0]
     V = max(2, min(max_verts, sh.verts.shape[1]))
-    V8 = sh.verts.shape[1]
-    if V < V8:
-        def pad8(x):
-            return jnp.pad(
-                x, ((0, 0), (0, V8 - V)) + ((0, 0),) * (x.ndim - 2))
-    else:
-        def pad8(x):
-            return x
 
     # packed operand rows: 3 gather ops total (1 body->shape, 2 shape->pair)
     tbl = build_shape_table(state, V)
@@ -194,11 +199,11 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
     pa, qa = rA[:, D0:D0 + 2], rA[:, D0 + 2:D0 + 4]
     pb, qb = rB[:, D0:D0 + 2], rB[:, D0 + 2:D0 + 4]
 
-    va = pad8(rA[:, :2 * V].reshape(P, V, 2))
-    na = pad8(rA[:, 2 * V:4 * V].reshape(P, V, 2))
+    va = rA[:, :2 * V].reshape(P, V, 2)
+    na = rA[:, 2 * V:4 * V].reshape(P, V, 2)
     ca, ra = rA[:, C["count"]].astype(jnp.int32), rA[:, C["radius"]]
-    vb = pad8(rB[:, :2 * V].reshape(P, V, 2))
-    nb = pad8(rB[:, 2 * V:4 * V].reshape(P, V, 2))
+    vb = rB[:, :2 * V].reshape(P, V, 2)
+    nb = rB[:, 2 * V:4 * V].reshape(P, V, 2)
     cb, rb = rB[:, C["count"]].astype(jnp.int32), rB[:, C["radius"]]
     ghost1_a = rA[:, C["g1x"]:C["g1x"] + 2]
     ghost2_a = rA[:, C["g2x"]:C["g2x"] + 2]

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+from jax import lax
 
 from .constants import TIME_TO_SLEEP
 from .state import DYNAMIC, ENABLE_SLEEP, WorldState
@@ -67,13 +68,16 @@ def propagate_islands(labels, body_type, edges_a, edges_b, edges_on,
 
 
 def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
-                   dt, dyn_a=None, dyn_b=None) -> WorldState:
+                   dt, dyn_a=None, dyn_b=None, lost_touch=None) -> WorldState:
     """Wake islands hit by new contacts; put long-still islands to sleep.
 
     dyn_a/dyn_b: optional (P, 14) packed body rows from the narrow phase
     (narrowphase._DYN columns) carrying type/awake/enabled for the contact
     endpoints — saves six P-lane gathers. Pass None when body wake flags may
-    have changed since the narrow phase (particle impulses)."""
+    have changed since the narrow phase (particle impulses).
+
+    lost_touch: (P,) pairs that stopped touching this step — an edge left
+    the island graph, so a re-partition (split check) is needed."""
     b = state.bodies
     nb = b.center.shape[0]
     tn = state.tuning
@@ -94,71 +98,105 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
         c_en_a = b.enabled[body_a]
         c_en_b = b.enabled[body_b]
 
-    j_on = jn.enabled & (jn.body_a >= 0)
-    j_dyn_a = b.type[jnp.clip(jn.body_a, 0, nb - 1)] == DYNAMIC
-    j_dyn_b = b.type[jnp.clip(jn.body_b, 0, nb - 1)] == DYNAMIC
+    # --- gated label maintenance ------------------------------------------
+    # Labels only need work when the edge set changes (a contact begins or
+    # ends, or a host mutator flips a joint/body — those set island_dirty)
+    # or while a previous propagation has not reached a fixed point. Quiet
+    # steps skip the whole pass (the reference's islands likewise cost
+    # nothing unless contacts link/unlink, src/Island.cs:107-187). Under
+    # vmap the cond lowers to a select — batched worlds pay the old cost.
+    any_new = jnp.any(new_touch)
+    any_lost = (jnp.any(lost_touch) if lost_touch is not None
+                else jnp.bool_(False))
+    run_labels = b.island_dirty | any_new | any_lost
+    # a removed edge invalidates any partially-propagated partition (min-
+    # merge cannot undo a merge through the departed edge): re-seed it
+    fresh_in = jnp.where(any_lost, jnp.arange(nb, dtype=jnp.int32),
+                         b.island_fresh)
 
-    edges_a = jnp.concatenate([body_a, jn.body_a])
-    edges_b = jnp.concatenate([body_b, jn.body_b])
-    on = jnp.concatenate([touching & (c_typ_a == DYNAMIC)
-                          & (c_typ_b == DYNAMIC),
-                          j_on & j_dyn_a & j_dyn_b])
-    slot_a = jnp.where(on, edges_a, nb)
-    slot_b = jnp.where(on, edges_b, nb)
+    def do_labels(_):
+        j_on = jn.enabled & (jn.body_a >= 0)
+        j_dyn_a = b.type[jnp.clip(jn.body_a, 0, nb - 1)] == DYNAMIC
+        j_dyn_b = b.type[jnp.clip(jn.body_b, 0, nb - 1)] == DYNAMIC
 
-    # --- packed label propagation -----------------------------------------
-    # active labels (col 0): monotone min-merge (conservative, never splits).
-    # fresh labels (col 1): island RE-PARTITION (ref: src/Island.cs:316-426
-    # deferred splits) — a shadow array re-seeds from body ids and propagates
-    # alongside; once one more round changes nothing it is a fixed point of
-    # the CURRENT edge set (an exact connected-component labeling) and is
-    # swapped in, separating clusters bridged by a since-departed body.
-    # Swapping only at convergence keeps splits safe: an unconverged
-    # partition could let half an island sleep while the other half moves.
-    # Both columns ride ONE (2E, 2) gather + ONE scatter-min per iteration
-    # (gathers/scatters cost per-op on TPU, not per-element).
-    ce = jnp.clip(jnp.concatenate([edges_a, edges_b]), 0, nb - 1)
-    slot_ab = jnp.concatenate([slot_a, slot_b])
-    lab2 = jnp.stack([b.island_label, b.island_fresh], axis=1)  # (nb, 2)
+        edges_a = jnp.concatenate([body_a, jn.body_a])
+        edges_b = jnp.concatenate([body_b, jn.body_b])
+        on = jnp.concatenate([touching & (c_typ_a == DYNAMIC)
+                              & (c_typ_b == DYNAMIC),
+                              j_on & j_dyn_a & j_dyn_b])
+        slot_a = jnp.where(on, edges_a, nb)
+        slot_b = jnp.where(on, edges_b, nb)
 
-    def prop2(l2):
-        g = l2[ce]                                   # (2E, 2)
-        E = edges_a.shape[0]
-        mn = jnp.minimum(g[:E], g[E:])               # (E, 2)
-        mn2 = jnp.concatenate([mn, mn])              # (2E, 2)
-        ext = jnp.concatenate(
-            [l2, jnp.full((1, 2), 1 << 30, jnp.int32)])
-        return ext.at[slot_ab].min(mn2)[:nb]
+        # --- packed label propagation ---------------------------------------
+        # active labels (col 0): monotone min-merge (conservative, never
+        # splits). fresh labels (col 1): island RE-PARTITION (ref:
+        # src/Island.cs:316-426 deferred splits) — a shadow array re-seeds
+        # from body ids and propagates alongside; once one more round changes
+        # nothing it is a fixed point of the CURRENT edge set (an exact
+        # connected-component labeling) and is swapped in, separating
+        # clusters bridged by a since-departed body. Swapping only at
+        # convergence keeps splits safe: an unconverged partition could let
+        # half an island sleep while the other half moves. Both columns ride
+        # ONE (2E, 2) gather + ONE scatter-min per iteration (gathers/
+        # scatters cost per-op on TPU, not per-element).
+        ce = jnp.clip(jnp.concatenate([edges_a, edges_b]), 0, nb - 1)
+        slot_ab = jnp.concatenate([slot_a, slot_b])
+        lab2 = jnp.stack([b.island_label, fresh_in], axis=1)  # (nb, 2)
 
-    for _ in range(4):
+        def prop2(l2):
+            g = l2[ce]                                   # (2E, 2)
+            E = edges_a.shape[0]
+            mn = jnp.minimum(g[:E], g[E:])               # (E, 2)
+            mn2 = jnp.concatenate([mn, mn])              # (2E, 2)
+            ext = jnp.concatenate(
+                [l2, jnp.full((1, 2), 1 << 30, jnp.int32)])
+            return ext.at[slot_ab].min(mn2)[:nb]
+
+        for _ in range(4):
+            lab2 = prop2(lab2)
+        snap4 = lab2
         lab2 = prop2(lab2)
-    snap4 = lab2
-    lab2 = prop2(lab2)
-    labels = lab2[:, 0]
-    converged = jnp.all(lab2[:, 1] == snap4[:, 1])
-    labels = jnp.where(converged, snap4[:, 1], labels)
-    fresh = jnp.where(converged, jnp.arange(nb, dtype=jnp.int32),
-                      lab2[:, 1])
+        labels = lab2[:, 0]
+        converged = jnp.all(lab2 == snap4)
+        labels = jnp.where(converged, snap4[:, 1], labels)
+        fresh = jnp.where(converged, jnp.arange(nb, dtype=jnp.int32),
+                          lab2[:, 1])
+        return labels, fresh, ~converged
+
+    def skip_labels(_):
+        return b.island_label, fresh_in, jnp.bool_(False)
+
+    labels, fresh, dirty_out = lax.cond(run_labels, do_labels, skip_labels,
+                                        None)
+    # an edge removal seen on a converged step must still schedule the
+    # re-partition that starts from the re-seeded fresh labels
+    dirty_out = dirty_out | any_lost
 
     # ---- wake: new touching contact reaches a sleeping body --------------
     # the waking side must be an AWAKE non-static body (ref: only moved
     # proxies create contacts, src/BroadPhase.cs BufferMove): two frozen
     # bodies cannot produce a real new touch, so a phantom new_touch from a
     # hash-store drop (store_slot never found => was_touching always False)
-    # inside a sleeping island must not re-wake it
-    mover_a = c_awk_a & (c_typ_a != 0) & c_en_a
-    mover_b = c_awk_b & (c_typ_b != 0) & c_en_b
-    hit = new_touch & ((~c_awk_a & mover_b) | (~c_awk_b & mover_a))
-    ext = jnp.zeros(nb + 1, bool)
-    hit2 = jnp.concatenate([hit, hit])
-    ext = ext.at[jnp.where(hit2, jnp.concatenate([body_a, body_b]), nb)
-                 ].max(hit2)
-    woken_body = ext[:nb]
-    # wake the whole island of any woken body
-    island_woken = jnp.zeros(nb + 1, bool)
-    island_woken = island_woken.at[
-        jnp.where(woken_body, jnp.clip(labels, 0, nb), nb)].max(woken_body)
-    wake = island_woken[jnp.clip(labels, 0, nb)] & (b.type == DYNAMIC)
+    # inside a sleeping island must not re-wake it. Gated on any_new: quiet
+    # steps skip the three P-wide scatter/gather ops.
+    def do_wake(_):
+        mover_a = c_awk_a & (c_typ_a != 0) & c_en_a
+        mover_b = c_awk_b & (c_typ_b != 0) & c_en_b
+        hit = new_touch & ((~c_awk_a & mover_b) | (~c_awk_b & mover_a))
+        ext = jnp.zeros(nb + 1, bool)
+        hit2 = jnp.concatenate([hit, hit])
+        ext = ext.at[jnp.where(hit2, jnp.concatenate([body_a, body_b]), nb)
+                     ].max(hit2)
+        woken_body = ext[:nb]
+        # wake the whole island of any woken body
+        island_woken = jnp.zeros(nb + 1, bool)
+        island_woken = island_woken.at[
+            jnp.where(woken_body, jnp.clip(labels, 0, nb), nb)].max(
+            woken_body)
+        return island_woken[jnp.clip(labels, 0, nb)] & (b.type == DYNAMIC)
+
+    wake = lax.cond(any_new, do_wake,
+                    lambda _: jnp.zeros(nb, bool), None)
     awake = b.awake | wake
     sleep_time = jnp.where(wake, 0.0, b.sleep_time)
 
@@ -178,5 +216,5 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
 
     bodies = dataclasses.replace(
         b, awake=awake, v=v, w=w, sleep_time=sleep_time, island_label=labels,
-        island_fresh=fresh)
+        island_fresh=fresh, island_dirty=dirty_out)
     return dataclasses.replace(state, bodies=bodies)

@@ -93,6 +93,11 @@ class Bodies:
     #   body ids after every convergence, swapped into island_label once they
     #   reach a fixed point of the CURRENT edge set — the TPU analog of the
     #   reference's deferred island splits (ref: src/Island.cs:316-426)
+    island_dirty: Any  # () bool — a label propagation is in flight (labels
+    #   not yet a fixed point of the current edges). Together with per-step
+    #   touch-set changes this gates the whole propagation pass: quiet steps
+    #   skip it entirely (the reference's islands also cost nothing unless
+    #   contacts link/unlink, src/Island.cs:107-187)
     awake: Any         # (Nb,) bool — sleeping bodies hold state frozen
     enabled: Any       # (Nb,) bool — lane allocated & enabled
     user_data: Any     # (Nb,) i32 opaque tag
@@ -133,6 +138,11 @@ class Shapes:
     enable_hit_events: Any      # (S,) bool
     enable_sensor_events: Any   # (S,) bool
     enabled: Any          # (S,) bool
+    table: Any            # (S, 4V+14) packed STATIC operand rows for the
+    #   narrow phase (verts/normals/radius/materials/flags at
+    #   V=Capacity.max_verts — see narrowphase.build_shape_table); rebuilt
+    #   only by host mutators that touch shape data, so the per-step table
+    #   assembly is one concat with the body-dyn block instead of ~15
 
 
 @_pytree

@@ -114,7 +114,7 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     # OLD pair lanes after a rebuild re-aligns the cache to the new lanes
     old_key_a = state.contacts.key_a
     old_key_b = state.contacts.key_b
-    aabbs = compute_shape_aabbs(state)
+    aabbs = compute_shape_aabbs(state, cap.max_verts)
     if until == "aabbs":
         return aabbs
     if state.broadphase is not None:
@@ -607,10 +607,14 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
 
     # --- sleep/wake (ref: src/Solver.cs:1293-1321 + src/Island.cs) ---------
     new_touch = touching & ~data.was_touching
+    lost_touch = data.was_touching & ~touching
+    if orphan_info is not None:
+        lost_touch = lost_touch | orphan_info[0]
     state = wake_and_sleep(state, touching, new_touch, data.body_a,
                            data.body_b, dt,
                            dyn_a=data.dyn_a if rows_fresh else None,
-                           dyn_b=data.dyn_b if rows_fresh else None)
+                           dyn_b=data.dyn_b if rows_fresh else None,
+                           lost_touch=lost_touch)
     if until == "sleep":
         return state.bodies.awake, state.bodies.island_label, events
 
@@ -686,11 +690,25 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
     begin = touching & ~data.was_touching & ev_enabled
     end = ~touching & data.was_touching & ev_enabled
     pairs_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
-    begin_arr, begin_count, drop_b = _compact_events(
-        begin, pairs_ab, cap.event_capacity)
-    end_arr, end_count, drop_e = _compact_events(
-        end, pairs_ab, cap.event_capacity)
-    dropped = drop_b + drop_e
+
+    # compaction (two P-lane cumsums + scatters) only runs on steps that
+    # actually have begin/end transitions; quiet steps skip it (lax.cond —
+    # lowers to select under vmap, same as the always-on behavior)
+    e = cap.event_capacity
+
+    def compact_both(_):
+        begin_arr, begin_count, drop_b = _compact_events(
+            begin, pairs_ab, e)
+        end_arr, end_count, drop_e = _compact_events(end, pairs_ab, e)
+        return begin_arr, begin_count, end_arr, end_count, drop_b + drop_e
+
+    def no_events(_):
+        z = jnp.zeros((e, 2), pairs_ab.dtype)
+        zc = jnp.int32(0)
+        return z, zc, z, zc, zc
+
+    begin_arr, begin_count, end_arr, end_count, dropped = jax.lax.cond(
+        jnp.any(begin | end), compact_both, no_events, None)
 
     if orphan_info is not None:
         orphan_mask, old_key_a, old_key_b, _ = orphan_info
@@ -730,26 +748,37 @@ def _hit_events(state, data, tni, relv, touching, events, cap):
     enable = data.ev_hit           # packed rows: either shape enables hits
     approach = -relv
     pt_ok = (approach > tn.hit_event_threshold) & (tni > 0.0)
-    best_pt = jnp.argmax(jnp.where(pt_ok, approach, -jnp.inf), axis=1)
-    lane = jnp.arange(data.shape_a.shape[0])
     hit = enable & touching & jnp.any(pt_ok, axis=1)
-    speed = approach[lane, best_pt]
-    point = data.manifold.point[lane, best_pt]
-    normal = data.manifold.normal
-    shapes_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
-
-    pos = jnp.cumsum(hit) - 1
     e = cap.event_capacity
-    tgt = jnp.where(hit, pos, e)
-    n_hit = jnp.sum(hit)
+
+    # the cumsum + 4 scatters only run on steps with a qualifying hit
+    def compact_hits(_):
+        best_pt = jnp.argmax(jnp.where(pt_ok, approach, -jnp.inf), axis=1)
+        lane = jnp.arange(data.shape_a.shape[0])
+        speed = approach[lane, best_pt]
+        point = data.manifold.point[lane, best_pt]
+        normal = data.manifold.normal
+        shapes_ab = jnp.stack([data.shape_a, data.shape_b], axis=1)
+        pos = jnp.cumsum(hit) - 1
+        tgt = jnp.where(hit, pos, e)
+        n_hit = jnp.sum(hit)
+        return (events.hit_point.at[tgt].set(point, mode="drop"),
+                events.hit_normal.at[tgt].set(normal, mode="drop"),
+                events.hit_speed.at[tgt].set(speed, mode="drop"),
+                events.hit_shapes.at[tgt].set(shapes_ab, mode="drop"),
+                jnp.minimum(n_hit, e).astype(jnp.int32),
+                jnp.maximum(n_hit - e, 0).astype(jnp.int32))
+
+    def no_hits(_):
+        return (events.hit_point, events.hit_normal, events.hit_speed,
+                events.hit_shapes, jnp.int32(0), jnp.int32(0))
+
+    hp, hn, hs, hsh, n_hit, drop = jax.lax.cond(
+        jnp.any(hit), compact_hits, no_hits, None)
     return dataclasses.replace(
-        events,
-        hit_point=events.hit_point.at[tgt].set(point, mode="drop"),
-        hit_normal=events.hit_normal.at[tgt].set(normal, mode="drop"),
-        hit_speed=events.hit_speed.at[tgt].set(speed, mode="drop"),
-        hit_shapes=events.hit_shapes.at[tgt].set(shapes_ab, mode="drop"),
-        hit_count=jnp.minimum(n_hit, e).astype(jnp.int32),
-    ), jnp.maximum(n_hit - e, 0).astype(jnp.int32)
+        events, hit_point=hp, hit_normal=hn, hit_speed=hs, hit_shapes=hsh,
+        hit_count=n_hit,
+    ), drop
 
 
 def _joint_events(state, jc, inv_h, events, cap):
