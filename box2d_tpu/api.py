@@ -51,13 +51,57 @@ class World:
         self._run = None
         self._run_len = 0
 
-    # -- construction (pre-compile) ----------------------------------------
+    # -- handles (ref: include/ID.cs:4-50 generation-checked ids) ----------
+    # A handle packs (lane, generation): lane in the low 20 bits, the lane's
+    # generation above. Builder-time handles carry generation 0 and equal
+    # the raw lane index; once a lane is destroyed and reused, its
+    # generation bumps and any old handle raises on use.
+
+    _GEN_SHIFT = 20
+    _LANE_MASK = (1 << 20) - 1
+
+    def _decode(self, handle: int, gens, kind: str) -> int:
+        lane = handle & self._LANE_MASK
+        gen = handle >> self._GEN_SHIFT
+        if gens is not None:
+            if lane >= len(gens) or gens[lane] != gen:
+                raise ValueError(
+                    f"stale or invalid {kind} handle {handle} "
+                    f"(lane {lane} is at generation "
+                    f"{gens[lane] if lane < len(gens) else '?'}, "
+                    f"handle carries {gen})")
+        return lane
+
+    def _bid(self, handle: int) -> int:
+        return self._decode(int(handle), getattr(self, "_body_gen", None),
+                            "body")
+
+    def _sid(self, handle: int) -> int:
+        return self._decode(int(handle), getattr(self, "_shape_gen", None),
+                            "shape")
+
+    def _jid(self, handle: int) -> int:
+        return self._decode(int(handle), getattr(self, "_joint_gen", None),
+                            "joint")
+
+    def _handle(self, lane: int, gens) -> int:
+        return int(lane) | (int(gens[lane]) << self._GEN_SHIFT)
+
+    # -- construction ------------------------------------------------------
+    # Before compile(), entities append to the host-side builder. After
+    # compile(), creates claim free capacity lanes (spare padding + lanes
+    # recycled by destroys) and write state arrays directly — the runtime
+    # analog of ref api/Body.cs:16-105 CreateBody / api/Shape.cs:8-24.
 
     def create_body(self, def_: t.BodyDef | None = None, **kw) -> int:
-        return self.builder.create_body(def_, **kw)
+        if self.state is None:
+            return self.builder.create_body(def_, **kw)
+        return self._spawn_body(def_, **kw)
 
     def create_shape(self, body: int, def_: t.ShapeDef, geom: g.ShapeGeom) -> int:
-        return self.builder.create_shape(body, def_, geom)
+        if self.state is None:
+            return self.builder.create_shape(body, def_, geom)
+        return self._spawn_shape(body, def_, geom)
 
     def create_circle_shape(self, body, def_, center, radius):
         return self.create_shape(body, def_, g.circle(center, radius))
@@ -75,7 +119,9 @@ class World:
         return self.builder.create_chain(body, def_)
 
     def create_joint(self, def_) -> int:
-        return self.builder.create_joint(def_)
+        if self.state is None:
+            return self.builder.create_joint(def_)
+        return self._spawn_joint(def_)
 
     def create_particle_system(self, radius: float, density: float = 1.0):
         return self.builder.create_particle_system(radius, density)
@@ -161,6 +207,26 @@ class World:
         self._pcfg = pcfg
         self._use_pallas = use_pallas
         self._remake_step()
+        # --- entity lifecycle bookkeeping (ref: include/ID.cs generation
+        # handles + src/IDPool.cs free lists) -----------------------------
+        # lanes beyond the builder's entity counts are spare capacity for
+        # runtime spawns; destroyed entities recycle their lanes with a
+        # bumped generation so stale handles raise instead of aliasing
+        self._body_gen = np.zeros(self.capacity.max_bodies, np.int64)
+        self._shape_gen = np.zeros(self.capacity.max_shapes, np.int64)
+        self._joint_gen = np.zeros(self.capacity.max_joints, np.int64)
+        self._free_bodies = list(range(self.capacity.max_bodies - 1,
+                                       len(self.builder._bodies) - 1, -1))
+        self._free_shapes = list(range(self.capacity.max_shapes - 1,
+                                       len(self.builder._shapes) - 1, -1))
+        self._free_joints = list(range(self.capacity.max_joints - 1,
+                                       len(self.builder._joints) - 1, -1))
+        # per-lane shape records (geometry + density + owner) for runtime
+        # mass recomputes — the builder's records indexed by lane
+        self._shape_recs = {
+            i: {"geom": s["geom"], "density": s["density"],
+                "body": s["body"]}
+            for i, s in enumerate(self.builder._shapes)}
         return self
 
     def _remake_step(self):
@@ -202,23 +268,28 @@ class World:
 
     def body_position(self, body: int) -> np.ndarray:
         """Body origin position (ref: BodyAPI.GetPosition)."""
+        body = self._bid(body)
         b = self.state.bodies
         origin = b.center[body] - m.rot_vec(b.rot[body], b.local_center[body])
         return np.asarray(origin)
 
     def body_angle(self, body: int) -> float:
+        body = self._bid(body)
         b = self.state.bodies
         return float(jnp.arctan2(b.rot[body, 1], b.rot[body, 0]))
 
     def body_linear_velocity(self, body: int) -> np.ndarray:
+        body = self._bid(body)
         return np.asarray(self.state.bodies.v[body])
 
     def body_angular_velocity(self, body: int) -> float:
+        body = self._bid(body)
         return float(self.state.bodies.w[body])
 
     # -- mutators (post-compile, ref: api/Body.cs setters) -------------------
 
     def set_linear_velocity(self, body: int, v):
+        body = self._bid(body)
         bd = self.state.bodies
         self.state = dataclasses.replace(
             self.state,
@@ -229,6 +300,7 @@ class World:
             self.wake_body(body)
 
     def set_angular_velocity(self, body: int, w: float):
+        body = self._bid(body)
         if w != 0.0:
             self.wake_body(body)  # ref: api/Body.cs:374
         bd = self.state.bodies
@@ -237,6 +309,7 @@ class World:
             bodies=dataclasses.replace(bd, w=bd.w.at[body].set(jnp.float32(w))))
 
     def apply_force_to_center(self, body: int, force, wake=True):
+        body = self._bid(body)
         if wake:
             self.wake_body(body)
         bd = self.state.bodies
@@ -246,6 +319,7 @@ class World:
                 bd, force=bd.force.at[body].add(jnp.asarray(force, jnp.float32))))
 
     def apply_linear_impulse_to_center(self, body: int, impulse, wake=True):
+        body = self._bid(body)
         if wake:
             self.wake_body(body)
         bd = self.state.bodies
@@ -255,6 +329,7 @@ class World:
             bodies=dataclasses.replace(bd, v=bd.v.at[body].add(dv)))
 
     def apply_torque(self, body: int, torque: float, wake=True):
+        body = self._bid(body)
         if wake:
             self.wake_body(body)
         bd = self.state.bodies
@@ -265,30 +340,38 @@ class World:
 
     def body_transform(self, body: int):
         """(position, angle) of the body origin (ref: BodyAPI.GetTransform)."""
+        body = self._bid(body)
         return self.body_position(body), self.body_angle(body)
 
     def body_mass(self, body: int) -> float:
+        body = self._bid(body)
         return float(self.state.bodies.mass[body])
 
     def body_rotational_inertia(self, body: int) -> float:
+        body = self._bid(body)
         return float(self.state.bodies.inertia[body])
 
     def body_local_center(self, body: int) -> np.ndarray:
+        body = self._bid(body)
         return np.asarray(self.state.bodies.local_center[body])
 
     def body_world_center(self, body: int) -> np.ndarray:
+        body = self._bid(body)
         return np.asarray(self.state.bodies.center[body])
 
     def body_is_awake(self, body: int) -> bool:
+        body = self._bid(body)
         return bool(self.state.bodies.awake[body])
 
     def local_point(self, body: int, world_point):
+        body = self._bid(body)
         b = self.state.bodies
         origin = b.center[body] - m.rot_vec(b.rot[body], b.local_center[body])
         return np.asarray(m.inv_transform_point(
             origin, b.rot[body], jnp.asarray(world_point, jnp.float32)))
 
     def world_point(self, body: int, local_point):
+        body = self._bid(body)
         b = self.state.bodies
         origin = b.center[body] - m.rot_vec(b.rot[body], b.local_center[body])
         return np.asarray(m.transform_point(
@@ -304,6 +387,7 @@ class World:
         the proxies immediately; here the dirty flag forces a pair rebuild
         even when the whole world is asleep, which would otherwise skip the
         step via the idle fast path and leave the teleport pair-invisible)."""
+        body = self._bid(body)
         bd = self.state.bodies
         q = jnp.asarray([jnp.cos(angle), jnp.sin(angle)], jnp.float32)
         center = jnp.asarray(position, jnp.float32) + m.rot_vec(
@@ -318,6 +402,7 @@ class World:
         wakes the whole sleeping solver set): a woken body pushing its
         island-mates through already-existing contacts would never re-wake
         them via the new-touch path."""
+        body = self._bid(body)
         bd = self.state.bodies
         label = bd.island_label[body]
         mates = ((bd.island_label == label) & (bd.type == 2) & bd.enabled)
@@ -327,6 +412,7 @@ class World:
             sleep_time=jnp.where(wake, 0.0, bd.sleep_time))
 
     def set_body_enabled(self, body: int, enabled: bool):
+        body = self._bid(body)
         bd = self.state.bodies
         self._update_bodies(enabled=bd.enabled.at[body].set(bool(enabled)))
         # enabling/disabling removes or restores the body's constraint
@@ -334,12 +420,14 @@ class World:
         self._mark_islands_dirty()
 
     def apply_angular_impulse(self, body: int, impulse: float, wake=True):
+        body = self._bid(body)
         bd = self.state.bodies
         self._update_bodies(
             w=bd.w.at[body].add(jnp.float32(impulse) * bd.inv_inertia[body]),
             awake=bd.awake.at[body].set(True))
 
     def apply_linear_impulse(self, body: int, impulse, point, wake=True):
+        body = self._bid(body)
         bd = self.state.bodies
         imp = jnp.asarray(impulse, jnp.float32)
         lever = jnp.asarray(point, jnp.float32) - bd.center[body]
@@ -388,6 +476,7 @@ class World:
     # retarget motors every step.
 
     def _set_joint(self, joint: int, wake: bool = True, **fields):
+        joint = self._jid(joint)
         jn = self.state.joints
         upd = {}
         for name, val in fields.items():
@@ -402,6 +491,7 @@ class World:
 
     def joint_param(self, joint: int, field: str):
         """Read any joint parameter column (ref: the Joint_Get* surface)."""
+        joint = self._jid(joint)
         return np.asarray(getattr(self.state.joints, field)[joint])
 
     def enable_joint_motor(self, joint: int, flag: bool):
@@ -490,13 +580,15 @@ class World:
 
     def set_mouse_target(self, joint: int, target):
         """Move a mouse joint's world target (ref: MouseJoint SetTarget)."""
+        joint = self._jid(joint)
         jn = self.state.joints
         self.state = dataclasses.replace(
             self.state,
             joints=dataclasses.replace(
                 jn, frame_a_p=jn.frame_a_p.at[joint].set(
                     jnp.asarray(target, jnp.float32))))
-        self.wake_body(int(jn.body_b[joint]))
+        self.wake_body(self._handle(int(jn.body_b[joint]),
+                                    self._body_gen))
 
     # -- particles (post-compile) --------------------------------------------
 
@@ -700,6 +792,7 @@ class World:
         the reference's polygon variant crosses LOCAL edge vectors with the
         WORLD wind direction (frame mixing, Collision.cs:604-617); here
         edges are rotated to world first."""
+        shape = self._sid(shape)
         from . import geometry as geo
         sh = self.state.shapes
         b = self.state.bodies
@@ -857,11 +950,321 @@ class World:
                     self.state.broadphase, dirty=jnp.asarray(True)))
         self._mark_islands_dirty()
 
+    # -- runtime entity lifecycle (post-compile) ---------------------------
+
+    def _spawn_body(self, def_: "t.BodyDef | None" = None, **kw) -> int:
+        """Claim a free body lane and write its state (runtime analog of
+        ref api/Body.cs:16-105 CreateBody)."""
+        import math as _math
+
+        from .state import (ALLOW_FAST_ROTATION, ENABLE_SLEEP, IS_BULLET,
+                            LOCK_ANGULAR_Z, LOCK_LINEAR_X, LOCK_LINEAR_Y)
+
+        d = dataclasses.replace(def_ or t.BodyDef(), **kw)
+        if not self._free_bodies:
+            raise RuntimeError(
+                "body capacity exhausted: no free lanes "
+                f"(Capacity.max_bodies={self.capacity.max_bodies}); "
+                "compile() with a larger capacity")
+        lane = self._free_bodies.pop()
+        flags = ((LOCK_LINEAR_X if d.lock_linear_x else 0)
+                 | (LOCK_LINEAR_Y if d.lock_linear_y else 0)
+                 | (LOCK_ANGULAR_Z if d.lock_angular_z else 0)
+                 | (IS_BULLET if d.is_bullet else 0)
+                 | (ALLOW_FAST_ROTATION if d.allow_fast_rotation else 0)
+                 | (ENABLE_SLEEP if d.enable_sleep else 0))
+        rot = np.array([_math.cos(d.angle), _math.sin(d.angle)], np.float32)
+        b = self.state.bodies
+        f32 = jnp.float32
+        # shapeless dynamic body: unit mass (ref: src/Body.cs:262-270);
+        # _recompute_mass refines once shapes attach
+        dyn = d.type == t.DYNAMIC
+        self.state = dataclasses.replace(self.state, bodies=dataclasses.replace(
+            b,
+            center=b.center.at[lane].set(jnp.asarray(d.position, f32)),
+            rot=b.rot.at[lane].set(jnp.asarray(rot)),
+            v=b.v.at[lane].set(jnp.asarray(d.linear_velocity, f32)),
+            w=b.w.at[lane].set(f32(d.angular_velocity)),
+            force=b.force.at[lane].set(0.0),
+            torque=b.torque.at[lane].set(0.0),
+            local_center=b.local_center.at[lane].set(0.0),
+            mass=b.mass.at[lane].set(1.0 if dyn else 0.0),
+            inv_mass=b.inv_mass.at[lane].set(1.0 if dyn else 0.0),
+            inertia=b.inertia.at[lane].set(0.0),
+            inv_inertia=b.inv_inertia.at[lane].set(0.0),
+            linear_damping=b.linear_damping.at[lane].set(
+                f32(d.linear_damping)),
+            angular_damping=b.angular_damping.at[lane].set(
+                f32(d.angular_damping)),
+            gravity_scale=b.gravity_scale.at[lane].set(f32(d.gravity_scale)),
+            type=b.type.at[lane].set(int(d.type)),
+            flags=b.flags.at[lane].set(flags),
+            sleep_time=b.sleep_time.at[lane].set(0.0),
+            sleep_threshold=b.sleep_threshold.at[lane].set(
+                f32(d.sleep_threshold)),
+            min_extent=b.min_extent.at[lane].set(1e8),
+            max_extent=b.max_extent.at[lane].set(0.0),
+            awake=b.awake.at[lane].set(bool(d.is_awake)),
+            enabled=b.enabled.at[lane].set(bool(d.is_enabled)),
+            user_data=b.user_data.at[lane].set(int(d.user_data)),
+        ))
+        self._mark_broadphase_dirty()
+        return self._handle(lane, self._body_gen)
+
+    def _spawn_shape(self, body: int, def_: "t.ShapeDef",
+                     geom: "g.ShapeGeom") -> int:
+        """Claim a free shape lane, write geometry + materials, refresh the
+        packed static table row, and recompute the owner's mass (runtime
+        analog of ref api/Shape.cs:8-24 + src/Body.cs:255-353)."""
+        blane = self._bid(body)
+        if not self._free_shapes:
+            raise RuntimeError(
+                "shape capacity exhausted: no free lanes "
+                f"(Capacity.max_shapes={self.capacity.max_shapes})")
+        V = max(2, min(self.capacity.max_verts, 8))
+        if geom.count > V:
+            raise ValueError(
+                f"runtime shape has {geom.count} verts > compiled "
+                f"Capacity.max_verts={self.capacity.max_verts}")
+        lane = self._free_shapes.pop()
+        d = def_
+        sh = self.state.shapes
+        verts8 = np.zeros((8, 2), np.float32)
+        norms8 = np.zeros((8, 2), np.float32)
+        verts8[:geom.count] = geom.verts[:geom.count]
+        norms8[:geom.count] = geom.normals[:geom.count]
+        g1 = np.zeros(2, np.float32) if geom.ghost1 is None else geom.ghost1
+        g2 = np.zeros(2, np.float32) if geom.ghost2 is None else geom.ghost2
+        # packed static table row (layout: narrowphase.build_static_table)
+        row = np.concatenate([
+            verts8[:V].reshape(-1), norms8[:V].reshape(-1),
+            [geom.radius, geom.count, geom.type], g1, g2,
+            [d.material.friction, d.material.restitution,
+             d.material.rolling_resistance, d.material.tangent_speed,
+             float(d.enable_contact_events), float(d.enable_hit_events),
+             blane]]).astype(np.float32)
+        self.state = dataclasses.replace(self.state, shapes=dataclasses.replace(
+            sh,
+            body=sh.body.at[lane].set(blane),
+            type=sh.type.at[lane].set(int(geom.type)),
+            verts=sh.verts.at[lane].set(jnp.asarray(verts8)),
+            normals=sh.normals.at[lane].set(jnp.asarray(norms8)),
+            count=sh.count.at[lane].set(int(geom.count)),
+            radius=sh.radius.at[lane].set(jnp.float32(geom.radius)),
+            centroid=sh.centroid.at[lane].set(
+                jnp.asarray(geom.centroid, jnp.float32)),
+            ghost1=sh.ghost1.at[lane].set(jnp.asarray(g1, jnp.float32)),
+            ghost2=sh.ghost2.at[lane].set(jnp.asarray(g2, jnp.float32)),
+            friction=sh.friction.at[lane].set(
+                jnp.float32(d.material.friction)),
+            restitution=sh.restitution.at[lane].set(
+                jnp.float32(d.material.restitution)),
+            rolling_resistance=sh.rolling_resistance.at[lane].set(
+                jnp.float32(d.material.rolling_resistance)),
+            tangent_speed=sh.tangent_speed.at[lane].set(
+                jnp.float32(d.material.tangent_speed)),
+            user_material=sh.user_material.at[lane].set(
+                int(d.material.user_material_id)),
+            density=sh.density.at[lane].set(jnp.float32(d.density)),
+            filter_category=sh.filter_category.at[lane].set(
+                d.filter.category_bits),
+            filter_mask=sh.filter_mask.at[lane].set(d.filter.mask_bits),
+            filter_group=sh.filter_group.at[lane].set(d.filter.group_index),
+            is_sensor=sh.is_sensor.at[lane].set(bool(d.is_sensor)),
+            enable_contact_events=sh.enable_contact_events.at[lane].set(
+                bool(d.enable_contact_events)),
+            enable_hit_events=sh.enable_hit_events.at[lane].set(
+                bool(d.enable_hit_events)),
+            enable_sensor_events=sh.enable_sensor_events.at[lane].set(
+                bool(d.enable_sensor_events)),
+            enabled=sh.enabled.at[lane].set(True),
+            table=sh.table.at[lane].set(jnp.asarray(row)),
+        ))
+        self._shape_recs[lane] = {"geom": geom, "density": d.density,
+                                  "body": blane}
+        if d.update_body_mass:
+            self._recompute_mass(blane)
+        self._refresh_extents(blane)
+        # a geometry class the step wasn't traced for (or a new sensor)
+        # needs a one-time step re-make
+        new_classes = classes_for_shape_types(
+            [r["geom"].type for r in self._shape_recs.values()])
+        remake = new_classes != self._classes
+        self._classes = new_classes
+        if d.is_sensor and d.enable_sensor_events:
+            self._sensors = tuple(sorted(set(self._sensors) | {lane}))
+            remake = True
+        if remake:
+            self._remake_step()
+        self._mark_broadphase_dirty()
+        self.wake_body(self._handle(blane, self._body_gen))
+        return self._handle(lane, self._shape_gen)
+
+    def _spawn_joint(self, def_) -> int:
+        """Claim a free joint lane (runtime analog of ref
+        src/Joint.cs:181-296 CreateJoint)."""
+        if not self._free_joints:
+            raise RuntimeError(
+                "joint capacity exhausted: no free lanes "
+                f"(Capacity.max_joints={self.capacity.max_joints})")
+        lane = self._free_joints.pop()
+        rec = dataclasses.asdict(def_) | {"_type": def_._type}
+        rec["body_a"] = self._bid(rec["body_a"])
+        rec["body_b"] = self._bid(rec["body_b"])
+        # reuse the builder's def->frames conversion on a 1-row temp builder
+        from .builder import WorldBuilder
+        tb = WorldBuilder(self.builder.def_)
+        tb._joints = [rec]
+        one = tb._build_joints(1)
+        jn = self.state.joints
+        new_jn = jax.tree.map(lambda full, r: full.at[lane].set(r[0]),
+                              jn, one)
+        self.state = dataclasses.replace(self.state, joints=new_jn)
+        if def_._type not in self._jtypes:
+            self._jtypes = frozenset(self._jtypes | {def_._type})
+            self._remake_step()
+        self._mark_islands_dirty()
+        self.wake_body(self._handle(rec["body_a"], self._body_gen))
+        self.wake_body(self._handle(rec["body_b"], self._body_gen))
+        return self._handle(lane, self._joint_gen)
+
+    def _recompute_mass(self, blane: int):
+        """ref: src/Body.cs:255-353 UpdateBodyMassData over the body's
+        current shapes (lane records, not builder history)."""
+        from .state import DYNAMIC as DYN, LOCK_ANGULAR_Z
+        b = self.state.bodies
+        if int(np.asarray(b.type[blane])) != DYN:
+            return
+        origin = np.asarray(b.origin[blane], np.float64)
+        c, s = (float(v) for v in np.asarray(b.rot[blane]))
+        mass = 0.0
+        mc = np.zeros(2)
+        io = 0.0
+        for rec in self._shape_recs.values():
+            if rec["body"] != blane:
+                continue
+            md = g.compute_mass(rec["geom"], rec["density"])
+            mass += md.mass
+            mc = mc + md.mass * md.center
+            io += md.rotational_inertia + md.mass * float(
+                md.center @ md.center)
+        lc = np.zeros(2)
+        ic = 0.0
+        inv_m = inv_i = 0.0
+        if mass > 0:
+            lc = mc / mass
+            ic = io - mass * float(lc @ lc)
+            inv_m = 1.0 / mass
+            locked = int(np.asarray(b.flags[blane])) & LOCK_ANGULAR_Z
+            if ic <= 0 or locked:
+                ic = 0.0
+            inv_i = 1.0 / ic if ic > 0 else 0.0
+        else:
+            mass, inv_m = 1.0, 1.0
+        new_center = origin + np.array([c * lc[0] - s * lc[1],
+                                        s * lc[0] + c * lc[1]])
+        self.state = dataclasses.replace(self.state, bodies=dataclasses.replace(
+            b,
+            mass=b.mass.at[blane].set(np.float32(mass)),
+            inertia=b.inertia.at[blane].set(np.float32(ic)),
+            inv_mass=b.inv_mass.at[blane].set(np.float32(inv_m)),
+            inv_inertia=b.inv_inertia.at[blane].set(np.float32(inv_i)),
+            local_center=b.local_center.at[blane].set(
+                jnp.asarray(lc, jnp.float32)),
+            center=b.center.at[blane].set(
+                jnp.asarray(new_center, jnp.float32))))
+
+    def _refresh_extents(self, blane: int):
+        """Recompute min/max shape extents about the COM (used by sleep and
+        continuous-collision gates, ref: src/Solver.cs:425-449)."""
+        b = self.state.bodies
+        lc = np.asarray(b.local_center[blane])
+        min_e, max_e = 1e8, 0.0
+        for rec in self._shape_recs.values():
+            if rec["body"] != blane:
+                continue
+            geom = rec["geom"]
+            vs = geom.verts[:geom.count]
+            max_e = max(max_e,
+                        float(np.max(np.hypot(*(vs - lc).T))) + geom.radius)
+            if geom.count >= 3:
+                offs = [float((vs[i] - geom.centroid) @ geom.normals[i])
+                        for i in range(geom.count)]
+                min_e = min(min_e, min(offs) + geom.radius)
+            else:
+                min_e = min(min_e, geom.radius)
+        self.state = dataclasses.replace(self.state, bodies=dataclasses.replace(
+            b, min_extent=b.min_extent.at[blane].set(np.float32(min_e)),
+            max_extent=b.max_extent.at[blane].set(np.float32(max_e))))
+
+    def destroy_shape(self, shape: int, update_body_mass: bool = True):
+        """Disable a shape and recycle its lane (ref: api/Shape.cs
+        DestroyShape)."""
+        lane = self._sid(shape)
+        sh = self.state.shapes
+        blane = int(np.asarray(sh.body[lane]))
+        self.state = dataclasses.replace(
+            self.state, shapes=dataclasses.replace(
+                sh, enabled=sh.enabled.at[lane].set(False)))
+        self._shape_recs.pop(lane, None)
+        if lane in self._sensors:
+            self._sensors = tuple(i for i in self._sensors if i != lane)
+            self._remake_step()
+        self._shape_gen[lane] += 1
+        self._free_shapes.append(lane)
+        if update_body_mass:
+            self._recompute_mass(blane)
+            self._refresh_extents(blane)
+        self._mark_broadphase_dirty()
+        self.wake_body(self._handle(blane, self._body_gen))
+
+    def destroy_joint(self, joint: int):
+        """Disable a joint and recycle its lane (ref: src/Joint.cs
+        DestroyJointInternal — wakes both bodies)."""
+        lane = self._jid(joint)
+        jn = self.state.joints
+        ba = int(np.asarray(jn.body_a[lane]))
+        bb = int(np.asarray(jn.body_b[lane]))
+        self.state = dataclasses.replace(
+            self.state, joints=dataclasses.replace(
+                jn, enabled=jn.enabled.at[lane].set(False),
+                type=jn.type.at[lane].set(-1),
+                body_a=jn.body_a.at[lane].set(-1),
+                body_b=jn.body_b.at[lane].set(-1),
+                color=jn.color.at[lane].set(-1)))
+        self._joint_gen[lane] += 1
+        self._free_joints.append(lane)
+        self._mark_islands_dirty()
+        for bl in (ba, bb):
+            if 0 <= bl < len(self._body_gen):
+                self.wake_body(self._handle(bl, self._body_gen))
+
     def destroy_body(self, body: int):
-        """Disable a body and its shapes (the masked analog of ref
-        api/Body.cs:109-164 DestroyBody; lanes are not reclaimed until the
-        scene is rebuilt)."""
-        self.set_body_enabled(body, False)
+        """Destroy a body: its shapes and joints are destroyed with it and
+        every lane is recycled with a bumped generation, so stale handles
+        raise (ref: api/Body.cs:109-164 DestroyBody + include/ID.cs)."""
+        lane = self._bid(body)
+        # destroy attached joints first (ref destroys joint edges)
+        jn = self.state.joints
+        ja = np.asarray(jn.body_a)
+        jb = np.asarray(jn.body_b)
+        jen = np.asarray(jn.enabled)
+        for jl in np.nonzero(jen & ((ja == lane) | (jb == lane)))[0]:
+            self.destroy_joint(self._handle(int(jl), self._joint_gen))
+        # destroy attached shapes (skip the per-shape mass recompute)
+        for sl in [k for k, r in self._shape_recs.items()
+                   if r["body"] == lane]:
+            self.destroy_shape(self._handle(sl, self._shape_gen),
+                               update_body_mass=False)
+        bd = self.state.bodies
+        self.state = dataclasses.replace(
+            self.state, bodies=dataclasses.replace(
+                bd, enabled=bd.enabled.at[lane].set(False),
+                awake=bd.awake.at[lane].set(False),
+                v=bd.v.at[lane].set(0.0), w=bd.w.at[lane].set(0.0)))
+        self._body_gen[lane] += 1
+        self._free_bodies.append(lane)
+        self._mark_broadphase_dirty()
 
     def set_body_type(self, body: int, type_: int):
         """Change a body's type at runtime (ref: api/Body.cs:185-267
@@ -870,6 +1273,7 @@ class World:
         traced lane and the broadphase re-pairs statelessly every step, so
         only mass data (ref UpdateBodyMassData, src/Body.cs:255-353) and
         wake state need updating. The body's origin is preserved."""
+        body = self._bid(body)
         from .state import DYNAMIC as DYN, LOCK_ANGULAR_Z
         b = self.state.bodies
         origin = np.asarray(b.origin[body], np.float64)
@@ -882,7 +1286,7 @@ class World:
         if type_ == DYN:
             mc = np.zeros(2)
             io = 0.0
-            for rec in self.builder._shapes:
+            for rec in self._shape_recs.values():
                 if rec["body"] != body:
                     continue
                 md = g.compute_mass(rec["geom"], rec["density"])
@@ -937,6 +1341,7 @@ class World:
         """Update a shape's collision filter at runtime (ref:
         api/Shape.cs:157-169 SetFilter — the reference re-pairs proxies;
         the stateless broadphase applies the new filter next step)."""
+        shape = self._sid(shape)
         if not self.capacity.has_filters:
             # the builder traced the broadphase WITHOUT filter checks (no
             # shape had a non-default filter at compile); enable them and
@@ -955,7 +1360,8 @@ class World:
                 filter_group=sh.filter_group.at[shape].set(
                     filter_.group_index)))
         self._mark_broadphase_dirty()
-        self.wake_body(int(np.asarray(sh.body[shape])))
+        self.wake_body(self._handle(int(np.asarray(sh.body[shape])),
+                                    self._body_gen))
         # wake current touching partners: a disappearing contact doesn't
         # trigger the wake-on-new-touch path (ref re-pairs proxies, which
         # wakes through contact destruction)
@@ -966,11 +1372,13 @@ class World:
         for k in np.where((sa >= 0) & touching
                           & ((sa == shape) | (sb == shape)))[0]:
             other = int(sb[k] if sa[k] == shape else sa[k])
-            self.wake_body(int(np.asarray(sh.body[other])))
+            self.wake_body(self._handle(int(np.asarray(sh.body[other])),
+                                        self._body_gen))
 
     def joint_constraint_force(self, joint: int, dt=1.0 / 60.0):
         """Approximate reaction force magnitude (ref: JointAPI
         GetConstraintForce). Uses last step's stored impulses."""
+        joint = self._jid(joint)
         jn = self.state.joints
         return float(np.hypot(*np.asarray(jn.impulse[joint])) / dt)
 
@@ -1025,6 +1433,7 @@ class World:
     def test_point(self, shape: int, point) -> bool:
         """Point-in-shape test (ref: per-geometry PointInCircle/Capsule/
         Polygon in include/Geometry.cs; api/Shape.cs TestPoint)."""
+        shape = self._sid(shape)
         from . import queries
 
         return bool(queries.overlap_point(
@@ -1034,6 +1443,7 @@ class World:
     def shape_aabb(self, shape: int) -> np.ndarray:
         """Current world AABB of a shape as (lo_x, lo_y, hi_x, hi_y)
         (ref: api/Shape.cs GetAABB)."""
+        shape = self._sid(shape)
         from .broadphase import compute_shape_aabbs
 
         return np.asarray(compute_shape_aabbs(self.state)[shape])
