@@ -343,78 +343,127 @@ class ParticleSystemBuilder:
 # neighbor search
 # ---------------------------------------------------------------------------
 
-def _find_contacts(pos, alive, diameter, cfg: ParticleConfig):
-    """Fixed-window neighbor candidates from a cell-key sort
-    (ref: ComputeTag :2610 + FindContacts_Reference :1096-1117).
-
-    Returns (idx_a, idx_b, normal, weight, valid, overflow) with lane shape
-    (Np*K,): each contact pair appears exactly once. overflow counts
-    particles whose same-row / row-above cell spans exceed the fixed scan
-    windows (k_same/k_up) — their excess neighbor contacts are shed this
-    step (surfaced in Profile.overflow_particles, never silent).
-    """
-    n = pos.shape[0]
+def _cell_key(pos, alive, diameter):
+    """16-bit packed cell key, row-major so a cell row is contiguous
+    (ref: ComputeTag :2610-2611)."""
     inv_d = 1.0 / diameter
     xi = jnp.floor(pos[:, 0] * inv_d).astype(jnp.int32)
     yi = jnp.floor(pos[:, 1] * inv_d).astype(jnp.int32)
-    # 16-bit packed cell key, rows-major so a row is contiguous
     key = ((yi + 0x8000) << 16) | ((xi + 0x8000) & 0xFFFF)
-    key = jnp.where(alive, key, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    skey = key[order]
+    return jnp.where(alive, key, jnp.iinfo(jnp.int32).max)
 
-    k_same = cfg.k_same
-    k_up = cfg.k_up
-    lanes_s = jnp.arange(1, k_same + 1)
-    # same-row window: next k_same sorted entries (same + next cell)
-    raw_same = jnp.arange(n)[:, None] + lanes_s[None, :]
-    cand_same = jnp.clip(raw_same, 0, n - 1)
-    # row-above window: searchsorted for key(y+1, x-1)
+
+def _shift_up(x, k):
+    """value at sorted lane i+k (zero past the end)."""
+    k = min(k, x.shape[0])
+    pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x[k:], pad], axis=0)
+
+
+def _shift_down(x, k):
+    """out[i+k] = x[i] (zero before the start)."""
+    k = min(k, x.shape[0])
+    pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:x.shape[0] - k]], axis=0)
+
+
+def _partner_same(x, ks):
+    """(n, C...) sorted field -> (n, ks, C...) values at lanes i+1..i+ks —
+    ks static shifts, ZERO gathers."""
+    return jnp.stack([_shift_up(x, k) for k in range(1, ks + 1)], axis=1)
+
+
+class PairWindows(NamedTuple):
+    """Sorted-space neighbor windows (see _find_contacts_sorted).
+
+    The same-row window's partner for (i, k) is sorted lane i+1+k — a
+    static shift, so per-pass partner reads and b-side accumulations cost
+    ZERO gathers/scatters. Only the row-above window (cand_up) needs real
+    indexed ops. Weights are 0 on invalid lanes."""
+
+    cand_up: jnp.ndarray   # (n, ku) i32 clipped sorted partner index
+    v_same: jnp.ndarray    # (n, ks) bool
+    v_up: jnp.ndarray      # (n, ku) bool
+    n_same: jnp.ndarray    # (n, ks, 2) unit normal a->b (0 when invalid)
+    n_up: jnp.ndarray      # (n, ku, 2)
+    w_same: jnp.ndarray    # (n, ks) contact weight (0 when invalid)
+    w_up: jnp.ndarray      # (n, ku)
+
+
+def _find_contacts_sorted(pos, alive, skey, diameter, cfg: ParticleConfig):
+    """Neighbor windows over CELL-SORTED particles
+    (ref: FindContacts_Reference :1096-1117).
+
+    pos/alive are already sorted by skey. Each pair appears exactly once
+    (all partners are at larger sorted lanes: same row forward + row
+    above). Returns (PairWindows, overflow): overflow counts particles
+    whose same-row / row-above cell spans exceed the fixed scan windows —
+    their excess neighbor contacts are shed this step (surfaced in
+    Profile.overflow_particles, never silent)."""
+    n = pos.shape[0]
+    inv_d = 1.0 / diameter
+    ks, ku = cfg.k_same, cfg.k_up
+    srow = skey >> 16
+
+    def geom(p_part, al_part, in_rng, row_ok):
+        d = p_part - pos[:, None, :]
+        dist_sq = m.dot(d, d)
+        valid = (alive[:, None] & al_part & in_rng & row_ok
+                 & (dist_sq < diameter * diameter))
+        inv_dist = jnp.where(
+            dist_sq > 0,
+            1.0 / jnp.sqrt(jnp.where(dist_sq > 0, dist_sq, 1.0)), 0.0)
+        normal = d * inv_dist[..., None]
+        weight = 1.0 - dist_sq * inv_dist * inv_d  # ref :1091
+        return valid, jnp.where(valid[..., None], normal, 0.0), \
+            jnp.where(valid, weight, 0.0)
+
+    # same-row window: the next ks sorted entries (own + next cell) —
+    # everything is static shifts
+    p_same = _partner_same(pos, ks)
+    row_same = _partner_same(srow, ks)
+    al_same = _partner_same(alive, ks)
+    in_rng_s = (jnp.arange(n)[:, None] + jnp.arange(1, ks + 1)[None, :]) < n
+    v_same, n_same, w_same = geom(
+        p_same, al_same, in_rng_s, row_same == srow[:, None])
+
+    # row-above window: searchsorted for key(y+1, x-1); ONE packed partner
+    # gather (pos + row + alive as f32 columns, n*ku indices)
     up_key = skey + (1 << 16) - 1
     start_up = jnp.searchsorted(skey, up_key)
-    raw_up = start_up[:, None] + jnp.arange(k_up)[None, :]
+    raw_up = start_up[:, None] + jnp.arange(ku)[None, :]
     cand_up = jnp.clip(raw_up, 0, n - 1)
+    ptab = jnp.concatenate([
+        pos, srow.astype(jnp.float32)[:, None],
+        alive.astype(jnp.float32)[:, None]], axis=1)
+    pu = ptab[cand_up]                       # (n, ku, 4)
+    v_up, n_up, w_up = geom(
+        pu[..., :2], pu[..., 3] > 0, raw_up < n,
+        pu[..., 2].astype(jnp.int32) == srow[:, None] + 1)
 
-    cand = jnp.concatenate([cand_same, cand_up], axis=1)  # (n, K) sorted idx
-    in_range = jnp.concatenate([raw_same, raw_up], axis=1) < n
-    # window A must stay on the same cell row; window B exactly one row up
-    # (prevents duplicates between the windows and clip artifacts)
-    srow = skey >> 16
-    row_of = srow[cand]
-    row_ok = jnp.concatenate([
-        row_of[:, :k_same] == srow[:, None],
-        row_of[:, k_same:] == srow[:, None] + 1,
-    ], axis=1)
-    k = cand.shape[1]
-    ia = jnp.broadcast_to(order[:, None], (n, k))
-    ib = order[cand]
-
-    pa = pos[ia]
-    pb = pos[ib]
-    d = pb - pa
-    dist_sq = m.dot(d, d)
-    valid = (
-        alive[ia] & alive[ib] & (ia != ib)
-        & in_range & row_ok
-        & (cand > jnp.arange(n)[:, None])  # forward-only => unique pairs
-        & (dist_sq < diameter * diameter)
-    )
-    inv_dist = jnp.where(dist_sq > 0, 1.0 / jnp.sqrt(jnp.where(dist_sq > 0, dist_sq, 1.0)), 0.0)
-    normal = d * inv_dist[..., None]
-    weight = 1.0 - dist_sq * inv_dist * inv_d  # ref :1091
-    # window-overflow accounting: a particle whose same-row span (cells
-    # x..x+1) holds more than k_same sorted entries, or whose row-above span
-    # (x-1..x+1) holds more than k_up, can shed real neighbors
-    s_alive = alive[order]
-    pos_s = jnp.arange(n)
+    # window-overflow accounting
+    lane = jnp.arange(n)
     same_end = jnp.searchsorted(skey, skey + 2)
     up_end = jnp.searchsorted(skey, skey + (1 << 16) + 2)
-    over = s_alive & (((same_end - pos_s - 1) > k_same)
-                      | ((up_end - start_up) > k_up))
+    over = alive & (((same_end - lane - 1) > ks)
+                    | ((up_end - start_up) > ku))
     overflow = jnp.sum(over).astype(jnp.int32)
-    return (ia.reshape(-1), ib.reshape(-1), normal.reshape(-1, 2),
-            jnp.where(valid, weight, 0.0).reshape(-1), valid.reshape(-1),
-            overflow)
+    return PairWindows(cand_up, v_same, v_up, n_same, n_up,
+                       w_same, w_up), overflow
+
+
+def _pair_accum(a_same, a_up, b_same, b_up, cand_up, n):
+    """Accumulate per-pair contributions to per-particle sums in sorted
+    space: out[i] += sum_k a_same[i,k] + sum_r a_up[i,r];
+    out[i+1+k] += b_same[i,k] (static shifts, no scatter);
+    out[cand_up[i,r]] += b_up[i,r] (the ONLY scatter, n*ku indices).
+    Contributions must already be masked (0 on invalid lanes)."""
+    out = jnp.sum(a_same, axis=1) + jnp.sum(a_up, axis=1)
+    ks = a_same.shape[1]
+    for k in range(1, ks + 1):
+        out = out + _shift_down(b_same[:, k - 1], k)
+    flat = b_up.reshape((-1,) + b_up.shape[2:])
+    return out.at[cand_up.reshape(-1)].add(flat)
 
 
 # ---------------------------------------------------------------------------
@@ -518,15 +567,74 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
                                    * m.cross(lever, imp))
         return dv, dw
 
+    # trace-time: which gated passes still need the flat (ia, ib) pair view
+    # (always-on passes use the sorted-space windows + shifts instead,
+    # which removes the dominant n*K-index gather/scatter ops)
+    need_flat = (cfg.has_viscous or cfg.has_repulsive or cfg.has_powder
+                 or cfg.has_tensile or cfg.has_solid
+                 or cfg.has_static_pressure or cfg.has_colormix
+                 or cfg.has_rigid)
+    need_inv = cfg.has_elastic or cfg.has_spring or cfg.has_barrier
+
     def iteration(carry, _):
-        pt, body_dv, body_dw, _bc_cnt = carry
+        pt0, body_dv, body_dw, _bc_cnt = carry
+        n_ = pt0.pos.shape[0]
+
+        # ---- cell sort: the WHOLE iteration runs in sorted space --------
+        # (gathers/scatters cost per index on TPU; in sorted space the
+        # same-row neighbor window becomes static shifts and the row-above
+        # window one packed gather — see _find_contacts_sorted)
+        key = _cell_key(pt0.pos, pt0.alive, diameter)
+        order = jnp.argsort(key)
+        skey = key[order]
+        # permute the per-particle fields the iteration touches: two packed
+        # gathers (floats + ints) instead of ~10
+        fpack = jnp.concatenate([
+            pt0.pos, pt0.vel, pt0.force, pt0.expiration[:, None],
+            pt0.static_pressure[:, None]], axis=1)[order]
+        ipack = jnp.stack([pt0.flags, pt0.group,
+                           pt0.alive.astype(jnp.int32)], axis=1)[order]
+        pt = dataclasses.replace(
+            pt0, pos=fpack[:, 0:2], vel=fpack[:, 2:4], force=fpack[:, 4:6],
+            expiration=fpack[:, 6], static_pressure=fpack[:, 7],
+            flags=ipack[:, 0], group=ipack[:, 1], alive=ipack[:, 2] > 0)
+        if cfg.has_solid:
+            pt = dataclasses.replace(pt, depth=pt0.depth[order])
+        if cfg.has_colormix:
+            pt = dataclasses.replace(pt, color=pt0.color[order])
+        if need_inv:
+            inv_order = jnp.zeros(n_, jnp.int32).at[order].set(
+                jnp.arange(n_, dtype=jnp.int32))
+
+            def remap(idx):
+                return jnp.where(idx >= 0,
+                                 inv_order[jnp.maximum(idx, 0)], idx)
+
+            pt = dataclasses.replace(
+                pt, triad_a=remap(pt0.triad_a), triad_b=remap(pt0.triad_b),
+                triad_c=remap(pt0.triad_c), pair_a=remap(pt0.pair_a),
+                pair_b=remap(pt0.pair_b))
         pos = pt.pos
         vel = pt.vel
 
         # ---- neighbor contacts (ref UpdateContacts) ----
-        ia, ib, c_n, c_w, c_ok, c_over = _find_contacts(
-            pos, pt.alive, diameter, cfg)
-        c_flags = jnp.where(c_ok, pt.flags[ia] | pt.flags[ib], 0)
+        pw, c_over = _find_contacts_sorted(pos, pt.alive, skey, diameter,
+                                           cfg)
+        ks, ku = cfg.k_same, cfg.k_up
+        if need_flat:
+            # flat sorted-space pair view for the gated passes
+            idx_same = jnp.clip(
+                jnp.arange(n_)[:, None] + jnp.arange(1, ks + 1)[None, :],
+                0, n_ - 1)
+            cand = jnp.concatenate([idx_same, pw.cand_up], axis=1)
+            ia = jnp.broadcast_to(jnp.arange(n_)[:, None],
+                                  cand.shape).reshape(-1)
+            ib = cand.reshape(-1)
+            c_ok = jnp.concatenate([pw.v_same, pw.v_up], axis=1).reshape(-1)
+            c_n = jnp.concatenate([pw.n_same, pw.n_up],
+                                  axis=1).reshape(-1, 2)
+            c_w = jnp.concatenate([pw.w_same, pw.w_up], axis=1).reshape(-1)
+            c_flags = jnp.where(c_ok, pt.flags[ia] | pt.flags[ib], 0)
 
         # ---- body contacts (ref UpdateBodyContacts) ----
         # (Np, Sb) point-shape distances
@@ -561,9 +669,8 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         bc_mass = jnp.where(bc_ok, bc_mass, 0.0)
 
         # ---- weight (ref ComputeWeight) ----
-        weight = jnp.zeros(n, jnp.float32)
-        weight = weight.at[ia].add(c_w).at[ib].add(c_w)
-        weight = weight + jnp.sum(bc_w, axis=1)
+        weight = _pair_accum(pw.w_same, pw.w_up, pw.w_same, pw.w_up,
+                             pw.cand_up, n_) + jnp.sum(bc_w, axis=1)
 
         if cfg.has_solid:
             # ---- depth relaxation (ref ComputeDepth :1002-1062) ----
@@ -709,10 +816,15 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             body_dv, body_dw, bc_body.reshape(-1), fb.reshape(-1, 2),
             jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
             bc_ok.reshape(-1))
-        # particle contacts
-        f = (vel_per_p * c_w * (accum[ia] + accum[ib]))[:, None] * c_n
-        f = jnp.where(c_ok[:, None], f, 0.0)
-        vel = vel.at[ia].add(-f).at[ib].add(f)
+        # particle contacts: a-side reads are broadcasts, same-row partner
+        # reads are shifts, up-row partner reads one packed gather
+        acc_b_s = _partner_same(accum, ks)              # (n, ks)
+        acc_b_u = accum[pw.cand_up]                     # (n, ku)
+        f_s = (vel_per_p * pw.w_same
+               * (accum[:, None] + acc_b_s))[..., None] * pw.n_same
+        f_u = (vel_per_p * pw.w_up
+               * (accum[:, None] + acc_b_u))[..., None] * pw.n_up
+        vel = vel + _pair_accum(-f_s, -f_u, f_s, f_u, pw.cand_up, n_)
 
         # ---- damping (ref SolveDamping) ----
         lin_d = prm.damping_strength
@@ -727,11 +839,20 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
             jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
             (bc_ok & (vn < 0)).reshape(-1))
-        vn_p = m.dot(vel[ib] - vel[ia], c_n)
-        damp_p = jnp.maximum(lin_d * c_w, jnp.minimum(-quad_d * vn_p, 0.5))
-        f = (damp_p * vn_p)[:, None] * c_n
-        f = jnp.where((c_ok & (vn_p < 0))[:, None], f, 0.0)
-        vel = vel.at[ia].add(f).at[ib].add(-f)
+        # particle-pair damping in window form (shifts + one gather)
+        vb_s = _partner_same(vel, ks)                   # (n, ks, 2)
+        vb_u = vel[pw.cand_up]                          # (n, ku, 2)
+        vn_s = m.dot(vb_s - vel[:, None, :], pw.n_same)
+        vn_u = m.dot(vb_u - vel[:, None, :], pw.n_up)
+        damp_s = jnp.maximum(lin_d * pw.w_same,
+                             jnp.minimum(-quad_d * vn_s, 0.5))
+        damp_u = jnp.maximum(lin_d * pw.w_up,
+                             jnp.minimum(-quad_d * vn_u, 0.5))
+        f_ds = jnp.where((pw.v_same & (vn_s < 0))[..., None],
+                         (damp_s * vn_s)[..., None] * pw.n_same, 0.0)
+        f_du = jnp.where((pw.v_up & (vn_u < 0))[..., None],
+                         (damp_u * vn_u)[..., None] * pw.n_up, 0.0)
+        vel = vel + _pair_accum(f_ds, f_du, -f_ds, -f_du, pw.cand_up, n_)
 
         if cfg.has_static_pressure:
             # ---- extra damping for static-pressure particles (ref :1978) ----
@@ -905,11 +1026,28 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         # ---- integrate (ref :1554-1561) ----
         pos = pos + jnp.where(pt.alive[:, None], dt * vel, 0.0)
 
-        pt2 = dataclasses.replace(pt, pos=pos, vel=vel, alive=alive,
-                                  expiration=expiration, color=col,
-                                  static_pressure=static_pressure)
-        return (pt2, body_dv, body_dw,
-                jnp.sum(bc_ok, axis=1).astype(jnp.int32)), c_over
+        # ---- un-sort: scatter changed fields back to original lanes ----
+        fout = jnp.concatenate([pos, vel, expiration[:, None]], axis=1)
+        fback = jnp.zeros_like(fout).at[order].set(fout)
+        alive_o = jnp.zeros_like(alive).at[order].set(alive)
+        pt2 = dataclasses.replace(
+            pt0, pos=fback[:, 0:2], vel=fback[:, 2:4],
+            expiration=fback[:, 4], alive=alive_o)
+        if cfg.has_static_pressure:
+            pt2 = dataclasses.replace(
+                pt2, static_pressure=jnp.zeros_like(static_pressure)
+                .at[order].set(static_pressure))
+        if cfg.has_colormix:
+            pt2 = dataclasses.replace(
+                pt2, color=jnp.zeros_like(col).at[order].set(col))
+        if cfg.has_solid:
+            pt2 = dataclasses.replace(
+                pt2,
+                depth=jnp.zeros_like(pt.depth).at[order].set(pt.depth),
+                group_flags=pt.group_flags)
+        bc_cnt = jnp.zeros(n_, jnp.int32).at[order].set(
+            jnp.sum(bc_ok, axis=1).astype(jnp.int32))
+        return (pt2, body_dv, body_dw, bc_cnt), c_over
 
     bc_cnt0 = jnp.zeros(pt.pos.shape[0], jnp.int32)
     (pt, body_dv, body_dw, bc_cnt), c_over_iters = jax.lax.scan(
