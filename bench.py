@@ -181,15 +181,34 @@ def main():
     count = int(os.environ.get("BENCH_COUNT", "0"))
 
     if os.environ.get("BENCH_ALL"):
+        # driver-config scale (BASELINE.json): tumbler 2k boxes, joint farm
+        # 1k ragdolls, dam break 100k particles. vs_baseline divides by the
+        # per-entity single-core proxy rate measured at the smaller round-2
+        # configs — CPU step cost is near-linear in entity count, so the
+        # per-entity rate transfers (documented in BASELINE.md).
         results = {}
-        for scene, kw in [("pyramid", dict(rows=20)),
-                          ("pyramid", dict(rows=140)),
-                          ("tumbler", {}), ("joint_farm", {}),
-                          ("bullet_barrage", {}), ("dam_break", {})]:
-            w, tag = build(scene, kw.get("rows", rows), count)
+        for scene, n, tag in [("pyramid", 0, "pyramid-20"),
+                              ("pyramid", 0, "pyramid-140"),
+                              ("tumbler", 2000, "tumbler"),
+                              ("joint_farm", 1000, "joint_farm"),
+                              ("bullet_barrage", 100, "bullet_barrage"),
+                              ("dam_break", 100000, "dam_break")]:
+            r = 20 if tag == "pyramid-20" else 140
+            w, tag_ = build(scene, r, n)
             results[tag] = measure_world(w, tag, steps)
+            prof = w.state.profile
+            results[tag]["overflows"] = {
+                "pairs": int(prof.overflow_pairs),
+                "colors": int(prof.overflow_colors),
+                "ccd": int(prof.overflow_ccd),
+                "particles": int(prof.overflow_particles),
+                "events_dropped": int(prof.events_dropped),
+                "store_drops": int(prof.store_drops),
+            }
         results["batch"] = measure_batch(steps=steps)
         results["batch_flat"] = measure_batch_flat(steps=steps)
+        results["batch_flat_1024"] = measure_batch_flat(
+            1024, 8, min(steps, 120))
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "BENCH_FULL.json"), "w") as f:
             json.dump(results, f, indent=1)

@@ -48,8 +48,7 @@ class World:
         self.state: WorldState | None = None
         self.capacity: Capacity | None = None
         self._step = None
-        self._run = None
-        self._run_len = 0
+        self._run_fns = None
 
     # -- handles (ref: include/ID.cs:4-50 generation-checked ids) ----------
     # A handle packs (lane, generation): lane in the low 20 bits, the lane's
@@ -235,6 +234,7 @@ class World:
             self._sensors,
             continuous=self.builder.def_.enable_continuous,
             particle_cfg=self._pcfg, use_pallas=self._use_pallas)
+        self._run_fns = None  # cached scan fns close over the old step
 
     def step(self, dt: float = 1.0 / 60.0):
         if self._step is None:
@@ -242,26 +242,53 @@ class World:
         self.state = self._step(self.state, jnp.float32(dt))
         return self.state
 
-    def run(self, steps: int, dt: float = 1.0 / 60.0):
-        """Advance `steps` frames in ONE device dispatch (lax.scan over the
-        step). Per-call dispatch latency dominates small worlds — on a
-        remote-tunneled chip each step() round trip costs ~ms — so batching
-        frames is the single biggest small-scene throughput lever. Events
-        and profile reflect only the FINAL frame; callers that consume
+    def run(self, steps: int, dt: float = 1.0 / 60.0,
+            max_chunk: int | None = None):
+        """Advance `steps` frames via lax.scan over the step, dispatched in
+        bounded chunks. Per-call dispatch latency dominates small worlds —
+        on a remote-tunneled chip each step() round trip costs ~ms — so
+        batching frames is the single biggest small-scene throughput lever;
+        but a single dispatch that runs for minutes (100k-particle or
+        multi-thousand-body scenes) gets killed by the transport, so large
+        scenes split into power-of-two chunks sized inversely to the entity
+        count (each chunk length compiles once and is cached). Events and
+        profile reflect only the FINAL frame; callers that consume
         per-frame events should use step()."""
         if self._step is None:
             self.compile()
-        if self._run is None or self._run_len != steps:
-            inner = self._step
+        if max_chunk is None:
+            ent = self.state.bodies.center.shape[0]
+            if self.state.particles is not None:
+                ent += self.state.particles.pos.shape[0]
+            max_chunk = max(1, 2_000_000 // max(ent, 1))
+        chunk = min(steps, max_chunk)
+        if chunk < steps:
+            chunk = 1 << (chunk.bit_length() - 1)  # pow2: few cached fns
+        if not hasattr(self, "_run_fns") or self._run_fns is None:
+            self._run_fns = {}
+        inner = self._step
 
-            def multi(state, dt_):
-                return jax.lax.scan(
-                    lambda s, _: (inner(s, dt_), None),
-                    state, None, length=steps)[0]
+        def get_fn(length):
+            fn = self._run_fns.get(length)
+            if fn is None:
+                def multi(state, dt_, _length=length):
+                    return jax.lax.scan(
+                        lambda s, _: (inner(s, dt_), None),
+                        state, None, length=_length)[0]
 
-            self._run = jax.jit(multi)
-            self._run_len = steps
-        self.state = self._run(self.state, jnp.float32(dt))
+                fn = jax.jit(multi)
+                self._run_fns[length] = fn
+            return fn
+
+        dt_f = jnp.float32(dt)
+        left = steps
+        while left > 0:
+            # pow2 pieces only (240 = 128+64+32+16) so the set of compiled
+            # scan lengths stays logarithmic
+            n = min(chunk, 1 << (left.bit_length() - 1)) if chunk < steps \
+                else left
+            self.state = get_fn(n)(self.state, dt_f)
+            left -= n
         return self.state
 
     # -- accessors (ref: api/Body.cs getters) -------------------------------

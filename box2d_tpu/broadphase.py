@@ -170,22 +170,32 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     # dedupe sort, see the merge section)
     is_big = jnp.zeros(S, bool).at[bigs].set(big_valid)
     all_ids = jnp.arange(S)
-    bg_a = jnp.broadcast_to(bigs[:, None], (B, S)).reshape(-1)
-    bg_b = jnp.broadcast_to(all_ids[None, :], (B, S)).reshape(-1)
     body_of = sh.body
     body_dyn = b.type[body_of] == DYNAMIC
-    bg_ok = (m.aabb_overlaps(
-        jnp.concatenate([fat_lo[bigs][:, None, :].repeat(S, 1),
-                         fat_hi[bigs][:, None, :].repeat(S, 1)], -1).reshape(-1, 4),
-        jnp.concatenate([fat_lo[None, :, :].repeat(B, 0),
-                         fat_hi[None, :, :].repeat(B, 0)], -1).reshape(-1, 4))
-        & jnp.broadcast_to(big_valid[:, None], (B, S)).reshape(-1)
-        & alive[bg_b] & (bg_a != bg_b)
-        # same-body and one-dynamic here on the (B, S) domain, so the
-        # compacted lanes need no per-pair admissibility gathers at all
-        & (body_of[bigs][:, None] != body_of[None, :]).reshape(-1)
-        & (body_dyn[bigs][:, None] | body_dyn[None, :]).reshape(-1)
-        & (~is_big[bg_b] | (bg_a < bg_b)))
+    # (S, B) overlap of every shape vs every big — pure elementwise
+    # broadcasting (no (B*S, small) materialization: a (N, 2) i32 array
+    # tiles to (N, 128) on TPU, which OOMed HBM at 1024 replicated worlds).
+    # Each shape then compacts to at most KB big partners via top_k: a
+    # non-big shape sits under few wide shapes (its world's ground plane,
+    # a container wall), while a big shape may touch thousands — so the
+    # pair is always emitted from the NON-big (or lower-id big) side.
+    blo = fat_lo[bigs]
+    bhi = fat_hi[bigs]
+    ok_sb = ((fat_lo[:, 0:1] <= bhi[None, :, 0]) & (blo[None, :, 0] <= fat_hi[:, 0:1])
+             & (fat_lo[:, 1:2] <= bhi[None, :, 1]) & (blo[None, :, 1] <= fat_hi[:, 1:2])
+             & alive[:, None] & big_valid[None, :]
+             & (body_of[:, None] != body_of[bigs][None, :])
+             & (body_dyn[:, None] | body_dyn[bigs][None, :])
+             & (all_ids[:, None] != bigs[None, :])
+             # big-big pairs emit once, from the lower shape id
+             & (~is_big[:, None] | (all_ids[:, None] < bigs[None, :])))
+    KB = min(8, B)
+    scoreB = jnp.where(ok_sb, B - jnp.arange(B)[None, :], 0)
+    topB, _ = jax.lax.top_k(scoreB, KB)                 # (S, KB)
+    b_slot_ok = topB > 0
+    b_partner = bigs[jnp.clip(B - topB, 0, B - 1)]      # (S, KB) big ids
+    overflow_big = jnp.sum(jnp.maximum(
+        jnp.sum(ok_sb, axis=1) - KB, 0)).astype(jnp.int32)
 
     # ---- grid-cell block-tile pass -----------------------------------------
     # NON-BIG shapes sorted by (row, column) cell key; overlapping non-big
@@ -292,16 +302,17 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
     pos_ab = jnp.full((P + 1, 2), -1, jnp.int32).at[
         tgt.reshape(-1)].set(pair_pos.reshape(-1, 2), mode="drop")[:P]
 
-    bg_ok2 = bg_ok.reshape(B, S)
-    rank_b = jnp.cumsum(bg_ok2, axis=1) - 1
-    cnt_b = rank_b[:, -1] + 1          # == per-row total
+    rank_b = jnp.cumsum(b_slot_ok, axis=1) - 1
+    cnt_b = jnp.sum(b_slot_ok, axis=1)                     # (S,)
     base_b = count_win + jnp.cumsum(cnt_b) - cnt_b
-    slot_b = jnp.where(bg_ok2, base_b[:, None] + rank_b, P).reshape(-1)
+    slot_b = jnp.where(b_slot_ok, base_b[:, None] + rank_b, P)  # (S, KB)
     count = count_win + jnp.sum(cnt_b)
 
-    ids_bg = jnp.stack([bg_a, bg_b], axis=-1)
+    ids_bg = jnp.stack([
+        jnp.broadcast_to(all_ids[:, None], b_partner.shape),
+        b_partner], axis=-1)                               # (S, KB, 2)
     id_ab = jnp.full((P + 1, 2), -1, jnp.int32).at[
-        slot_b].set(ids_bg, mode="drop")[:P]
+        slot_b.reshape(-1)].set(ids_bg.reshape(-1, 2), mode="drop")[:P]
 
     # resolve: window lanes map sorted-position -> shape id; big lanes are
     # already shape ids
@@ -350,6 +361,7 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
         ) & jex[None, :]
         pair_valid = pair_valid & ~jnp.any(hit, axis=1)
 
-    overflow = (overflow_shapes + jnp.maximum(count - P, 0)).astype(jnp.int32)
+    overflow = (overflow_shapes + overflow_big
+                + jnp.maximum(count - P, 0)).astype(jnp.int32)
     return PairBuffer(shape_a, shape_b, pair_valid,
                       jnp.minimum(count, P).astype(jnp.int32), overflow)

@@ -158,6 +158,20 @@ class WorldBuilder:
         ns = len(self._shapes)
         nj = len(self._joints)
         if capacity is None:
+            # big_shape_cap must cover every outlier-wide shape: the grid
+            # cell size is the widest NON-big extent, so a wide shape left
+            # outside the big pass (e.g. the 17th ground plane in a
+            # replicated batch) blows the cell size up and floods the
+            # per-shape neighbor slots with same-cell candidates
+            exts = []
+            for s in self._shapes:
+                v = s["geom"].verts[:max(int(s["geom"].count), 1)]
+                exts.append(float(np.max(np.ptp(v, axis=0), initial=0.0))
+                            + 2.0 * float(s["geom"].radius))
+            n_big = 0
+            if exts:
+                med = float(np.median(exts))
+                n_big = int(np.sum(np.asarray(exts) > 4.0 * max(med, 1e-3)))
             capacity = Capacity(
                 max_bodies=max(nb, 1),
                 max_shapes=max(ns, 1),
@@ -165,18 +179,29 @@ class WorldBuilder:
                 max_contact_pairs=max(4 * ns, 64),
                 max_verts=max([2] + [int(s["geom"].count)
                                      for s in self._shapes]),
+                # the clamp must cover EVERY outlier (one ground plane per
+                # replicated world): a single uncovered wide shape poisons
+                # the cell size. The B x S big-pass compare only runs on
+                # pair rebuilds.
+                big_shape_cap=min(max(16, ((n_big + 7) // 8) * 8),
+                                  max(ns - 1, 1), 4096),
             )
         if capacity.fast_cap == 0:
             # auto-size the CCD fast-shape buffer so EVERY bullet shape gets
             # a TOI slot (ref: src/Solver.cs:1238-1274 runs all bullets) plus
-            # headroom for incidentally-fast dynamic bodies
+            # headroom proportional to the dynamic population for
+            # incidentally-fast bodies (a churning scene like the tumbler
+            # legitimately flags a few percent of its bodies fast each step;
+            # overflow is still counted in Profile.overflow_ccd)
             n_bullet_shapes = sum(
                 1 for s in self._shapes
                 if self._bodies[s["body"]]["flags"] & IS_BULLET)
+            n_dyn = sum(1 for b in self._bodies if b["type"] == DYNAMIC)
             capacity = dataclasses.replace(
                 capacity,
                 fast_cap=min(max(len(self._shapes), 1),
-                             max(32, ((n_bullet_shapes + 16 + 7) // 8) * 8)))
+                             max(64, ((n_bullet_shapes + max(16, n_dyn // 12)
+                                       + 7) // 8) * 8)))
         # trace-time gates: drop per-pair filter / joint-exclusion work from
         # the compiled step when the scene provably never needs it
         capacity = dataclasses.replace(

@@ -157,6 +157,10 @@ def replicate(base: World, n: int, spacing: float | None = None) -> World:
     """
     bb = base.builder
     assert bb._particle_builder is None, "replicate: rigid scenes only"
+    lo_y, hi_y = 1e30, -1e30
+    for b in bb._bodies:
+        lo_y = min(lo_y, float(b["position"][1]))
+        hi_y = max(hi_y, float(b["position"][1]))
     if spacing is None:
         lo, hi = 1e30, -1e30
         for b in bb._bodies:
@@ -164,14 +168,21 @@ def replicate(base: World, n: int, spacing: float | None = None) -> World:
             hi = max(hi, float(b["position"][0]))
         # widest shape reach heuristic: use scene x-extent with margin
         spacing = max(2.0 * (hi - lo + 10.0), 20.0)
+    # tile copies in a near-square 2-D grid, NOT a line: the grid broadphase
+    # sorts by cell row, and a line of copies concatenates every copy's
+    # boxes into the same rows — the forward-tile window then overflows
+    # (dropped pairs) once the row run exceeds Capacity.bp_tile
+    cols = int(math.ceil(math.sqrt(n)))
+    spacing_y = max(2.0 * (hi_y - lo_y + 10.0), 20.0)
 
     out = World(bb.def_)
     nb = len(bb._bodies)
     for k in range(n):
-        dx = k * spacing
+        dx = (k % cols) * spacing
+        dy = (k // cols) * spacing_y
         for b in bb._bodies:
             nbod = dict(b)
-            nbod["position"] = b["position"] + np.array([dx, 0.0], np.float32)
+            nbod["position"] = b["position"] + np.array([dx, dy], np.float32)
             nbod["mass_center"] = b["mass_center"].copy()
             out.builder._bodies.append(nbod)
         off = k * nb
