@@ -177,7 +177,8 @@ class World:
         # 0 = XLA path.
         use_pallas = 0
         if jax.default_backend() not in ("cpu",):
-            from .solver_pallas import fits_kernel, fits_tiled, window_width
+            from .solver_pallas import (fits_kernel, fits_tiled,
+                                        fits_tiled_streamed, window_width)
             from .state import JOINT_FILTER
             solvable = sorted(int(t) for t in jtypes if t != JOINT_FILTER)
             chunk = self.capacity.color_chunk or max(
@@ -199,6 +200,10 @@ class World:
                 use_pallas = 1
             elif fits_tiled(self.capacity.max_bodies, l0 + ovf + jl, w_win):
                 use_pallas = 2
+            elif fits_tiled_streamed(self.capacity.max_bodies, w_win):
+                # layout too long for resident acc/idx: stream them per
+                # window (mode 3) — giant flat batches ride the kernel
+                use_pallas = 3
         # keep the derived static config so the step can be re-made with a
         # tweaked Capacity without resetting runtime state (see set_filter)
         self._jtypes = jtypes

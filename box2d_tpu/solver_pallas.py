@@ -58,6 +58,8 @@ NF = 33
 # accumulator rows
 _A = dict(ni0=0, ni1=1, ti0=2, ti1=3, tni0=4, tni1=5, roll=6)
 NA = 9    # rows 0-6 used by contacts; joints use all 9 (see _JA)
+NA_PAD = 16  # NA rounded to the 8-sublane tiling (streamed-acc DMA slices
+#              must be tile-aligned in the row dimension)
 
 # JOINT row table — valid inside joint-kind windows (windows are kind-pure,
 # so the same row indices carry contact meaning in contact windows). Rows
@@ -636,6 +638,19 @@ def fits_tiled(nb: int, layout_len: int, w: int = DEFAULT_WINDOW,
              + 3 * NF * w           # streamed data windows (pipelined)
              + 4 * tb * w           # gather/scatter one-hot tiles
              + 48 * w + 65536)      # temporaries + slack
+    return words * 4 < 12 * 1024 * 1024
+
+
+def fits_tiled_streamed(nb: int, w: int = DEFAULT_WINDOW,
+                        tb: int = DEFAULT_BODY_TILE) -> bool:
+    """VMEM budget for the streamed-acc tiled kernel (mode 3): only the
+    body/params stay resident; data, acc, and idx stream per window, so
+    the layout length drops out of the budget entirely."""
+    nb_pad = ((max(nb, 128) + tb - 1) // tb) * tb
+    words = (28 * nb_pad
+             + 3 * (NFJ + NA + 2) * w   # pipelined data+acc+idx windows
+             + 4 * tb * w
+             + 48 * w + 65536)
     return words * 4 < 12 * 1024 * 1024
 
 
@@ -1230,11 +1245,12 @@ def _unwind(angle):
     return (x - jnp.floor(x)) * two_pi - 3.141592653589793
 
 
-def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple,
+def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple, stream: bool,
                   win_ref, tlo_ref, thi_ref, nact_ref, wrest_ref, kind_ref,
                   scal_ref, idx_ref, data_ref, acc_ref,
                   body_ref, param_ref,
-                  out_body_ref, out_acc_ref):
+                  out_body_ref, out_acc_ref,
+                  acc_vmem_ref=None, sem_in=None, sem_out=None):
     h = scal_ref[0:1, 0:1]
     inv_h = scal_ref[0:1, 1:2]
     contact_speed = scal_ref[0:1, 2:3]
@@ -1247,7 +1263,8 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple,
     @pl.when((s == 0) & (wi == 0))
     def _init():
         out_body_ref[:] = body_ref[:]
-        out_acc_ref[:] = acc_ref[:]
+        if not stream:
+            out_acc_ref[:] = acc_ref[:]
 
     # stage kind: p=0 integrate-velocities+warm, p=1 solve(bias),
     # p=2 integrate-positions+relax, p=3 restitution (final stage)
@@ -1304,15 +1321,33 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple,
 
     # restitution sweeps only run for windows that contain a lane with
     # nonzero restitution (wrest); most scenes have none and skip stage 3
-    @pl.when((wi < nact_ref[0]) & ((p != 3) | (wrest_ref[wi] > 0)))
+    run = (wi < nact_ref[0]) & ((p != 3) | (wrest_ref[wi] > 0))
+
+    @pl.when(run)
     def _sweep():
         col = pl.multiple_of(win_ref[wi] * w, w)
         tlo = tlo_ref[wi]
         thi = thi_ref[wi]
-        ia = idx_ref[0:1, pl.ds(col, w)]
-        ib = idx_ref[1:2, pl.ds(col, w)]
+        if stream:
+            # acc lives in HBM (aliased in->out buffer); fetch this
+            # window's slice into VMEM scratch by explicit DMA — output
+            # blocks may not be revisited across grid stages, so the
+            # auto-pipelined block path cannot carry a read-modify-write
+            # accumulator
+            pltpu.make_async_copy(
+                out_acc_ref.at[:, pl.ds(col, w)], acc_vmem_ref,
+                sem_in).start()
+            ia = idx_ref[0:1, :]              # streamed (2, w) block
+            ib = idx_ref[1:2, :]
+            pltpu.make_async_copy(
+                out_acc_ref.at[:, pl.ds(col, w)], acc_vmem_ref,
+                sem_in).wait()
+            a = acc_vmem_ref[:]
+        else:
+            ia = idx_ref[0:1, pl.ds(col, w)]
+            ib = idx_ref[1:2, pl.ds(col, w)]
+            a = out_acc_ref[:, pl.ds(col, w)]  # resident accumulator window
         d = data_ref[:]                       # streamed (NF, w) window
-        a = out_acc_ref[:, pl.ds(col, w)]     # resident accumulator window
 
         iota_tb = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
         # a- and b-side one-hots built and contracted as ONE (tb, 2w) op
@@ -1383,7 +1418,7 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple,
                 dvby = dvby + inv_mb * py
                 dwb = dwb + inv_ib * (rbx * py - rby * px)
             return (jnp.concatenate([dvax, dvay, dwa], 0),
-                    jnp.concatenate([dvbx, dvby, dwb], 0), a)
+                    jnp.concatenate([dvbx, dvby, dwb], 0), a[:NA])
 
         def solve_fn(_):
             bias_f = jnp.where(p == 1, 1.0, 0.0)
@@ -1519,7 +1554,16 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple,
             dva, dvb, acc_new = dispatch(None)
         else:
             dva, dvb, acc_new = contact_fn(None)
-        out_acc_ref[:, pl.ds(col, w)] = acc_new
+        if stream:
+            # scratch/HBM rows are padded to NA_PAD for DMA tiling; rows
+            # NA.. carry don't-care padding
+            acc_vmem_ref[:] = jnp.concatenate([acc_new, a[NA:]], 0)
+            copy_out = pltpu.make_async_copy(
+                acc_vmem_ref, out_acc_ref.at[:, pl.ds(col, w)], sem_out)
+            copy_out.start()
+            copy_out.wait()
+        else:
+            out_acc_ref[:, pl.ds(col, w)] = acc_new
         dvab = jnp.concatenate([dva, dvb], axis=1)       # (3, 2w)
 
         def scatter_tile(t, _):
@@ -1535,7 +1579,7 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple,
 
 def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
                     w: int, tb: int = DEFAULT_BODY_TILE, restitution=None,
-                    kind=None, key=None):
+                    kind=None, key=None, enumerate_all: bool = False):
     """Active-window list + per-window body-tile ranges.
 
     live: (L,) bool; body_a/b: (L,) i32; dyn_a/b: (L,) bool (dynamic
@@ -1596,8 +1640,19 @@ def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
                           key_w * n_win + jnp.arange(n_win, dtype=jnp.int32),
                           jnp.int32(jnp.iinfo(jnp.int32).max))
         wl = jnp.argsort(sortk).astype(jnp.int32)
-    last = wl[jnp.maximum(nact - 1, 0)]
-    wl = jnp.where(jnp.arange(n_win) < nact, wl, last)
+    if enumerate_all:
+        # the streamed-acc kernel visits EVERY window exactly once per
+        # stage (inactive ones write-through), so the tail must enumerate
+        # the inactive windows instead of repeating the last active one
+        if key is None:
+            posi = nact + jnp.cumsum(occ == 0) - 1
+            wl = wl.at[jnp.where(occ == 0, posi, n_win)].set(
+                jnp.arange(n_win, dtype=jnp.int32), mode="drop")
+        # (argsort branch already places each inactive window once, sorted
+        # to the tail)
+    else:
+        last = wl[jnp.maximum(nact - 1, 0)]
+        wl = jnp.where(jnp.arange(n_win) < nact, wl, last)
 
     tlo = jnp.minimum(tlo_w[wl], thi_w[wl])
     thi = thi_w[wl]
@@ -1624,11 +1679,19 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
                             kinds=None, jtypes: tuple = (),
                             w: int = DEFAULT_WINDOW,
                             tb: int = DEFAULT_BODY_TILE,
-                            grid_windows: int | None = None):
+                            grid_windows: int | None = None,
+                            stream_acc: bool = False):
     """Invoke the HBM-streaming tiled kernel. Shapes as run_solver_kernel
     except data may carry NFJ rows when joint windows ride along (jtypes =
     sorted trace-time joint types present); body row 5 (dq.c) must be
-    pre-shifted by -1 (see pack_bodies_tiled)."""
+    pre-shifted by -1 (see pack_bodies_tiled).
+
+    stream_acc: keep the accumulator in HBM (the acc input is aliased to
+    the acc output) and move each visited window's slice in/out of a VMEM
+    scratch by explicit DMA; idx streams as per-window blocks. This drops
+    the layout-length term from the VMEM budget (fits_tiled_streamed), so
+    arbitrarily long layouts (1024-world batches) ride the kernel.
+    Unvisited windows keep their impulses through the aliasing."""
     L = data.shape[1]
     nrows = data.shape[0]
     nb = body.shape[1]
@@ -1637,40 +1700,57 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
     if nb_pad != nb:
         body = jnp.pad(body, ((0, 0), (0, nb_pad - nb)))
         params = jnp.pad(params, ((0, 0), (0, nb_pad - nb)))
+    na_rows = NA_PAD if stream_acc else NA
+    if stream_acc:
+        acc = jnp.pad(acc, ((0, NA_PAD - NA), (0, 0)))
     n_win = L // w
     stages = 3 * nsub + 1
     gw = n_win if grid_windows is None else min(grid_windows, n_win)
     if kinds is None:
         kinds = jnp.zeros_like(win_list)
 
+    winmap = lambda s, wi, win_r, lo_r, hi_r, na_r, re_r, kd_r: (
+        0, win_r[wi])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(stages, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),    # scalars
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # idx
+            (pl.BlockSpec((2, w), winmap, memory_space=pltpu.VMEM)
+             if stream_acc else
+             pl.BlockSpec(memory_space=pltpu.VMEM)),  # idx
             pl.BlockSpec(                             # data: streamed window
-                (nrows, w),
-                lambda s, wi, win_r, lo_r, hi_r, na_r, re_r, kd_r: (
-                    0, win_r[wi]),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # acc (initial)
+                (nrows, w), winmap, memory_space=pltpu.VMEM),
+            (pl.BlockSpec(memory_space=pltpu.ANY)
+             if stream_acc else
+             pl.BlockSpec(memory_space=pltpu.VMEM)),  # acc
             pl.BlockSpec(memory_space=pltpu.VMEM),    # body (initial)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # params
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                   (pl.BlockSpec(memory_space=pltpu.ANY)
+                    if stream_acc else
+                    pl.BlockSpec(memory_space=pltpu.VMEM))),
+        scratch_shapes=([pltpu.VMEM((NA_PAD, w), jnp.float32),
+                         pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+                        if stream_acc else []),
     )
-    kern = functools.partial(_tiled_kernel, nsub, w, tb, tuple(jtypes))
+    kern = functools.partial(_tiled_kernel, nsub, w, tb, tuple(jtypes),
+                             stream_acc)
     out_body, out_acc = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((NA, L), jnp.float32)),
+                   jax.ShapeDtypeStruct((na_rows, L), jnp.float32)),
+        # the HBM accumulator buffer is read-modify-written in place; the
+        # alias also preserves unvisited windows' stored impulses
+        input_output_aliases={9: 1} if stream_acc else {},
     )(win_list, tile_lo, tile_hi, nact, wrest, kinds,
       scalars, idx, data, acc, body, params)
     if nb_pad != nb:
         out_body = out_body[:, :nb]
+    if stream_acc:
+        out_acc = out_acc[:NA]
     return out_body, out_acc
 
 

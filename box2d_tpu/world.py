@@ -292,7 +292,7 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     from .state import JOINT_FILTER
     solvable_joints = tuple(sorted(
         int(t) for t in joint_types if int(t) != JOINT_FILTER))
-    if use_pallas and (not solvable_joints or use_pallas == 2):
+    if use_pallas and (not solvable_joints or use_pallas >= 2):
         # flagship path: the whole substep pipeline in one Pallas kernel.
         # mode 1 = VMEM-resident mega-kernel (small scenes / batched worlds,
         # contact-only), mode 2 = HBM-streaming tiled kernel (large scenes
@@ -309,7 +309,7 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                                     window_metadata, window_width)
 
         data_p, acc_p, idx_p = pack_constraints_pairs(cc, contact_relax)
-        with_joints = bool(solvable_joints) and use_pallas == 2
+        with_joints = bool(solvable_joints) and use_pallas >= 2
         w_win = window_width(chunk)
         J = jn.type.shape[0]
         n_groups = 0
@@ -384,7 +384,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             h, inv_h, tn.contact_speed, tn.restitution_threshold,
             tn.max_linear_speed, jnp.float32(0), jnp.float32(0),
             jnp.float32(0)])[None, :]
-        if use_pallas == 2:
+        if use_pallas >= 2:
+            stream_acc = use_pallas == 3
             bodyp, paramsp = pack_bodies_tiled(b, bs, tn, h, inv_dt)
             liveL = idxL[:, 0] >= 0
             bodyL_a = jnp.maximum(idxL[:, 0], 0)
@@ -411,7 +412,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                 jtypes=solvable_joints if with_joints else (), w=w_win,
                 grid_windows=max_active_windows(
                     lay_len_k // w_win, p_cap, cap.max_colors, ovf_cap,
-                    w_win, J if with_joints else 0, n_groups))
+                    w_win, J if with_joints else 0, n_groups),
+                stream_acc=stream_acc)
             if until == "kernel":
                 return out_body, out_acc
             bs = unpack_bodies_tiled(bs, out_body)

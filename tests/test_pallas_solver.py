@@ -65,6 +65,41 @@ def test_tiled_pallas_solver_matches_xla_interpreted():
                                np.asarray(sx.bodies.v), atol=2e-3)
 
 
+def test_streamed_acc_tiled_solver_matches_xla_interpreted():
+    """Mode 3 (streamed acc/idx blocks, every window visited with write-
+    through on skipped ones) must reproduce the XLA path exactly like
+    mode 2 does."""
+    from jax.experimental.pallas import tpu as pltpu
+    from box2d_tpu.state import Capacity
+
+    w = scenes.pyramid(rows=4)
+    nb = len(w.builder._bodies)
+    ns = len(w.builder._shapes)
+    cap = Capacity(max_bodies=nb, max_shapes=ns, max_joints=1,
+                   max_contact_pairs=max(4 * ns, 64), color_chunk=128)
+    state, cap = w.builder.build(cap)
+    classes = classes_for_shape_types(s["geom"].type for s in w.builder._shapes)
+
+    step_x = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes, 4,
+                                     frozenset(), (), False, None, 0))
+    step_t = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes, 4,
+                                     frozenset(), (), False, None, 3))
+    sx = state
+    st = state
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(5):
+            sx = step_x(sx)
+            st = step_t(st)
+    np.testing.assert_allclose(np.asarray(st.bodies.center),
+                               np.asarray(sx.bodies.center), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.bodies.v),
+                               np.asarray(sx.bodies.v), atol=2e-3)
+    # warm-start impulses survive the streamed store
+    np.testing.assert_allclose(np.asarray(st.contacts.normal_impulse),
+                               np.asarray(sx.contacts.normal_impulse),
+                               atol=2e-3)
+
+
 def test_tiled_kernel_kinematic_beyond_dynamic_tiles():
     """A KINEMATIC body whose index lies in a body tile beyond every dynamic
     body's tile must still be gathered by the mode-2 kernel: the shifted-dq
