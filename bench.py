@@ -29,19 +29,21 @@ import jax
 import numpy as np
 
 # single-core CPU XLA-path proxies (body-steps/s or particle-steps/s),
-# measured with tools/cpu_baseline.py on this host; see BASELINE.md
-# measured 2026-08-17 (tools/cpu_baseline.py, xla_cpu single thread,
-# entity-steps/s, sleep enabled on both sides): see BASELINE.md
+# measured with tools/cpu_baseline.py on this host; see BASELINE.md.
+# re-measured 2026-08-18 with ROUND-3 code (the engine's CPU path sped up
+# too — quiet-step gates, V-wide manifolds, sorted-space particles — so
+# stale proxies would inflate vs_baseline). tumbler/joint_farm/dam_break
+# measured AT DRIVER SCALE (2000 boxes / 1000 ragdolls / 100k particles).
 CPU_BASELINE = {
-    "pyramid-20": 212490.5,
-    "pyramid-140": 114942.9,
-    "tumbler": 105575.4,
-    "joint_farm": 78859.5,
-    "bullet_barrage": 22548.2,
-    "dam_break": 84609.4,
+    "pyramid-20": 210230.3,
+    "pyramid-140": 190706.1,
+    "tumbler": 135347.4,
+    "joint_farm": 292343.8,
+    "bullet_barrage": 19872.4,
+    "dam_break": 185457.0,
     # a single core runs batch members sequentially, so the per-world rate
     # is the batch baseline
-    "batch": 212490.5,
+    "batch": 210230.3,
 }
 
 

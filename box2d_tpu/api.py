@@ -115,7 +115,36 @@ class World:
         return self.create_shape(body, def_, geom)
 
     def create_chain(self, body: int, def_: t.ChainDef):
-        return self.builder.create_chain(body, def_)
+        if self.state is None:
+            return self.builder.create_chain(body, def_)
+        # runtime: build the same per-edge ChainSegment shapes through the
+        # lane-spawning path (ref: api/Chain.cs:12-134)
+        pts = [np.asarray(p, np.float32) for p in def_.points]
+        n = len(pts)
+        assert n >= 4, "chain needs at least 4 points"
+        mats = list(def_.materials)
+
+        def seg_material(i):
+            return mats[i % len(mats)] if len(mats) > 1 else mats[0]
+
+        ids = []
+
+        def add(g1, p1, p2, g2, mat):
+            geom = g.chain_segment(p1, p2, g1, g2)
+            sd = t.ShapeDef(material=mat, density=1.0, filter=def_.filter,
+                            enable_sensor_events=def_.enable_sensor_events)
+            sd.update_body_mass = False
+            ids.append(self._spawn_shape(body, sd, geom))
+
+        if def_.is_loop:
+            for i in range(n):
+                add(pts[(i - 1) % n], pts[i], pts[(i + 1) % n],
+                    pts[(i + 2) % n], seg_material(i))
+        else:
+            for i in range(n - 3):
+                add(pts[i], pts[i + 1], pts[i + 2], pts[i + 3],
+                    seg_material(i))
+        return ids
 
     def create_joint(self, def_) -> int:
         if self.state is None:

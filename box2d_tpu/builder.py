@@ -201,7 +201,7 @@ class WorldBuilder:
                 capacity,
                 fast_cap=min(max(len(self._shapes), 1),
                              max(64, ((n_bullet_shapes
-                                       + min(256, max(16, n_dyn // 12))
+                                       + min(256, max(16, n_dyn // 8))
                                        + 7) // 8) * 8)))
         # trace-time gates: drop per-pair filter / joint-exclusion work from
         # the compiled step when the scene provably never needs it

@@ -114,6 +114,27 @@ def test_runtime_spawn_joint_constrains():
     assert w.body_position(bob)[1] < 2.0
 
 
+def test_runtime_chain_creation():
+    """A chain created after compile() routes through the lane-spawning
+    path, adds the chain pair classes (one-time step re-make), and
+    collides one-sided like a builder-time chain."""
+    w = World(t.WorldDef(enable_sleep=False))
+    far = w.create_body(t.BodyDef(type=t.STATIC))
+    w.create_circle_shape(far, t.ShapeDef(), (50.0, 50.0), 0.1)
+    w.compile(Capacity(max_bodies=8, max_shapes=16, max_joints=1,
+                       max_contact_pairs=64, max_verts=4))
+    w.step()
+    gb = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 0.0)))
+    ids = w.create_chain(gb, t.ChainDef(
+        points=[(6.0, 0), (4.0, 0), (-4.0, 0), (-6.0, 0)], is_loop=False))
+    assert len(ids) == 1  # open chain: n-3 colliding segments
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.5)))
+    w.create_circle_shape(b, t.ShapeDef(density=1.0), (0.0, 0.0), 0.25)
+    for _ in range(150):
+        w.step()
+    assert abs(w.body_position(b)[1] - 0.25) < 0.02
+
+
 def test_destroy_body_destroys_attached_joints():
     w = _ground_world(_cap())
     a = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 3.0)))
