@@ -1565,6 +1565,20 @@ class World:
                 if st.particles is not None else 0),
         }
 
+    def validate(self, raise_on_error: bool = True) -> list:
+        """State-invariant validation (the B2_VALIDATE analog, ref:
+        src/World.cs:457-753 ValidateConnectivity/SolverSets/Contacts):
+        cross-references, mass data, coloring conflict-freedom, island
+        min-labels, free-list consistency. Returns the violation list;
+        raises AssertionError when non-empty unless raise_on_error=False."""
+        from .validate import validate_world
+
+        out = validate_world(self)
+        if out and raise_on_error:
+            raise AssertionError("state validation failed:\n  "
+                                 + "\n  ".join(out))
+        return out
+
     def profile_phases(self, n: int = 20) -> dict:
         """Measured per-phase step timings in milliseconds (ref:
         include/Types.cs:378-403 Profile). The jitted step is ONE fused XLA

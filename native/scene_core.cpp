@@ -11,9 +11,12 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <set>
 #include <unordered_map>
 #include <vector>
 
@@ -191,42 +194,115 @@ int build_pairs(const float* pos, int n, float max_dist,
     return count;
 }
 
-// Triads from the stride grid: for each particle join (+x, +y, +xy) neighbors
-// into two triangles per grid cell. Writes (a, b, c) triples and the rest
-// offsets (pa, pb, pc from midpoint). Returns triad count.
+// Elastic-triad connectivity via a grid flood-fill Voronoi diagram
+// (behavioral counterpart of ref: particle/VoronoiDiagram.cs:18-119 +
+// UpdatePairsAndTriads :827-861): cell size = stride/2, bbox padded by
+// 2*stride; a BFS seeded at each generator fills empty cells first-come,
+// then a correction sweep steals cells for strictly closer generators;
+// triads are emitted at 2x2 cell corners where three distinct regions
+// meet, capped at the reference's max triad edge length (2*diameter),
+// deduplicated on the unordered index triple. Writes (a, b, c) triples
+// and the rest offsets (pa, pb, pc from midpoint). Returns triad count.
 int build_triads(const float* pos, int n, float stride,
                  int32_t* tri, float* rest, int max_triads) {
-    std::unordered_map<CellKey, int, CellHash> key;
-    double inv = 1.0 / stride;
+    if (n < 3) return 0;
+    double radius = 0.5 * stride;          // ref: Generate(ParticleStride/2,
+    double margin = 2.0 * stride;          //               ParticleStride*2)
+    double diameter = stride / 0.75;       // stride = 0.75 * diameter
+    double maxd2 = 4.0 * diameter * diameter;  // b2_maxTriadDistanceSquared
+    double inv = 1.0 / radius;
+    double lx = 1e300, ly = 1e300, ux = -1e300, uy = -1e300;
     for (int i = 0; i < n; i++) {
-        int64_t ix = (int64_t)std::llround(pos[2*i] * inv);
-        int64_t iy = (int64_t)std::llround(pos[2*i+1] * inv);
-        key[{ (ix << 32) ^ (iy & 0xffffffffLL) }] = i;
+        lx = std::min(lx, (double)pos[2*i]);
+        ux = std::max(ux, (double)pos[2*i]);
+        ly = std::min(ly, (double)pos[2*i+1]);
+        uy = std::max(uy, (double)pos[2*i+1]);
     }
-    auto get = [&](int64_t ix, int64_t iy) -> int {
-        auto it = key.find({ (ix << 32) ^ (iy & 0xffffffffLL) });
-        return it == key.end() ? -1 : it->second;
+    lx -= margin; ly -= margin; ux += margin; uy += margin;
+    int cx = 1 + (int)(inv * (ux - lx));
+    int cy = 1 + (int)(inv * (uy - ly));
+    if (cx <= 0 || cy <= 0 || (int64_t)cx * cy > ((int64_t)1 << 26))
+        return 0;                          // degenerate / absurdly sparse
+    std::vector<int> diag((size_t)cx * cy, -1);
+    std::vector<double> gx(n), gy(n);
+    struct Task { int x, y, i, g; };
+    std::deque<Task> q;
+    for (int i = 0; i < n; i++) {
+        gx[i] = inv * (pos[2*i] - lx);
+        gy[i] = inv * (pos[2*i+1] - ly);
+        int x = (int)gx[i], y = (int)gy[i];
+        if (x >= 0 && y >= 0 && x < cx && y < cy)
+            q.push_back({x, y, x + y * cx, i});
+    }
+    auto push4 = [&](int x, int y, int i, int g) {
+        if (x > 0) q.push_back({x - 1, y, i - 1, g});
+        if (y > 0) q.push_back({x, y - 1, i - cx, g});
+        if (x < cx - 1) q.push_back({x + 1, y, i + 1, g});
+        if (y < cy - 1) q.push_back({x, y + 1, i + cx, g});
     };
-    int count = 0;
-    for (int i = 0; i < n && count < max_triads; i++) {
-        int64_t ix = (int64_t)std::llround(pos[2*i] * inv);
-        int64_t iy = (int64_t)std::llround(pos[2*i+1] * inv);
-        int right = get(ix+1, iy), up = get(ix, iy+1), diag = get(ix+1, iy+1);
-        int tris[2][3] = { { i, right, up }, { right, diag, up } };
-        for (auto& t : tris) {
-            if (t[0] < 0 || t[1] < 0 || t[2] < 0 || count >= max_triads) continue;
-            double mx = (pos[2*t[0]] + pos[2*t[1]] + pos[2*t[2]]) / 3.0;
-            double my = (pos[2*t[0]+1] + pos[2*t[1]+1] + pos[2*t[2]+1]) / 3.0;
-            tri[3*count] = t[0];
-            tri[3*count+1] = t[1];
-            tri[3*count+2] = t[2];
-            for (int k = 0; k < 3; k++) {
-                rest[6*count + 2*k] = (float)(pos[2*t[k]] - mx);
-                rest[6*count + 2*k + 1] = (float)(pos[2*t[k]+1] - my);
+    while (!q.empty()) {                   // first-come flood fill
+        Task t = q.front(); q.pop_front();
+        if (diag[t.i] < 0) { diag[t.i] = t.g; push4(t.x, t.y, t.i, t.g); }
+    }
+    for (int y = 0; y < cy; y++)           // boundary-correction seeds
+        for (int x = 0; x < cx - 1; x++) {
+            int i = x + y * cx;
+            if (diag[i] != diag[i + 1]) {
+                q.push_back({x, y, i, diag[i + 1]});
+                q.push_back({x + 1, y, i + 1, diag[i]});
             }
-            count++;
+        }
+    for (int y = 0; y < cy - 1; y++)
+        for (int x = 0; x < cx; x++) {
+            int i = x + y * cx;
+            if (diag[i] != diag[i + cx]) {
+                q.push_back({x, y, i, diag[i + cx]});
+                q.push_back({x, y + 1, i + cx, diag[i]});
+            }
+        }
+    auto d2 = [&](int g, int x, int y) {
+        double dx = gx[g] - x, dy = gy[g] - y;
+        return dx * dx + dy * dy;
+    };
+    while (!q.empty()) {                   // steal strictly-closer cells
+        Task t = q.front(); q.pop_front();
+        int a = diag[t.i], b = t.g;
+        if (a != b && d2(a, t.x, t.y) > d2(b, t.x, t.y)) {
+            diag[t.i] = b;
+            push4(t.x, t.y, t.i, b);
         }
     }
+    std::set<std::array<int, 3>> seen;
+    int count = 0;
+    auto emit = [&](int a, int b, int c) {
+        if (count >= max_triads) return;
+        double pax = pos[2*a], pay = pos[2*a+1];
+        double pbx = pos[2*b], pby = pos[2*b+1];
+        double pcx = pos[2*c], pcy = pos[2*c+1];
+        double ab2 = (pax-pbx)*(pax-pbx) + (pay-pby)*(pay-pby);
+        double bc2 = (pbx-pcx)*(pbx-pcx) + (pby-pcy)*(pby-pcy);
+        double ca2 = (pcx-pax)*(pcx-pax) + (pcy-pay)*(pcy-pay);
+        if (ab2 > maxd2 || bc2 > maxd2 || ca2 > maxd2) return;
+        std::array<int, 3> k{a, b, c};
+        std::sort(k.begin(), k.end());
+        if (!seen.insert(k).second) return;
+        double mx = (pax + pbx + pcx) / 3.0, my = (pay + pby + pcy) / 3.0;
+        tri[3*count] = a; tri[3*count+1] = b; tri[3*count+2] = c;
+        rest[6*count+0] = (float)(pax - mx); rest[6*count+1] = (float)(pay - my);
+        rest[6*count+2] = (float)(pbx - mx); rest[6*count+3] = (float)(pby - my);
+        rest[6*count+4] = (float)(pcx - mx); rest[6*count+5] = (float)(pcy - my);
+        count++;
+    };
+    for (int y = 0; y < cy - 1; y++)       // GetNodes (ref :104-119)
+        for (int x = 0; x < cx - 1; x++) {
+            int i = x + y * cx;
+            int a = diag[i], b = diag[i + 1];
+            int c = diag[i + cx], d = diag[i + cx + 1];
+            if (b != c) {
+                if (a != b && a != c) emit(a, b, c);
+                if (d != b && d != c) emit(b, d, c);
+            }
+        }
     return count;
 }
 
