@@ -406,7 +406,9 @@ def prepare_joints(bodies, center, rot, joints, tuning, h, inv_h):
         c_hertz = min(F(d["constraint_hertz"]), F(0.25) * inv_h)
         j.constraint_soft = softness(c_hertz, d["constraint_damping_ratio"], h)
         j.spring_soft = softness(d["hertz"], d["damping_ratio"], h)
-        if j.kind == "revolute":
+        if j.kind in ("revolute", "prismatic"):
+            # prismatic axial mass depends on per-substep lever arms and is
+            # recomputed inside solve (ref: PrismaticJoint.cs:166-169)
             k = ia + ib
             j.axial_mass = F(1) / k if k > 0 else F(0)
         else:  # distance (upstream-correct inverse inertia, see header)
@@ -441,6 +443,27 @@ def warm_start_joints(bodies, joints):
             if bb.dynamic:
                 bb.v = (bb.v + mb * P).astype(F)
                 bb.w = F(bb.w + ib * (_cross(rb, P) + axial))
+        elif j.kind == "prismatic":
+            # ref: PrismaticJoint.cs:116-148
+            dv = bb.dp - ba.dp + j.delta_center + (rb - ra)
+            axis = _rot_vec(ba.dq, _rot_vec(j.frame_a_q,
+                                            np.array([1, 0], F)))
+            a1 = _cross(ra + dv, axis)
+            a2 = _cross(rb, axis)
+            perp = np.array([-axis[1], axis[0]], F)      # LeftPerp
+            s1 = _cross(ra + dv, perp)
+            s2 = _cross(rb, perp)
+            axial = (j.spring_impulse + j.motor_impulse
+                     + j.lower_impulse - j.upper_impulse)
+            P = axial * axis + j.impulse[0] * perp
+            LA = axial * a1 + j.impulse[0] * s1 + j.impulse[1]
+            LB = axial * a2 + j.impulse[0] * s2 + j.impulse[1]
+            if ba.dynamic:
+                ba.v = (ba.v - ma * P).astype(F)
+                ba.w = F(ba.w - ia * LA)
+            if bb.dynamic:
+                bb.v = (bb.v + mb * P).astype(F)
+                bb.w = F(bb.w + ib * LB)
         else:
             ds = bb.dp - ba.dp + (rb - ra)
             sep = j.delta_center + ds
@@ -539,6 +562,112 @@ def solve_joint(bodies, j, h, inv_h, use_bias):
         wa -= ia * _cross(ra, imp)
         vb = vb + mb * imp
         wb += ib * _cross(rb, imp)
+    elif j.kind == "prismatic":
+        # ref: PrismaticJoint.cs:149-290, with the engine's documented
+        # upstream fixes (box2d_tpu/joints.py header): the port applies the
+        # stale `impulse` member at :217/:241 (should be the delta) and
+        # gates limits on an inverted speculative-distance test; the oracle
+        # implements the upstream semantics the engine uses.
+        ra = _rot_vec(ba.dq, j.frame_a_p)
+        rb = _rot_vec(bb.dq, j.frame_b_p)
+        dv = bb.dp - ba.dp + j.delta_center + (rb - ra)
+        axis = _rot_vec(ba.dq, _rot_vec(j.frame_a_q, np.array([1, 0], F)))
+        qa = _rot_mul(ba.dq, j.frame_a_q)
+        qb = _rot_mul(bb.dq, j.frame_b_q)
+        rel_q = _inv_mul_rot(qa, qb)
+        translation = F(axis @ dv)
+        a1 = _cross(ra + dv, axis)
+        a2 = _cross(rb, axis)
+        k = ma + mb + ia * a1 * a1 + ib * a2 * a2
+        axial_mass = F(1) / k if k > 0 else F(0)
+
+        if d["enable_spring"]:
+            s_bias, s_mass, s_imp = j.spring_soft
+            C = translation - F(d["spring_target"])
+            cdot = F(axis @ (vb - va)) + a2 * wb - a1 * wa
+            imp = (-s_mass * axial_mass * (cdot + s_bias * C)
+                   - s_imp * j.spring_impulse)
+            j.spring_impulse = F(j.spring_impulse + imp)
+            P = imp * axis
+            va = va - ma * P
+            wa -= ia * imp * a1
+            vb = vb + mb * P
+            wb += ib * imp * a2
+        if d["enable_motor"]:
+            cdot = F(axis @ (vb - va)) + a2 * wb - a1 * wa
+            imp = axial_mass * (F(d["motor_speed"]) - cdot)
+            old = j.motor_impulse
+            max_imp = h * F(d["max_motor_force"])
+            j.motor_impulse = F(np.clip(old + imp, -max_imp, max_imp))
+            imp = j.motor_impulse - old
+            P = imp * axis
+            va = va - ma * P
+            wa -= ia * imp * a1
+            vb = vb + mb * P
+            wb += ib * imp * a2
+        if d["enable_limit"]:
+            # lower
+            C = translation - F(d["lower"])
+            bias, msc, isc = F(0), F(1), F(0)
+            if C > 0:
+                bias = C * inv_h
+            elif use_bias:
+                bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+            cdot = F(axis @ (vb - va)) + a2 * wb - a1 * wa
+            old = j.lower_impulse
+            imp = -msc * axial_mass * (cdot + bias) - isc * old
+            j.lower_impulse = F(max(old + imp, 0))
+            imp = j.lower_impulse - old
+            P = imp * axis
+            va = va - ma * P
+            wa -= ia * imp * a1
+            vb = vb + mb * P
+            wb += ib * imp * a2
+            # upper
+            C = F(d["upper"]) - translation
+            bias, msc, isc = F(0), F(1), F(0)
+            if C > 0:
+                bias = C * inv_h
+            elif use_bias:
+                bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+            cdot = -(F(axis @ (vb - va)) + a2 * wb - a1 * wa)
+            old = j.upper_impulse
+            imp = -msc * axial_mass * (cdot + bias) - isc * old
+            j.upper_impulse = F(max(old + imp, 0))
+            imp = j.upper_impulse - old
+            P = imp * axis
+            va = va + ma * P
+            wa += ia * imp * a1
+            vb = vb - mb * P
+            wb -= ib * imp * a2
+        # perp + angle 2x2 block (ref :249-275)
+        perp = np.array([-axis[1], axis[0]], F)          # LeftPerp
+        s1 = _cross(ra + dv, perp)
+        s2 = _cross(rb, perp)
+        cdot1 = F(perp @ (vb - va)) + s2 * wb - s1 * wa
+        cdot2 = wb - wa
+        b1 = b2 = F(0)
+        msc, isc = F(1), F(0)
+        if use_bias:
+            b1 = cs_bias * F(perp @ dv)
+            b2 = cs_bias * F(np.arctan2(rel_q[1], rel_q[0]))
+            msc, isc = cs_mass, cs_imp
+        k11 = ma + mb + ia * s1 * s1 + ib * s2 * s2
+        k12 = ia * s1 + ib * s2
+        k22 = ia + ib
+        if k22 == 0:
+            k22 = F(1)
+        bsol = _mat22_solve(F(k11), F(k12), F(k22),
+                            np.array([cdot1 + b1, cdot2 + b2], F))
+        imp2 = (-msc * bsol - isc * j.impulse).astype(F)
+        j.impulse = (j.impulse + imp2).astype(F)
+        P = imp2[0] * perp
+        LA = imp2[0] * s1 + imp2[1]
+        LB = imp2[0] * s2 + imp2[1]
+        va = va - ma * P
+        wa -= ia * LA
+        vb = vb + mb * P
+        wb += ib * LB
     else:  # distance
         ra = _rot_vec(ba.dq, j.frame_a_p)
         rb = _rot_vec(bb.dq, j.frame_b_p)

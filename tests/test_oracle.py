@@ -91,7 +91,8 @@ def _oracle_joints(state):
     """Read static joint params from the engine's compiled Joints state into
     OJoint records (the oracle's math is independent; only the parameters
     are shared, mirroring how contacts consume the engine narrow phase)."""
-    from box2d_tpu.state import JOINT_DISTANCE, JOINT_REVOLUTE
+    from box2d_tpu.state import (JOINT_DISTANCE, JOINT_PRISMATIC,
+                                 JOINT_REVOLUTE)
 
     jn = state.joints
     lc = np.asarray(state.bodies.local_center, F)
@@ -101,7 +102,8 @@ def _oracle_joints(state):
         if ty < 0:
             continue
         kind = {JOINT_REVOLUTE: "revolute",
-                JOINT_DISTANCE: "distance"}[ty]
+                JOINT_DISTANCE: "distance",
+                JOINT_PRISMATIC: "prismatic"}[ty]
         a, b = int(np.asarray(jn.body_a[i])), int(np.asarray(jn.body_b[i]))
         d = {k: np.asarray(getattr(jn, k)[i])
              for k in ("frame_a_p", "frame_a_q", "frame_b_p", "frame_b_q",
@@ -236,6 +238,27 @@ def _pendulum(motor=False, limit=False, spring=False):
     return w
 
 
+def _slider(motor=False, spring=False):
+    """Prismatic slider on a vertical rail under gravity (joint oracle,
+    ref: src/joints/PrismaticJoint.cs:88-290)."""
+    w = _world()
+    rail = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 4.0)))
+    block = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 3.8),
+                                    angle=0.1))
+    w.create_polygon_shape(block, t.ShapeDef(density=1.0), g.box(0.3, 0.2))
+    kw = dict(enable_limit=True, lower_translation=-1.5,
+              upper_translation=0.2)
+    if motor:
+        kw.update(enable_motor=True, max_motor_force=30.0, motor_speed=0.5)
+    if spring:
+        kw.update(enable_spring=True, hertz=2.0, damping_ratio=0.3,
+                  target_translation=-0.5)
+    w.create_joint(t.PrismaticJointDef(
+        body_a=rail, body_b=block, local_anchor_a=(0.0, 0.0),
+        local_anchor_b=(0.0, 0.0), local_axis_a=(0.0, 1.0), **kw))
+    return w
+
+
 def _dist_bob(spring=False):
     """Distance-joint bob under gravity (joint oracle, ref:
     src/joints/DistanceJoint.cs:88-260)."""
@@ -266,6 +289,7 @@ def _dist_bob(spring=False):
     ("pendulum", 1000, 1e-3), ("pendulum_motor", 1000, 1e-3),
     ("pendulum_spring", 1000, 1e-3),
     ("dist_rigid", 1000, 1e-3), ("dist_spring", 1000, 1e-3),
+    ("slider", 1000, 1e-3), ("slider_motor", 1000, 1e-3),
 ])
 def test_oracle_drift(scene, steps, bound):
     builders = {
@@ -280,6 +304,8 @@ def test_oracle_drift(scene, steps, bound):
         "pendulum_spring": lambda: _pendulum(spring=True),
         "dist_rigid": _dist_bob,
         "dist_spring": lambda: _dist_bob(spring=True),
+        "slider": _slider,
+        "slider_motor": lambda: _slider(motor=True, spring=True),
     }
     oracle_c = _run_oracle(builders[scene](), steps)
     engine_c = _run_engine(builders[scene](), steps)
