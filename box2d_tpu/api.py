@@ -267,8 +267,32 @@ class World:
             self.capacity, self._classes, self.substeps, self._jtypes,
             self._sensors,
             continuous=self.builder.def_.enable_continuous,
-            particle_cfg=self._pcfg, use_pallas=self._use_pallas)
+            particle_cfg=self._pcfg, use_pallas=self._use_pallas,
+            custom_filter=getattr(self, "_custom_filter", None),
+            pre_solve=getattr(self, "_pre_solve", None))
         self._run_fns = None  # cached scan fns close over the old step
+
+    # -- user hooks (ref: api/World.cs SetCustomFilterCallback /
+    # SetPreSolveCallback; include/Types.cs:813,:827) -----------------------
+
+    def set_custom_filter(self, fn) -> None:
+        """Install a jittable pair filter
+        `fn(state, shape_a_ids, shape_b_ids) -> keep mask`, evaluated when
+        candidate pairs are (re)built (see world.make_step docstring).
+        Pass None to remove. Triggers a step re-trace."""
+        self._custom_filter = fn
+        if self.state is not None:
+            self._remake_step()
+            self._mark_broadphase_dirty()
+
+    def set_pre_solve(self, fn) -> None:
+        """Install a jittable pre-solve hook
+        `fn(state, shape_a_ids, shape_b_ids, manifold) -> keep mask`,
+        evaluated on fresh manifolds every step — the one-way-platform
+        hook (see world.make_step docstring). Pass None to remove."""
+        self._pre_solve = fn
+        if self.state is not None:
+            self._remake_step()
 
     def step(self, dt: float = 1.0 / 60.0):
         if self._step is None:
@@ -277,7 +301,7 @@ class World:
         return self.state
 
     def run(self, steps: int, dt: float = 1.0 / 60.0,
-            max_chunk: int | None = None):
+            max_chunk: int | None = None, collect_events: bool = False):
         """Advance `steps` frames via lax.scan over the step, dispatched in
         bounded chunks. Per-call dispatch latency dominates small worlds —
         on a remote-tunneled chip each step() round trip costs ~ms — so
@@ -285,9 +309,15 @@ class World:
         but a single dispatch that runs for minutes (100k-particle or
         multi-thousand-body scenes) gets killed by the transport, so large
         scenes split into power-of-two chunks sized inversely to the entity
-        count (each chunk length compiles once and is cached). Events and
-        profile reflect only the FINAL frame; callers that consume
-        per-frame events should use step()."""
+        count (each chunk length compiles once and is cached).
+
+        collect_events=False (default): events/profile reflect only the
+        FINAL frame; returns the new state.
+        collect_events=True: every frame's Events pytree is carried out of
+        the scan (ys) and returned STACKED with a leading (steps,) axis —
+        the analog of consuming the reference's per-step event buffers
+        (ref: src/World.cs:101-111) without leaving the device between
+        frames. Returns (state, events_stacked)."""
         if self._step is None:
             self.compile()
         if max_chunk is None:
@@ -303,26 +333,44 @@ class World:
         inner = self._step
 
         def get_fn(length):
-            fn = self._run_fns.get(length)
+            fn = self._run_fns.get((length, collect_events))
             if fn is None:
-                def multi(state, dt_, _length=length):
-                    return jax.lax.scan(
-                        lambda s, _: (inner(s, dt_), None),
-                        state, None, length=_length)[0]
+                if collect_events:
+                    def multi(state, dt_, _length=length):
+                        def one(s, _):
+                            ns = inner(s, dt_)
+                            return ns, ns.events
+
+                        return jax.lax.scan(one, state, None, length=_length)
+                else:
+                    def multi(state, dt_, _length=length):
+                        return jax.lax.scan(
+                            lambda s, _: (inner(s, dt_), None),
+                            state, None, length=_length)[0]
 
                 fn = jax.jit(multi)
-                self._run_fns[length] = fn
+                self._run_fns[(length, collect_events)] = fn
             return fn
 
         dt_f = jnp.float32(dt)
         left = steps
+        ev_chunks = []
         while left > 0:
             # pow2 pieces only (240 = 128+64+32+16) so the set of compiled
             # scan lengths stays logarithmic
             n = min(chunk, 1 << (left.bit_length() - 1)) if chunk < steps \
                 else left
-            self.state = get_fn(n)(self.state, dt_f)
+            out = get_fn(n)(self.state, dt_f)
+            if collect_events:
+                self.state, evs = out
+                ev_chunks.append(evs)
+            else:
+                self.state = out
             left -= n
+        if collect_events:
+            events = (ev_chunks[0] if len(ev_chunks) == 1 else jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *ev_chunks))
+            return self.state, events
         return self.state
 
     # -- accessors (ref: api/Body.cs getters) -------------------------------
@@ -1563,6 +1611,8 @@ class World:
             "particle_count": (
                 int(np.sum(np.asarray(st.particles.alive)))
                 if st.particles is not None else 0),
+            "body_move_count": int(st.events.body_move_count),
+            "fell_asleep_count": int(st.events.body_fell_asleep_count),
         }
 
     def validate(self, raise_on_error: bool = True) -> list:
@@ -1627,3 +1677,26 @@ class World:
     @property
     def events(self):
         return self.state.events
+
+    def body_move_events(self) -> list:
+        """Reference-shaped BodyMoveEvent rows for the last step (ref:
+        include/Types.cs:713-724, written in FinalizeBodiesTask
+        src/Solver.cs:402-503; exposed api/World.cs:283-290). The device
+        step records dense masks (Events.body_moved/body_fell_asleep);
+        this assembles [(body_handle, (x, y), (c, s), fell_asleep), ...]
+        with the transform taken from the committed body state."""
+        ev = self.state.events
+        moved = np.asarray(ev.body_moved)
+        ids = np.nonzero(moved)[0]
+        if ids.size == 0:
+            return []
+        b = self.state.bodies
+        origin = np.asarray(b.origin)
+        rot = np.asarray(b.rot)
+        fell = np.asarray(ev.body_fell_asleep)
+        gens = getattr(self, "_body_gen", None)
+        return [((self._handle(i, gens) if gens is not None else int(i)),
+                 (float(origin[i, 0]), float(origin[i, 1])),
+                 (float(rot[i, 0]), float(rot[i, 1])),
+                 bool(fell[i]))
+                for i in ids]

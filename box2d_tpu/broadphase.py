@@ -86,7 +86,8 @@ def _pair_should_collide(state: WorldState, sa, sb):
     return (ba != bb) & one_dynamic & group_pass & alive_a & alive_b
 
 
-def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs):
+def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs,
+                           custom_filter=None):
     """Persistent-pair fast path (ref: src/BroadPhase.cs BufferMove/pairSet):
     reuse the stored pair buffer unless some alive shape's tight AABB escaped
     its stored fat AABB, aliveness changed, or a host mutator set `dirty`.
@@ -115,7 +116,7 @@ def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs):
                | jnp.any(alive != bp.alive))
 
     def do(_):
-        pb = find_pairs(state, cap, aabbs)
+        pb = find_pairs(state, cap, aabbs, custom_filter)
         fat = jnp.concatenate([aabbs[:, :2] - AABB_MARGIN,
                                aabbs[:, 2:] + AABB_MARGIN], -1)
         new_ka = jnp.where(pb.valid, pb.shape_a, -1)
@@ -137,7 +138,8 @@ def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs):
     return PairBuffer(sa, sb, valid, count, ovf), new_bp, cache2, orphan, drops
 
 
-def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
+def find_pairs(state: WorldState, cap: Capacity, aabbs=None,
+               custom_filter=None) -> PairBuffer:
     if aabbs is None:
         aabbs = compute_shape_aabbs(state)
     S = aabbs.shape[0]
@@ -360,6 +362,13 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None) -> PairBuffer:
                & (bb[:, None] == j.body_a[None, :]))
         ) & jex[None, :]
         pair_valid = pair_valid & ~jnp.any(hit, axis=1)
+
+    # user custom filter (ref: include/Types.cs:813 CustomFilterFcn, applied
+    # in the pair query src/BroadPhase.cs:170-180): a trace-time jittable
+    # (state, shape_a, shape_b) -> keep mask evaluated on the candidate set
+    if custom_filter is not None:
+        pair_valid = pair_valid & jnp.asarray(
+            custom_filter(state, shape_a, shape_b), bool)
 
     overflow = (overflow_shapes + overflow_big
                 + jnp.maximum(count - P, 0)).astype(jnp.int32)

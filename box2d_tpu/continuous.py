@@ -52,11 +52,32 @@ def continuous_pass(state: WorldState, bs, dt, fast_cap: int = 32,
 
     fast_shape_mask = fast_body[sh.body] & sh.enabled & ~sh.is_sensor
 
-    # compact fast shapes
-    score = jnp.where(fast_shape_mask, S - jnp.arange(S), 0)
+    # target-existence gate: a non-bullet fast shape only ever sweeps vs
+    # STATIC shapes, a bullet vs any non-bullet shape (ref:
+    # src/Solver.cs:1238-1274 sweeps bullets vs all trees, fast bodies vs
+    # the static tree). If the scene has no eligible target for a lane
+    # (e.g. a kinematic-drum tumbler with no statics), TOI can never hit —
+    # gating it out is exact and keeps the fast buffer for lanes that
+    # actually need it (round-3 shed ~5 slots/step here for nothing).
+    tgt_body0 = sh.body
+    tgt_bullet0 = (b.flags[tgt_body0] & IS_BULLET) != 0
+    base_ok0 = sh.enabled & b.enabled[tgt_body0] & ~sh.is_sensor & ~tgt_bullet0
+    has_static_target = jnp.any(base_ok0 & (b.type[tgt_body0] == STATIC))
+    has_any_target = jnp.any(base_ok0)
+    shape_is_bullet = bullet_body[sh.body]
+    fast_shape_mask = fast_shape_mask & jnp.where(
+        shape_is_bullet, has_any_target, has_static_target)
+
+    # compact fast shapes, highest tunneling risk first: a dropped slow-ish
+    # lane is far less likely to tunnel than a dropped fast one (the old
+    # lowest-shape-id order shed arbitrary lanes)
+    fb_ = sh.body
+    danger = max_velocity[fb_] * dt / jnp.maximum(b.min_extent[fb_], 1e-6)
+    dq = jnp.clip((danger * 8.0).astype(jnp.int32), 0, (1 << 10) - 1)
+    score = jnp.where(fast_shape_mask, (dq << 20) + (S - jnp.arange(S)), 0)
     top, _ = jax.lax.top_k(score, min(fast_cap, S))
     fs_valid = top > 0
-    fs = jnp.where(fs_valid, S - top, 0)  # (F,) fast shape ids
+    fs = jnp.where(fs_valid, S - (top & ((1 << 20) - 1)), 0)  # (F,) shape ids
 
     # swept AABB of each fast shape
     aabb1 = compute_shape_aabbs(state)  # start-of-step

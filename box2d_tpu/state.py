@@ -272,6 +272,16 @@ class Events:
     sensor_end_count: Any
     joint_force: Any         # (E,) i32 joint ids over force threshold
     joint_force_count: Any
+    # body move events (ref: include/Types.cs:713-724 BodyMoveEvent, written
+    # in FinalizeBodiesTask src/Solver.cs:402-503). TPU redesign: instead of
+    # compacted {transform, bodyId, fellAsleep} rows (a 10k-body scene moves
+    # 10k bodies/step — compaction would be the cost, capacity the failure
+    # mode), dense per-body masks; transforms are already in Bodies. The
+    # World.body_move_events() accessor assembles reference-shaped rows.
+    body_moved: Any          # (Nb,) bool — body was awake+non-static this step
+    body_fell_asleep: Any    # (Nb,) bool — awake -> asleep transition
+    body_move_count: Any     # i32
+    body_fell_asleep_count: Any  # i32
 
 
 @_pytree
@@ -376,8 +386,9 @@ class Capacity:
     has_joint_exclusions: bool = True  # any collide_connected=False joint
 
 
-def zero_events(cap: Capacity) -> Events:
+def zero_events(cap: Capacity, nb: int | None = None) -> Events:
     e = cap.event_capacity
+    nb = cap.max_bodies if nb is None else nb
     i0 = jnp.int32(0)
     return Events(
         contact_begin=jnp.zeros((e, 2), jnp.int32),
@@ -395,6 +406,10 @@ def zero_events(cap: Capacity) -> Events:
         sensor_end_count=i0,
         joint_force=jnp.zeros((e,), jnp.int32),
         joint_force_count=i0,
+        body_moved=jnp.zeros((nb,), bool),
+        body_fell_asleep=jnp.zeros((nb,), bool),
+        body_move_count=i0,
+        body_fell_asleep_count=i0,
     )
 
 

@@ -45,8 +45,23 @@ def make_step(capacity: Capacity, classes_present: frozenset,
               sensor_ids: tuple = (),
               continuous: bool = True,
               particle_cfg: ParticleConfig | None = None,
-              use_pallas: bool = False) -> Callable:
-    """Build a jit-able step function for the given static configuration."""
+              use_pallas: bool = False,
+              custom_filter: Callable | None = None,
+              pre_solve: Callable | None = None) -> Callable:
+    """Build a jit-able step function for the given static configuration.
+
+    custom_filter / pre_solve are TRACE-TIME user hooks (the TPU analog of
+    ref include/Types.cs:813 CustomFilterFcn / :827 PreSolveFcn): jittable
+    pure functions evaluated on the whole lane set —
+      custom_filter(state, shape_a, shape_b) -> (P,) bool keep
+        applied when candidate pairs are (re)built, like the reference's
+        broadphase-query filter (src/BroadPhase.cs:170-180); not re-run
+        while the persistent pair set is unchanged.
+      pre_solve(state, shape_a, shape_b, manifold) -> (P,) bool keep
+        applied to fresh manifolds every step before the solver (ref
+        src/Contact.cs:372-384); dropping a lane zeroes its manifold, so it
+        is not solved and emits no begin event — the one-way platform hook.
+    """
 
     # NOTE: no buffer donation — identical zero-filled outputs (cleared
     # forces, empty event slots) get CSE'd into one buffer, and donating an
@@ -56,7 +71,7 @@ def make_step(capacity: Capacity, classes_present: frozenset,
     def step(state: WorldState, dt) -> WorldState:
         return _step(state, dt, capacity, classes_present, substeps,
                      joint_types, sensor_ids, continuous, particle_cfg,
-                     use_pallas)
+                     use_pallas, custom_filter, pre_solve)
 
     return step
 
@@ -65,7 +80,8 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
           substeps: int, joint_types: frozenset = frozenset(),
           sensor_ids: tuple = (), continuous: bool = True,
           particle_cfg: ParticleConfig | None = None,
-          use_pallas: bool = False) -> WorldState:
+          use_pallas: bool = False,
+          custom_filter=None, pre_solve=None) -> WorldState:
     # whole-world idle fast path: when every non-static body is asleep and
     # no host mutator dirtied the broadphase, the world is a fixed point —
     # skip the entire step (the reference's sleeping solver sets cost
@@ -84,11 +100,14 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
         def work_fn(st):
             return _step_work(st, dt, cap, classes_present, substeps,
                               joint_types, sensor_ids, continuous,
-                              particle_cfg, use_pallas)
+                              particle_cfg, use_pallas,
+                              custom_filter=custom_filter,
+                              pre_solve=pre_solve)
 
         return lax.cond(idle, idle_fn, work_fn, state)
     return _step_work(state, dt, cap, classes_present, substeps, joint_types,
-                      sensor_ids, continuous, particle_cfg, use_pallas)
+                      sensor_ids, continuous, particle_cfg, use_pallas,
+                      custom_filter=custom_filter, pre_solve=pre_solve)
 
 
 def _step_work(state: WorldState, dt, cap: Capacity,
@@ -96,7 +115,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                substeps: int, joint_types: frozenset = frozenset(),
                sensor_ids: tuple = (), continuous: bool = True,
                particle_cfg: ParticleConfig | None = None,
-               use_pallas: bool = False, until: str = "") -> WorldState:
+               use_pallas: bool = False, until: str = "",
+               custom_filter=None, pre_solve=None) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -119,11 +139,11 @@ def _step_work(state: WorldState, dt, cap: Capacity,
         return aabbs
     if state.broadphase is not None:
         pairs, new_bp, cache, orphan_mask, store_drops = \
-            find_pairs_incremental(state, cap, aabbs)
+            find_pairs_incremental(state, cap, aabbs, custom_filter)
         state = dataclasses.replace(state, broadphase=new_bp, contacts=cache)
     else:
         from .narrowphase import remap_cache
-        pairs = find_pairs(state, cap, aabbs)
+        pairs = find_pairs(state, cap, aabbs, custom_filter)
         cache, orphan_mask, store_drops = remap_cache(
             state.contacts,
             jnp.where(pairs.valid, pairs.shape_a, -1),
@@ -133,6 +153,16 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     if until == "pairs":
         return pairs, state.contacts
     data = narrow_phase(state, pairs, classes_present, cap.max_verts)
+    if pre_solve is not None:
+        # PreSolve hook (ref: include/Types.cs:827, called on manifold gain
+        # src/Contact.cs:372-384): a dropped lane's manifold is zeroed — not
+        # solved, not touching, no begin event
+        keep = jnp.asarray(
+            pre_solve(state, data.shape_a, data.shape_b, data.manifold),
+            bool)
+        mf = data.manifold._replace(
+            point_count=jnp.where(keep, data.manifold.point_count, 0))
+        data = data._replace(manifold=mf)
     touching = data.manifold.point_count > 0
     if until == "narrow":
         return data
@@ -608,6 +638,7 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
         return state.bodies.center, state.bodies.rot, events
 
     # --- sleep/wake (ref: src/Solver.cs:1293-1321 + src/Island.cs) ---------
+    awake_fin = state.bodies.awake  # post-finalize, pre-sleep
     new_touch = touching & ~data.was_touching
     lost_touch = data.was_touching & ~touching
     if orphan_info is not None:
@@ -619,6 +650,17 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                            lost_touch=lost_touch)
     if until == "sleep":
         return state.bodies.awake, state.bodies.island_label, events
+
+    # --- body move events (ref: include/Types.cs:713-724 BodyMoveEvent,
+    # written per awake body in FinalizeBodiesTask src/Solver.cs:402-503).
+    # Dense masks instead of compacted rows — see state.Events docstring.
+    bnew = state.bodies
+    moved = awake_fin & (bnew.type != 0) & bnew.enabled
+    fell = moved & ~bnew.awake
+    events = dataclasses.replace(
+        events, body_moved=moved, body_fell_asleep=fell,
+        body_move_count=jnp.sum(moved).astype(jnp.int32),
+        body_fell_asleep_count=jnp.sum(fell).astype(jnp.int32))
 
     # --- sensors (ref: api/World.cs:99 OverlapSensors after solve) ---------
     state = dataclasses.replace(state, events=events)

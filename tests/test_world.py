@@ -366,3 +366,134 @@ def test_island_split_after_bridge_leaves():
     assert awake[a[1]], "stack A should wake"
     assert not awake[b[0]] and not awake[b[1]], \
         "stack B must stay asleep after the split"
+
+
+def test_body_move_events_and_fell_asleep_once():
+    """BodyMoveEvent analog (ref include/Types.cs:713-724): every awake
+    non-static body reports moved each step; a settling body emits
+    fellAsleep=True exactly once; sleeping steps emit nothing."""
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(5.0, 0.5))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.0)))
+    w.create_polygon_shape(b, t.ShapeDef(density=1.0), g.box(0.4, 0.4))
+    w.compile()
+    fell_count = 0
+    moved_while_awake = 0
+    for i in range(300):
+        w.step(1 / 60)
+        ev = w.state.events
+        moved = np.asarray(ev.body_moved)
+        fell = np.asarray(ev.body_fell_asleep)
+        assert int(ev.body_move_count) == moved.sum()
+        if moved[b]:
+            moved_while_awake += 1
+            rows = w.body_move_events()
+            assert any(r[0] == b for r in rows)
+        if fell[b]:
+            fell_count += 1
+            # the event row carries fellAsleep=True
+            rows = dict((r[0], r[3]) for r in w.body_move_events())
+            assert rows[b] is True
+    assert moved_while_awake > 10
+    assert fell_count == 1, f"fellAsleep fired {fell_count} times"
+    assert not np.asarray(w.state.bodies.awake)[b]
+    # asleep: no move events at all (idle fast path)
+    w.step(1 / 60)
+    assert int(w.state.events.body_move_count) == 0
+    assert w.body_move_events() == []
+    c = w.counters()
+    assert "body_move_count" in c and "fell_asleep_count" in c
+
+
+def test_pre_solve_one_way_platform():
+    """PreSolve hook (ref include/Types.cs:827, src/Contact.cs:372-384):
+    a one-way platform lets a ball jump up through it, then catches it on
+    the way down — the canonical PreSolve demo."""
+    import jax.numpy as jnp
+
+    w = api.World()
+    plat_body = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 2.0)))
+    plat = w.create_polygon_shape(plat_body, t.ShapeDef(), g.box(2.0, 0.1))
+    ball_body = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 0.3),
+                                        linear_velocity=(0.0, 12.0)))
+    ball = w.create_circle_shape(ball_body, t.ShapeDef(density=1.0),
+                                 (0.0, 0.0), 0.25)
+
+    def one_way(state, sa, sb, manifold):
+        # keep the contact only when the ball approaches from above:
+        # manifold normal points a -> b; orient it to point away from the
+        # platform and require it to be upward
+        is_plat_a = sa == plat
+        involved = is_plat_a | (sb == plat)
+        ny = jnp.where(is_plat_a, manifold.normal[:, 1],
+                       -manifold.normal[:, 1])
+        return ~involved | (ny > 0.5)
+
+    w.set_pre_solve(one_way)
+    w.compile()
+    passed_through = False
+    max_y = 0.0
+    for _ in range(240):
+        w.step(1 / 60)
+        y = float(np.asarray(w.state.bodies.center)[ball_body, 1])
+        max_y = max(max_y, y)
+        if y > 2.4:
+            passed_through = True
+    assert passed_through, f"ball never passed the platform (max y {max_y})"
+    # and it must come to rest ON the platform (center ~ 2.0+0.1+0.25)
+    y_end = float(np.asarray(w.state.bodies.center)[ball_body, 1])
+    assert 2.25 < y_end < 2.5, f"ball did not land on platform (y={y_end})"
+
+
+def test_custom_filter_hook():
+    """CustomFilterFcn analog (ref include/Types.cs:813): a user hook can
+    veto a specific pair at pair-build time."""
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    gs = w.create_polygon_shape(ground, t.ShapeDef(), g.box(5.0, 0.5))
+    a = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 0.5)))
+    sa_ = w.create_polygon_shape(a, t.ShapeDef(density=1.0), g.box(0.3, 0.3))
+
+    def veto(state, sa, sb, gs=gs, box=sa_):
+        bad = ((sa == gs) & (sb == box)) | ((sa == box) & (sb == gs))
+        return ~bad
+    w.set_custom_filter(veto)
+    w.compile()
+    for _ in range(90):
+        w.step(1 / 60)
+    # the box fell straight through the ground
+    assert float(np.asarray(w.state.bodies.center)[a, 1]) < -2.0
+
+
+def test_run_collect_events():
+    """run(collect_events=True) stacks per-frame Events out of the scan
+    (VERDICT r3 #9): begin-touch events from a 128-step run match what
+    per-step dispatch would deliver."""
+    w = api.World()
+    ground = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, -0.5)))
+    gd = t.ShapeDef(enable_contact_events=True)
+    w.create_polygon_shape(ground, gd, g.box(5.0, 0.5))
+    b = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.0, 1.5)))
+    w.create_polygon_shape(b, t.ShapeDef(density=1.0,
+                                         enable_contact_events=True),
+                           g.box(0.3, 0.3))
+    w.compile()
+    state0 = w.state
+    _, evs = w.run(128, 1 / 60, collect_events=True)
+    counts = np.asarray(evs.contact_begin_count)
+    assert counts.shape == (128,)
+    assert counts.sum() >= 1
+    frame = int(np.nonzero(counts)[0][0])
+    pair = np.asarray(evs.contact_begin)[frame, 0]
+    assert set(pair.tolist()) == {0, 1}
+    # identical to per-step dispatch
+    w.state = state0
+    per_step = []
+    for i in range(128):
+        w.step(1 / 60)
+        if int(w.state.events.contact_begin_count):
+            per_step.append(i)
+    assert per_step == list(np.nonzero(counts)[0])
+    # move masks ride along too
+    assert np.asarray(evs.body_moved).shape == (128, w.capacity.max_bodies)
