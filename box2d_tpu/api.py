@@ -198,6 +198,11 @@ class World:
                 # ref ComputeDepth iterates sqrt(particle count)
                 depth_iterations=max(
                     16, int(_math.isqrt(max(len(pb.flags), 1))) + 1),
+                # TPU fast path for the always-on pair passes; particles.py
+                # ignores the flag when a gated pass needs the flat pair
+                # view (see ParticleConfig docstring)
+                use_window_kernel=(jax.default_backend() not in ("cpu",)
+                                   and len(pb.flags) >= 2048),
             )
         # flagship Pallas solver: TPU-only.
         # mode 1 = VMEM-resident mega-kernel (small joint-free worlds,

@@ -174,6 +174,11 @@ class ParticleConfig(NamedTuple):
     has_wall: bool = False
     has_solid: bool = False
     has_rigid: bool = False
+    # TPU fast path: run the pair passes (weight/pressure/damping) as dense
+    # masked-band Pallas kernels (particles_pallas.py) instead of the
+    # windowed gather/scatter pipeline. Only valid when no gated pass needs
+    # the flat pair view (plain-water scenes); set by api.compile() on TPU.
+    use_window_kernel: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -551,20 +556,36 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     body_dv = jnp.zeros((nb, 2), jnp.float32)
     body_dw = jnp.zeros(nb, jnp.float32)
 
-    has = lambda flag: True  # trace everything; scene gating via flags data
+    # per-shape body rows, gathered ONCE (Sb indices) and broadcast: body
+    # velocities are read pre-step (Jacobi coupling), so these are
+    # loop-invariant — the old (Np, Sb) broadcast-index reads cost a
+    # ~n*Sb-row gather PER FIELD per iteration (~15 ns/row on TPU)
+    p_body = sh.body[bs_idx]                        # (Sb,)
+    s_origin = b.origin[p_body]
+    s_rot = b.rot[p_body]
+    s_center = b.center[p_body]
+    s_v = b.v[p_body]
+    s_w = b.w[p_body]
+    s_invm = b.inv_mass[p_body]
+    s_invI = b.inv_inertia[p_body]
+    s_dyn = b.type[p_body] == DYNAMIC
 
-    def body_vel_at(points, bodies_idx):
-        return (b.v[bodies_idx] + m.cross_sv(b.w[bodies_idx],
-                                             points - b.center[bodies_idx]))
+    def body_vel_at(points):
+        """Body surface velocity at (n, Sb, 2) points (broadcast rows)."""
+        return s_v[None, :, :] + m.cross_sv(s_w[None, :],
+                                            points - s_center[None, :, :])
 
-    def apply_body_impulse(dv, dw, bodies_idx, impulse, points, active):
-        imp = jnp.where(active[:, None], impulse, 0.0)
-        is_dyn = b.type[bodies_idx] == DYNAMIC
-        imp = jnp.where(is_dyn[:, None], imp, 0.0)
-        dv = dv.at[bodies_idx].add(imp * b.inv_mass[bodies_idx][:, None])
-        lever = points - b.center[bodies_idx]
-        dw = dw.at[bodies_idx].add(b.inv_inertia[bodies_idx]
-                                   * m.cross(lever, imp))
+    def apply_body_impulse(dv, dw, impulse, points, active):
+        """Accumulate (n, Sb, 2) per-contact impulses onto bodies: reduce
+        per SHAPE first (n-axis sums), then scatter Sb rows — replaces the
+        old n*Sb-index scatter-adds (ref particle/World.cs:47-61 applies
+        each impulse immediately; summing first is the same Jacobi total)."""
+        imp = jnp.where((active & s_dyn[None, :])[..., None], impulse, 0.0)
+        imp_sum = jnp.sum(imp, axis=0)                       # (Sb, 2)
+        ang_sum = jnp.sum(m.cross(points - s_center[None, :, :], imp),
+                          axis=0)                            # (Sb,)
+        dv = dv.at[p_body].add(imp_sum * s_invm[:, None])
+        dw = dw.at[p_body].add(s_invI * ang_sum)
         return dv, dw
 
     # trace-time: which gated passes still need the flat (ia, ib) pair view
@@ -618,8 +639,43 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         vel = pt.vel
 
         # ---- neighbor contacts (ref UpdateContacts) ----
-        pw, c_over = _find_contacts_sorted(pos, pt.alive, skey, diameter,
-                                           cfg)
+        use_kernel = cfg.use_window_kernel and not need_flat and not need_inv
+        if use_kernel:
+            # dense masked-band Pallas path (particles_pallas.py): the pair
+            # passes become per-block band sweeps with zero per-index ops
+            from .particles_pallas import (PH_DAMPING, PH_PRESSURE,
+                                           PH_WEIGHT, B_BLK, block_offsets,
+                                           build_tab, window_pass)
+            interp = jax.default_backend() == "cpu"
+            n_blocks = -(-n_ // B_BLK)
+            srow_k = skey >> 16
+            scol_k = skey & 0xFFFF
+            spos_k = jnp.where(pt.alive[:, None], pos, 1e9)
+            offs_k = block_offsets(skey, n_blocks)
+            scal_k = jnp.stack([
+                jnp.asarray(inv_diameter, jnp.float32),
+                jnp.asarray(diameter * diameter, jnp.float32),
+                jnp.asarray(prm.damping_strength, jnp.float32),
+                _safe_div(jnp.float32(1.0), crit_v),
+                jnp.asarray(dt * (1.0 / prm.density) * inv_diameter,
+                            jnp.float32),
+                jnp.float32(0), jnp.float32(0), jnp.float32(0)])[None, :]
+            zcol_k = jnp.zeros(n_, jnp.float32)
+
+            def kernel_pass(phase, p0, p1):
+                out = window_pass(
+                    build_tab(spos_k, srow_k, scol_k, pt.alive, p0, p1,
+                              n_blocks),
+                    offs_k, scal_k, phase, n_blocks, interp)
+                return out[:n_]
+
+            outw = kernel_pass(PH_WEIGHT, zcol_k, zcol_k)
+            w_pairs = outw[:, 0]
+            c_over = jnp.sum(outw[:, 2]).astype(jnp.int32)
+            pw = None
+        else:
+            pw, c_over = _find_contacts_sorted(pos, pt.alive, skey, diameter,
+                                               cfg)
         ks, ku = cfg.k_same, cfg.k_up
         if need_flat:
             # flat sorted-space pair view for the gated passes
@@ -637,12 +693,8 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             c_flags = jnp.where(c_ok, pt.flags[ia] | pt.flags[ib], 0)
 
         # ---- body contacts (ref UpdateBodyContacts) ----
-        # (Np, Sb) point-shape distances
-        p_body = sh.body[bs_idx]
-        origin = b.origin
-        bp = origin[p_body]
-        bq = b.rot[p_body]
-
+        # (Np, Sb) point-shape distances; all body fields come from the
+        # per-shape rows (broadcasts), never (Np, Sb)-index gathers
         def shape_dist(si, sp, sq):
             local = jax.vmap(lambda x: m.inv_transform_point(sp, sq, x))(pos)
             dist, nrm = jax.vmap(
@@ -652,25 +704,25 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             return dist, jax.vmap(lambda v: m.rot_vec(sq, v))(nrm)
 
         bdist, bnrm = jax.vmap(shape_dist, in_axes=(0, 0, 0),
-                               out_axes=1)(bs_idx, bp, bq)  # (Np, Sb)
+                               out_axes=1)(bs_idx, s_origin, s_rot)  # (Np, Sb)
         bc_ok = (bdist < prm.radius) & pt.alive[:, None] & bs_valid[None, :]
         # contact normal points particle -> shape (ref stores -output.normal)
         bc_n = -bnrm
         bc_w = 1.0 - bdist * inv_diameter * 2.0       # ref :1492 weight
         bc_w = jnp.where(bc_ok, bc_w, 0.0)
-        bc_body = jnp.broadcast_to(p_body[None, :], bc_ok.shape)
         # per-contact effective mass (ref :1472-1475)
-        lever = pos[:, None, :] - b.center[bc_body]
+        lever = pos[:, None, :] - s_center[None, :, :]
         rpn = m.cross(lever, bnrm)
         wall = (pt.flags & P_WALL) != 0
         inv_m_c = (jnp.where(wall, 0.0, inv_mass)[:, None]
-                   + b.inv_mass[bc_body] + b.inv_inertia[bc_body] * rpn * rpn)
+                   + s_invm[None, :] + s_invI[None, :] * rpn * rpn)
         bc_mass = jnp.where(inv_m_c > 0, 1.0 / jnp.where(inv_m_c > 0, inv_m_c, 1.0), 0.0)
         bc_mass = jnp.where(bc_ok, bc_mass, 0.0)
 
         # ---- weight (ref ComputeWeight) ----
-        weight = _pair_accum(pw.w_same, pw.w_up, pw.w_same, pw.w_up,
-                             pw.cand_up, n_) + jnp.sum(bc_w, axis=1)
+        weight = (w_pairs if use_kernel else
+                  _pair_accum(pw.w_same, pw.w_up, pw.w_same, pw.w_up,
+                              pw.cand_up, n_)) + jnp.sum(bc_w, axis=1)
 
         if cfg.has_solid:
             # ---- depth relaxation (ref ComputeDepth :1002-1062) ----
@@ -726,13 +778,12 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             vel = vel.at[ia].add(f).at[ib].add(-f)
             bvisc = bc_ok & ((pt.flags & P_VISCOUS) != 0)[:, None]
             fb = (prm.viscous_strength * bc_mass * bc_w)[..., None] * (
-                body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :])
+                body_vel_at(pos[:, None, :]) - vel[:, None, :])
             fb = jnp.where(bvisc[..., None], fb, 0.0)
             vel = vel + inv_mass * jnp.sum(fb, axis=1)
             body_dv, body_dw = apply_body_impulse(
-                body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
-                jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
-                bvisc.reshape(-1))
+                body_dv, body_dw, -fb,
+                jnp.broadcast_to(pos[:, None, :], fb.shape), bvisc)
 
         if cfg.has_repulsive:
             # ---- repulsive (ref SolveRepulsive) ----
@@ -813,59 +864,63 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         fb = jnp.where(bc_ok[..., None], fb, 0.0)
         vel = vel - inv_mass * jnp.sum(fb, axis=1)
         body_dv, body_dw = apply_body_impulse(
-            body_dv, body_dw, bc_body.reshape(-1), fb.reshape(-1, 2),
-            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
-            bc_ok.reshape(-1))
-        # particle contacts: a-side reads are broadcasts, same-row partner
-        # reads are shifts, up-row partner reads one packed gather
-        acc_b_s = _partner_same(accum, ks)              # (n, ks)
-        acc_b_u = accum[pw.cand_up]                     # (n, ku)
-        f_s = (vel_per_p * pw.w_same
-               * (accum[:, None] + acc_b_s))[..., None] * pw.n_same
-        f_u = (vel_per_p * pw.w_up
-               * (accum[:, None] + acc_b_u))[..., None] * pw.n_up
-        vel = vel + _pair_accum(-f_s, -f_u, f_s, f_u, pw.cand_up, n_)
+            body_dv, body_dw, fb,
+            jnp.broadcast_to(pos[:, None, :], fb.shape), bc_ok)
+        if use_kernel:
+            vel = vel + kernel_pass(PH_PRESSURE, accum, zcol_k)[:, :2]
+        else:
+            # particle contacts: a-side reads are broadcasts, same-row
+            # partner reads are shifts, up-row partner reads one packed
+            # gather
+            acc_b_s = _partner_same(accum, ks)              # (n, ks)
+            acc_b_u = accum[pw.cand_up]                     # (n, ku)
+            f_s = (vel_per_p * pw.w_same
+                   * (accum[:, None] + acc_b_s))[..., None] * pw.n_same
+            f_u = (vel_per_p * pw.w_up
+                   * (accum[:, None] + acc_b_u))[..., None] * pw.n_up
+            vel = vel + _pair_accum(-f_s, -f_u, f_s, f_u, pw.cand_up, n_)
 
         # ---- damping (ref SolveDamping) ----
         lin_d = prm.damping_strength
         quad_d = _safe_div(jnp.float32(1.0), crit_v)
-        vrel = body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :]
+        vrel = body_vel_at(pos[:, None, :]) - vel[:, None, :]
         vn = m.dot(vrel, bc_n)
         damp = jnp.maximum(lin_d * bc_w, jnp.minimum(-quad_d * vn, 0.5))
         fb = (damp * bc_mass * vn)[..., None] * bc_n
         fb = jnp.where((bc_ok & (vn < 0))[..., None], fb, 0.0)
         vel = vel + inv_mass * jnp.sum(fb, axis=1)
         body_dv, body_dw = apply_body_impulse(
-            body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
-            jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
-            (bc_ok & (vn < 0)).reshape(-1))
-        # particle-pair damping in window form (shifts + one gather)
-        vb_s = _partner_same(vel, ks)                   # (n, ks, 2)
-        vb_u = vel[pw.cand_up]                          # (n, ku, 2)
-        vn_s = m.dot(vb_s - vel[:, None, :], pw.n_same)
-        vn_u = m.dot(vb_u - vel[:, None, :], pw.n_up)
-        damp_s = jnp.maximum(lin_d * pw.w_same,
-                             jnp.minimum(-quad_d * vn_s, 0.5))
-        damp_u = jnp.maximum(lin_d * pw.w_up,
-                             jnp.minimum(-quad_d * vn_u, 0.5))
-        f_ds = jnp.where((pw.v_same & (vn_s < 0))[..., None],
-                         (damp_s * vn_s)[..., None] * pw.n_same, 0.0)
-        f_du = jnp.where((pw.v_up & (vn_u < 0))[..., None],
-                         (damp_u * vn_u)[..., None] * pw.n_up, 0.0)
-        vel = vel + _pair_accum(f_ds, f_du, -f_ds, -f_du, pw.cand_up, n_)
+            body_dv, body_dw, -fb,
+            jnp.broadcast_to(pos[:, None, :], fb.shape), bc_ok & (vn < 0))
+        if use_kernel:
+            vel = vel + kernel_pass(PH_DAMPING, vel[:, 0], vel[:, 1])[:, :2]
+        else:
+            # particle-pair damping in window form (shifts + one gather)
+            vb_s = _partner_same(vel, ks)                   # (n, ks, 2)
+            vb_u = vel[pw.cand_up]                          # (n, ku, 2)
+            vn_s = m.dot(vb_s - vel[:, None, :], pw.n_same)
+            vn_u = m.dot(vb_u - vel[:, None, :], pw.n_up)
+            damp_s = jnp.maximum(lin_d * pw.w_same,
+                                 jnp.minimum(-quad_d * vn_s, 0.5))
+            damp_u = jnp.maximum(lin_d * pw.w_up,
+                                 jnp.minimum(-quad_d * vn_u, 0.5))
+            f_ds = jnp.where((pw.v_same & (vn_s < 0))[..., None],
+                             (damp_s * vn_s)[..., None] * pw.n_same, 0.0)
+            f_du = jnp.where((pw.v_up & (vn_u < 0))[..., None],
+                             (damp_u * vn_u)[..., None] * pw.n_up, 0.0)
+            vel = vel + _pair_accum(f_ds, f_du, -f_ds, -f_du, pw.cand_up, n_)
 
         if cfg.has_static_pressure:
             # ---- extra damping for static-pressure particles (ref :1978) ----
             ed = bc_ok & (((pt.flags & P_STATIC_PRESSURE) != 0))[:, None]
-            vrel = body_vel_at(pos[:, None, :], bc_body) - vel[:, None, :]
+            vrel = body_vel_at(pos[:, None, :]) - vel[:, None, :]
             vn = m.dot(vrel, bc_n)
             fb = (0.5 * bc_mass * vn)[..., None] * bc_n
             fb = jnp.where((ed & (vn < 0))[..., None], fb, 0.0)
             vel = vel + inv_mass * jnp.sum(fb, axis=1)
             body_dv, body_dw = apply_body_impulse(
-                body_dv, body_dw, bc_body.reshape(-1), -fb.reshape(-1, 2),
-                jnp.broadcast_to(pos[:, None, :], fb.shape).reshape(-1, 2),
-                (ed & (vn < 0)).reshape(-1))
+                body_dv, body_dw, -fb,
+                jnp.broadcast_to(pos[:, None, :], fb.shape), ed & (vn < 0))
 
         if cfg.has_elastic:
             # ---- elastic triads (ref SolveElastic) ----
@@ -925,13 +980,12 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             rel_g = pos[:, None, :] - g_center[gp][:, None, :]
             pgv = (g_linvel[gp][:, None, :]
                    + m.cross_sv(g_omega[gp][:, None], rel_g))
-            vn = m.dot(body_vel_at(pos[:, None, :], bc_body) - pgv, bc_n)
+            vn = m.dot(body_vel_at(pos[:, None, :]) - pgv, bc_n)
             act = in_rigid[:, None] & bc_ok & (vn < 0)
             td_a = m.cross(rel_g, bc_n)
-            td_b = m.cross(pos[:, None, :] - b.center[bc_body], bc_n)
+            td_b = m.cross(pos[:, None, :] - s_center[None, :, :], bc_n)
             ksum = (g_invm[gp][:, None] + g_invI[gp][:, None] * td_a * td_a
-                    + b.inv_mass[bc_body]
-                    + b.inv_inertia[bc_body] * td_b * td_b)
+                    + s_invm[None, :] + s_invI[None, :] * td_b * td_b)
             f = damping * jnp.minimum(bc_w, 1.0) * _safe_div(vn, ksum)
             f = jnp.where(act & (ksum > 0), f, 0.0)
             gl_flat = jnp.broadcast_to(gp[:, None], f.shape).reshape(-1)
@@ -940,10 +994,8 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             gw_d = gw_d.at[gl_flat].add(
                 (f * td_a * g_invI[gp][:, None]).reshape(-1))
             body_dv, body_dw = apply_body_impulse(
-                body_dv, body_dw, bc_body.reshape(-1),
-                (-f[..., None] * bc_n).reshape(-1, 2),
-                jnp.broadcast_to(pos[:, None, :], bc_n.shape).reshape(-1, 2),
-                act.reshape(-1))
+                body_dv, body_dw, -f[..., None] * bc_n,
+                jnp.broadcast_to(pos[:, None, :], bc_n.shape), act)
 
             # (b) particle contacts across groups where either side is rigid
             ga_g = jnp.maximum(pt.group[ia], 0)
