@@ -180,6 +180,28 @@ class World:
             allg = 0
             for f in pb.group_flags:
                 allg |= int(f)
+            # size the nearby-shape cap so every shape that can plausibly
+            # touch the particle region fits (a flat batch of replicated
+            # tanks needs every copy's walls; the runtime top-K re-selects
+            # by CURRENT AABB overlap each step, this is only the cap)
+            n_near = 0
+            if pb.pos:
+                ppos = np.asarray(pb.pos, np.float32)
+                lo = ppos.min(0)
+                hi = ppos.max(0)
+                margin = 0.5 * float(np.max(hi - lo)) + 2.0
+                for s in self.builder._shapes:
+                    geom = s["geom"]
+                    v = geom.verts[:max(int(geom.count), 1)]
+                    p0 = np.asarray(
+                        self.builder._bodies[s["body"]]["position"],
+                        np.float32)
+                    slo = p0 + v.min(0) - geom.radius
+                    shi = p0 + v.max(0) + geom.radius
+                    if (shi >= lo - margin).all() and (slo <= hi + margin).all():
+                        n_near += 1
+            mbs = int(min(max(16, 2 * n_near), 2048,
+                          max(len(self.builder._shapes), 1)))
             # per-flag trace gates, the analog of the reference's
             # AllParticleFlags checks (ref: Solve :1523-1555)
             pcfg = ParticleConfig(
@@ -203,6 +225,7 @@ class World:
                 # view (see ParticleConfig docstring)
                 use_window_kernel=(jax.default_backend() not in ("cpu",)
                                    and len(pb.flags) >= 2048),
+                max_body_shapes=mbs,
             )
         # flagship Pallas solver: TPU-only.
         # mode 1 = VMEM-resident mega-kernel (small joint-free worlds,

@@ -475,8 +475,13 @@ def _pair_accum(a_same, a_up, b_same, b_up, cand_up, n):
 # point vs rounded-polygon distance (closed form)
 # ---------------------------------------------------------------------------
 
-def _point_shape_distance(p, verts, normals, count, radius):
-    """Distance from point to shape surface + outward normal."""
+def _point_shape_distance(p, verts, normals, count, radius, verts_next=None):
+    """Distance from point to shape surface + outward normal.
+
+    Gather-free: this is vmapped over 100k+ particles per nearby shape, so
+    per-call lane gathers (fancy vertex indexing, argmin selects) would cost
+    ~15 ns each on TPU. Lane selection uses first-true one-hot sums, and the
+    next-vertex table can be hoisted per shape via `verts_next`."""
     lane_ok = _LANES < count
     # face separations
     seps = m.dot(normals, p[None, :] - verts)
@@ -484,20 +489,25 @@ def _point_shape_distance(p, verts, normals, count, radius):
     inside = jnp.all(jnp.where(lane_ok, seps <= 0.0, True)) & (count >= 3)
     # per-edge closest point
     v1 = verts
-    v2 = verts[(jnp.arange(MAX_POLYGON_VERTICES) + 1) % jnp.maximum(count, 1)]
-    e = v2 - v1
+    if verts_next is None:
+        verts_next = verts[(jnp.arange(MAX_POLYGON_VERTICES) + 1)
+                           % jnp.maximum(count, 1)]
+    e = verts_next - v1
     tt = jnp.clip(_safe_div(m.dot(p[None, :] - v1, e), m.dot(e, e)), 0.0, 1.0)
     cp = v1 + tt[:, None] * e
     dd = m.length(p[None, :] - cp)
     dd = jnp.where(lane_ok, dd, jnp.inf)
-    best = jnp.argmin(dd)
-    closest = cp[best]
-    dist_out = dd[best]
+    dist_out = jnp.min(dd)
+    bsel = dd == dist_out
+    bsel = bsel & (jnp.cumsum(bsel) == 1)
+    closest = jnp.sum(jnp.where(bsel[:, None], cp, 0.0), axis=0)
     n_out = _safe_div_vec(p - closest, dist_out)
     # inside: deepest face
-    fidx = jnp.argmax(seps_m)
-    n_in = normals[fidx]
-    dist = jnp.where(inside, jnp.max(seps_m), dist_out) - radius
+    sep_max = jnp.max(seps_m)
+    fsel = seps_m == sep_max
+    fsel = fsel & (jnp.cumsum(fsel) == 1)
+    n_in = jnp.sum(jnp.where(fsel[:, None], normals, 0.0), axis=0)
+    dist = jnp.where(inside, sep_max, dist_out) - radius
     normal = jnp.where(inside, n_in, n_out)
     # degenerate single-point shape (circle): normal from center
     is_pt = count == 1
@@ -552,6 +562,10 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     stop, _ = jax.lax.top_k(sscore, min(cfg.max_body_shapes, S))
     bs_valid = stop > 0
     bs_idx = jnp.where(bs_valid, S - stop, 0)  # (Sb,)
+    # shapes near the particle region beyond the cap get no coupling this
+    # step — counted into overflow_particles, never silent
+    shape_overflow = jnp.maximum(
+        jnp.sum(near) - jnp.sum(bs_valid), 0).astype(jnp.int32)
 
     body_dv = jnp.zeros((nb, 2), jnp.float32)
     body_dw = jnp.zeros(nb, jnp.float32)
@@ -696,11 +710,16 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         # (Np, Sb) point-shape distances; all body fields come from the
         # per-shape rows (broadcasts), never (Np, Sb)-index gathers
         def shape_dist(si, sp, sq):
+            v1 = sh.verts[si]
+            nrm_s = sh.normals[si]
+            cnt = sh.count[si]
+            rad = sh.radius[si]
+            v2 = v1[(jnp.arange(MAX_POLYGON_VERTICES) + 1)
+                    % jnp.maximum(cnt, 1)]  # per-shape, hoisted out of vmap
             local = jax.vmap(lambda x: m.inv_transform_point(sp, sq, x))(pos)
             dist, nrm = jax.vmap(
-                lambda lp: _point_shape_distance(
-                    lp, sh.verts[si], sh.normals[si], sh.count[si],
-                    sh.radius[si]))(local)
+                lambda lp: _point_shape_distance(lp, v1, nrm_s, cnt, rad,
+                                                 v2))(local)
             return dist, jax.vmap(lambda v: m.rot_vec(sq, v))(nrm)
 
         bdist, bnrm = jax.vmap(shape_dist, in_axes=(0, 0, 0),
@@ -1105,7 +1124,8 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     (pt, body_dv, body_dw, bc_cnt), c_over_iters = jax.lax.scan(
         iteration, (pt, body_dv, body_dw, bc_cnt0), None,
         length=cfg.iterations)
-    neighbor_overflow = jnp.max(c_over_iters).astype(jnp.int32)
+    neighbor_overflow = (jnp.max(c_over_iters).astype(jnp.int32)
+                         + shape_overflow)
     # stuck detection (ref DetectStuckParticle :1520-1541): particles with
     # >= 2 body contacts this step extend their streak, others reset
     stuck_now = pt.alive & (bc_cnt >= 2)

@@ -90,16 +90,22 @@ def _ray_polygon_sharp(p1, d, max_frac, verts, normals, count):
     upper_cand = jnp.where(lane_ok & (den > 0.0), tf, jnp.inf)
     # parallel & outside any face => miss
     par_miss = jnp.any(lane_ok & (den == 0.0) & (num < 0.0))
-    lower = jnp.maximum(jnp.max(lower_cand), 0.0)
-    idx = jnp.argmax(jnp.where(lower_cand == jnp.max(lower_cand), 1, 0))
+    mx = jnp.max(lower_cand)
+    lower = jnp.maximum(mx, 0.0)
     upper = jnp.minimum(jnp.min(upper_cand), max_frac)
-    entered = jnp.max(lower_cand) > 0.0
+    entered = mx > 0.0
     ok = ~par_miss & (lower <= upper)
     inside = ok & ~entered
-    hit = ok & entered & (jnp.max(lower_cand) <= max_frac)
+    hit = ok & entered & (mx <= max_frac)
     frac = jnp.where(hit, lower, jnp.where(inside, 0.0, jnp.inf))
     point = jnp.where(hit, m.mul_add(p1, lower, d), p1)
-    normal = jnp.where(hit, normals[idx], jnp.zeros(2))
+    # first-max one-hot select instead of argmax + gather: this function is
+    # vmapped over 100k+ particles in the anti-tunnel pass, where one lane
+    # gather per call costs ~15 ns on TPU (dominating the pass)
+    sel = lower_cand == mx
+    sel = sel & (jnp.cumsum(sel) == 1)
+    best_n = jnp.sum(jnp.where(sel[:, None], normals, 0.0), axis=0)
+    normal = jnp.where(hit, best_n, jnp.zeros(2))
     return hit | inside, frac, point, normal
 
 

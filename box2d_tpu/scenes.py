@@ -156,16 +156,23 @@ def replicate(base: World, n: int, spacing: float | None = None) -> World:
     of stride (n_bodies, n_shapes, n_joints) of the base scene.
     """
     bb = base.builder
-    assert bb._particle_builder is None, "replicate: rigid scenes only"
+    pb = bb._particle_builder
     lo_y, hi_y = 1e30, -1e30
     for b in bb._bodies:
         lo_y = min(lo_y, float(b["position"][1]))
         hi_y = max(hi_y, float(b["position"][1]))
+    if pb is not None and pb.pos:
+        pp = np.asarray(pb.pos, np.float32)
+        lo_y = min(lo_y, float(pp[:, 1].min()))
+        hi_y = max(hi_y, float(pp[:, 1].max()))
     if spacing is None:
         lo, hi = 1e30, -1e30
         for b in bb._bodies:
             lo = min(lo, float(b["position"][0]))
             hi = max(hi, float(b["position"][0]))
+        if pb is not None and pb.pos:
+            lo = min(lo, float(pp[:, 0].min()))
+            hi = max(hi, float(pp[:, 0].max()))
         # widest shape reach heuristic: use scene x-extent with margin
         spacing = max(2.0 * (hi - lo + 10.0), 20.0)
     # tile copies in a near-square 2-D grid, NOT a line: the grid broadphase
@@ -195,4 +202,33 @@ def replicate(base: World, n: int, spacing: float | None = None) -> World:
             nj["body_a"] = j["body_a"] + off
             nj["body_b"] = j["body_b"] + off
             out.builder._joints.append(nj)
+
+    # particle systems tile the same way: copies are spatially disjoint, so
+    # the cell-key neighbor search never pairs particles across copies —
+    # ONE sorted particle table serves the whole flat batch (the lane-flat
+    # analog of vmapping the LiquidFun system over worlds)
+    if pb is not None:
+        opb = out.builder.create_particle_system(pb.radius, pb.density)
+        npart = len(pb.pos)
+        ngrp = len(pb.group_flags)
+        for k in range(n):
+            dxy = np.array([(k % cols) * spacing,
+                            (k // cols) * spacing_y], np.float32)
+            off_p = k * npart
+            off_g = k * ngrp
+            for i in range(npart):
+                opb.pos.append(pb.pos[i] + dxy)
+                opb.vel.append(pb.vel[i])
+                opb.flags.append(pb.flags[i])
+                opb.group.append(pb.group[i] + off_g
+                                 if pb.group[i] >= 0 else -1)
+                opb.lifetime.append(pb.lifetime[i])
+                opb.color.append(pb.color[i])
+            opb.group_flags.extend(pb.group_flags)
+            opb.group_strength.extend(pb.group_strength)
+            for (pa, pb_, fl, st, dist) in pb.pairs:
+                opb.pairs.append((pa + off_p, pb_ + off_p, fl, st, dist))
+            for tr in pb.triads:
+                opb.triads.append((tr[0] + off_p, tr[1] + off_p,
+                                   tr[2] + off_p) + tuple(tr[3:]))
     return out

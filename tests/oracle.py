@@ -380,10 +380,20 @@ class OJoint:
     axial_mass: F = F(0)
     spring_soft: tuple = (F(0), F(0), F(0))
     constraint_soft: tuple = (F(0), F(0), F(0))
+    # extra prepared state for wheel/weld/motor:
+    perp_mass: F = F(0)
+    motor_mass: F = F(0)        # wheel rotational / weld+motor angular
+    lin_soft: tuple = (F(0), F(0), F(0))
+    ang_soft: tuple = (F(0), F(0), F(0))
+    linear_mass: tuple = None   # motor joint 2x2 (k11, k12, k22)
     # persistent impulses:
     impulse: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(2, F))   # revolute linear / [dist,0]
-    spring_impulse: F = F(0)
+    #   wheel: impulse[0] = perp; weld: linear vec2; motor: velocity vec2
+    spring_impulse: F = F(0)    # motor: angular spring impulse
+    spring_impulse2: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2, F))   # motor linear spring vec2
+    angular_impulse: F = F(0)   # weld angular / motor angular velocity
     motor_impulse: F = F(0)
     lower_impulse: F = F(0)
     upper_impulse: F = F(0)
@@ -411,6 +421,43 @@ def prepare_joints(bodies, center, rot, joints, tuning, h, inv_h):
             # recomputed inside solve (ref: PrismaticJoint.cs:166-169)
             k = ia + ib
             j.axial_mass = F(1) / k if k > 0 else F(0)
+        elif j.kind == "wheel":
+            # ref: WheelJoint.cs:113-127 Prepare
+            ra, rb = j.frame_a_p, j.frame_b_p
+            dv = j.delta_center + (rb - ra)
+            axis = _rot_vec(j.frame_a_q, np.array([1, 0], F))
+            perp = np.array([-axis[1], axis[0]], F)
+            s1, s2 = _cross(dv + ra, perp), _cross(rb, perp)
+            kp = ma + mb + ia * s1 * s1 + ib * s2 * s2
+            j.perp_mass = F(1) / kp if kp > 0 else F(0)
+            a1, a2 = _cross(dv + ra, axis), _cross(rb, axis)
+            ka = ma + mb + ia * a1 * a1 + ib * a2 * a2
+            j.axial_mass = F(1) / ka if ka > 0 else F(0)
+            km = ia + ib
+            j.motor_mass = F(1) / km if km > 0 else F(0)
+        elif j.kind == "weld":
+            # ref: WeldJoint.cs:69-74 Prepare — zero hertz falls back to
+            # the rigid constraint softness
+            ka = ia + ib
+            j.axial_mass = F(1) / ka if ka > 0 else F(0)
+            j.lin_soft = (j.constraint_soft if F(d["hertz"]) == 0 else
+                          softness(d["hertz"], d["damping_ratio"], h))
+            j.ang_soft = (j.constraint_soft
+                          if F(d["angular_hertz"]) == 0 else
+                          softness(d["angular_hertz"],
+                                   d["angular_damping_ratio"], h))
+        elif j.kind == "motor":
+            # ref: MotorJoint.cs:82-90 Prepare
+            ra, rb = j.frame_a_p, j.frame_b_p
+            j.lin_soft = softness(d["hertz"], d["damping_ratio"], h)
+            j.ang_soft = softness(d["angular_hertz"],
+                                  d["angular_damping_ratio"], h)
+            k11 = ma + mb + ra[1] * ra[1] * ia + rb[1] * rb[1] * ib
+            k12 = -ra[1] * ra[0] * ia - rb[1] * rb[0] * ib
+            k22 = ma + mb + ra[0] * ra[0] * ia + rb[0] * rb[0] * ib
+            j.linear_mass = (F(k11), F(k12), F(k22))
+            ka = ia + ib
+            j.motor_mass = F(1) / ka if ka > 0 else F(0)
         else:  # distance (upstream-correct inverse inertia, see header)
             sep = j.frame_b_p - j.frame_a_p + j.delta_center
             ln = F(np.sqrt(sep @ sep))
@@ -420,6 +467,8 @@ def prepare_joints(bodies, center, rot, joints, tuning, h, inv_h):
             j.axial_mass = F(1) / k if k > 0 else F(0)
         j.impulse = (warm * j.impulse).astype(F)
         j.spring_impulse = F(warm * j.spring_impulse)
+        j.spring_impulse2 = (warm * j.spring_impulse2).astype(F)
+        j.angular_impulse = F(warm * j.angular_impulse)
         j.motor_impulse = F(warm * j.motor_impulse)
         j.lower_impulse = F(warm * j.lower_impulse)
         j.upper_impulse = F(warm * j.upper_impulse)
@@ -464,6 +513,43 @@ def warm_start_joints(bodies, joints):
             if bb.dynamic:
                 bb.v = (bb.v + mb * P).astype(F)
                 bb.w = F(bb.w + ib * LB)
+        elif j.kind == "wheel":
+            # ref: WheelJoint.cs:137-168
+            dv = bb.dp - ba.dp + j.delta_center + (rb - ra)
+            axis = _rot_vec(ba.dq, _rot_vec(j.frame_a_q,
+                                            np.array([1, 0], F)))
+            perp = np.array([-axis[1], axis[0]], F)
+            a1, a2 = _cross(dv + ra, axis), _cross(rb, axis)
+            s1, s2 = _cross(dv + ra, perp), _cross(rb, perp)
+            axial = j.spring_impulse + j.lower_impulse - j.upper_impulse
+            P = axial * axis + j.impulse[0] * perp
+            LA = axial * a1 + j.impulse[0] * s1 + j.motor_impulse
+            LB = axial * a2 + j.impulse[0] * s2 + j.motor_impulse
+            if ba.dynamic:
+                ba.v = (ba.v - ma * P).astype(F)
+                ba.w = F(ba.w - ia * LA)
+            if bb.dynamic:
+                bb.v = (bb.v + mb * P).astype(F)
+                bb.w = F(bb.w + ib * LB)
+        elif j.kind == "weld":
+            # ref: WeldJoint.cs:77-96
+            P = j.impulse
+            if ba.dynamic:
+                ba.v = (ba.v - ma * P).astype(F)
+                ba.w = F(ba.w - ia * (_cross(ra, P) + j.angular_impulse))
+            if bb.dynamic:
+                bb.v = (bb.v + mb * P).astype(F)
+                bb.w = F(bb.w + ib * (_cross(rb, P) + j.angular_impulse))
+        elif j.kind == "motor":
+            # ref: MotorJoint.cs:99-120
+            P = j.impulse + j.spring_impulse2
+            ang = j.angular_impulse + j.spring_impulse
+            if ba.dynamic:
+                ba.v = (ba.v - ma * P).astype(F)
+                ba.w = F(ba.w - ia * (_cross(ra, P) + ang))
+            if bb.dynamic:
+                bb.v = (bb.v + mb * P).astype(F)
+                bb.w = F(bb.w + ib * (_cross(rb, P) + ang))
         else:
             ds = bb.dp - ba.dp + (rb - ra)
             sep = j.delta_center + ds
@@ -668,6 +754,198 @@ def solve_joint(bodies, j, h, inv_h, use_bias):
         wa -= ia * LA
         vb = vb + mb * P
         wb += ib * LB
+    elif j.kind == "wheel":
+        # ref: WheelJoint.cs:169-274 Solve, with the engine's documented
+        # upstream fix (joints.py header): the port's final point-on-line
+        # Cdot uses axisA (:267) where upstream uses the perpendicular.
+        d = j.d
+        ra = _rot_vec(ba.dq, j.frame_a_p)
+        rb = _rot_vec(bb.dq, j.frame_b_p)
+        dv = bb.dp - ba.dp + j.delta_center + (rb - ra)
+        axis = _rot_vec(ba.dq, _rot_vec(j.frame_a_q, np.array([1, 0], F)))
+        fixed_rot = ia + ib == 0
+        translation = F(axis @ dv)
+        a1, a2 = _cross(dv + ra, axis), _cross(rb, axis)
+        if d["enable_motor"] and not fixed_rot:
+            cdot = wb - wa - F(d["motor_speed"])
+            imp = -j.motor_mass * cdot
+            old = j.motor_impulse
+            max_imp = h * F(d["max_motor_force"])
+            j.motor_impulse = F(np.clip(old + imp, -max_imp, max_imp))
+            imp = j.motor_impulse - old
+            wa -= ia * imp
+            wb += ib * imp
+        if d["enable_spring"]:
+            s_bias, s_mass, s_imp = j.spring_soft
+            cdot = F(axis @ (vb - va)) + a2 * wb - a1 * wa
+            imp = (-s_mass * j.axial_mass * (cdot + s_bias * translation)
+                   - s_imp * j.spring_impulse)
+            j.spring_impulse = F(j.spring_impulse + imp)
+            P = imp * axis
+            va = va - ma * P
+            wa -= ia * imp * a1
+            vb = vb + mb * P
+            wb += ib * imp * a2
+        if d["enable_limit"]:
+            # lower (ref :215-234)
+            C = translation - F(d["lower"])
+            bias, msc, isc = F(0), F(1), F(0)
+            if C > 0:
+                bias = C * inv_h
+            elif use_bias:
+                bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+            cdot = F(axis @ (vb - va)) + a2 * wb - a1 * wa
+            old = j.lower_impulse
+            imp = -msc * j.axial_mass * (cdot + bias) - isc * old
+            j.lower_impulse = F(max(old + imp, 0))
+            imp = j.lower_impulse - old
+            P = imp * axis
+            va = va - ma * P
+            wa -= ia * imp * a1
+            vb = vb + mb * P
+            wb += ib * imp * a2
+            # upper (ref :235-254)
+            C = F(d["upper"]) - translation
+            bias, msc, isc = F(0), F(1), F(0)
+            if C > 0:
+                bias = C * inv_h
+            elif use_bias:
+                bias, msc, isc = cs_bias * C, cs_mass, cs_imp
+            cdot = F(axis @ (va - vb)) + a1 * wa - a2 * wb
+            old = j.upper_impulse
+            imp = -msc * j.axial_mass * (cdot + bias) - isc * old
+            j.upper_impulse = F(max(old + imp, 0))
+            imp = j.upper_impulse - old
+            P = imp * axis
+            va = va + ma * P
+            wa += ia * imp * a1
+            vb = vb - mb * P
+            wb -= ib * imp * a2
+        # point-on-line (ref :256-274, upstream perp Cdot)
+        perp = np.array([-axis[1], axis[0]], F)
+        bias, msc, isc = F(0), F(1), F(0)
+        if use_bias:
+            bias = cs_bias * F(perp @ dv)
+            msc, isc = cs_mass, cs_imp
+        s1, s2 = _cross(dv + ra, perp), _cross(rb, perp)
+        cdot = F(perp @ (vb - va)) + s2 * wb - s1 * wa
+        imp = -msc * j.perp_mass * (cdot + bias) - isc * j.impulse[0]
+        j.impulse[0] = F(j.impulse[0] + imp)
+        P = imp * perp
+        va = va - ma * P
+        wa -= ia * imp * s1
+        vb = vb + mb * P
+        wb += ib * imp * s2
+    elif j.kind == "weld":
+        # ref: WeldJoint.cs:97-160 Solve
+        d = j.d
+        lin_hertz = F(d["hertz"])
+        ang_hertz = F(d["angular_hertz"])
+        # angular lock / soft spring
+        qa = _rot_mul(ba.dq, j.frame_a_q)
+        qb = _rot_mul(bb.dq, j.frame_b_q)
+        rel_q = _inv_mul_rot(qa, qb)
+        joint_angle = F(np.arctan2(rel_q[1], rel_q[0]))
+        bias, msc, isc = F(0), F(1), F(0)
+        if use_bias or ang_hertz > 0:
+            a_bias, a_mass, a_imp = j.ang_soft
+            bias, msc, isc = a_bias * joint_angle, a_mass, a_imp
+        cdot = wb - wa
+        imp = -msc * j.axial_mass * (cdot + bias) - isc * j.angular_impulse
+        j.angular_impulse = F(j.angular_impulse + imp)
+        wa -= ia * imp
+        wb += ib * imp
+        # linear lock / soft spring (2x2)
+        ra = _rot_vec(ba.dq, j.frame_a_p)
+        rb = _rot_vec(bb.dq, j.frame_b_p)
+        bias2 = np.zeros(2, F)
+        msc, isc = F(1), F(0)
+        if use_bias or lin_hertz > 0:
+            l_bias, l_mass, l_imp = j.lin_soft
+            sep = (bb.dp - ba.dp) + (rb - ra) + j.delta_center
+            bias2 = (l_bias * sep).astype(F)
+            msc, isc = l_mass, l_imp
+        cdot2 = (vb + _cross_sv(wb, rb)) - (va + _cross_sv(wa, ra))
+        k11 = ma + mb + ra[1] * ra[1] * ia + rb[1] * rb[1] * ib
+        k12 = -ra[1] * ra[0] * ia - rb[1] * rb[0] * ib
+        k22 = ma + mb + ra[0] * ra[0] * ia + rb[0] * rb[0] * ib
+        bsol = _mat22_solve(F(k11), F(k12), F(k22),
+                            (cdot2 + bias2).astype(F))
+        imp2 = (-msc * bsol - isc * j.impulse).astype(F)
+        j.impulse = (j.impulse + imp2).astype(F)
+        va = va - ma * imp2
+        wa -= ia * _cross(ra, imp2)
+        vb = vb + mb * imp2
+        wb += ib * _cross(rb, imp2)
+    elif j.kind == "motor":
+        # ref: MotorJoint.cs:121-217 Solve
+        d = j.d
+        if F(d["max_spring_torque"]) > 0 and F(d["angular_hertz"]) > 0:
+            qa = _rot_mul(ba.dq, j.frame_a_q)
+            qb = _rot_mul(bb.dq, j.frame_b_q)
+            rel_q = _inv_mul_rot(qa, qb)
+            c = F(np.arctan2(rel_q[1], rel_q[0]))
+            a_bias, a_mass, a_imp = j.ang_soft
+            cdot = wb - wa
+            max_imp = h * F(d["max_spring_torque"])
+            old = j.spring_impulse
+            imp = (-a_mass * j.motor_mass * (cdot + a_bias * c)
+                   - a_imp * old)
+            j.spring_impulse = F(np.clip(old + imp, -max_imp, max_imp))
+            imp = j.spring_impulse - old
+            wa -= ia * imp
+            wb += ib * imp
+        if F(d["max_velocity_torque"]) > 0:
+            cdot = wb - wa - F(d["angular_velocity"])
+            imp = -j.motor_mass * cdot
+            max_imp = h * F(d["max_velocity_torque"])
+            old = j.angular_impulse
+            j.angular_impulse = F(np.clip(old + imp, -max_imp, max_imp))
+            imp = j.angular_impulse - old
+            wa -= ia * imp
+            wb += ib * imp
+        ra = _rot_vec(ba.dq, j.frame_a_p)
+        rb = _rot_vec(bb.dq, j.frame_b_p)
+        if F(d["max_spring_force"]) > 0 and F(d["hertz"]) > 0:
+            l_bias, l_mass, l_imp = j.lin_soft
+            c2 = (bb.dp - ba.dp) + (rb - ra) + j.delta_center
+            cdot2 = ((vb + _cross_sv(wb, rb)) - (va + _cross_sv(wa, ra))
+                     + l_bias * c2)
+            k11 = ma + mb + ra[1] * ra[1] * ia + rb[1] * rb[1] * ib
+            k12 = -ra[1] * ra[0] * ia - rb[1] * rb[0] * ib
+            k22 = ma + mb + ra[0] * ra[0] * ia + rb[0] * rb[0] * ib
+            j.linear_mass = (F(k11), F(k12), F(k22))
+            bsol = _mat22_solve(F(k11), F(k12), F(k22), cdot2.astype(F))
+            old2 = j.spring_impulse2.copy()
+            imp2 = (-l_mass * bsol - l_imp * old2).astype(F)
+            j.spring_impulse2 = (old2 + imp2).astype(F)
+            max_imp = h * F(d["max_spring_force"])
+            ln = F(np.sqrt(j.spring_impulse2 @ j.spring_impulse2))
+            if ln > max_imp:
+                j.spring_impulse2 = (j.spring_impulse2 / ln
+                                     * max_imp).astype(F)
+            imp2 = (j.spring_impulse2 - old2).astype(F)
+            va = va - ma * imp2
+            wa -= ia * _cross(ra, imp2)
+            vb = vb + mb * imp2
+            wb += ib * _cross(rb, imp2)
+        if F(d["max_velocity_force"]) > 0:
+            cdot2 = ((vb + _cross_sv(wb, rb)) - (va + _cross_sv(wa, ra))
+                     - np.asarray(d["linear_velocity"], F))
+            k11, k12, k22 = j.linear_mass
+            bsol = _mat22_solve(k11, k12, k22, cdot2.astype(F))
+            old2 = j.impulse.copy()
+            imp2 = (-bsol).astype(F)
+            j.impulse = (old2 + imp2).astype(F)
+            max_imp = h * F(d["max_velocity_force"])
+            ln = F(np.sqrt(j.impulse @ j.impulse))
+            if ln > max_imp:
+                j.impulse = (j.impulse / ln * max_imp).astype(F)
+            imp2 = (j.impulse - old2).astype(F)
+            va = va - ma * imp2
+            wa -= ia * _cross(ra, imp2)
+            vb = vb + mb * imp2
+            wb += ib * _cross(rb, imp2)
     else:  # distance
         ra = _rot_vec(ba.dq, j.frame_a_p)
         rb = _rot_vec(bb.dq, j.frame_b_p)

@@ -91,8 +91,9 @@ def _oracle_joints(state):
     """Read static joint params from the engine's compiled Joints state into
     OJoint records (the oracle's math is independent; only the parameters
     are shared, mirroring how contacts consume the engine narrow phase)."""
-    from box2d_tpu.state import (JOINT_DISTANCE, JOINT_PRISMATIC,
-                                 JOINT_REVOLUTE)
+    from box2d_tpu.state import (JOINT_DISTANCE, JOINT_MOTOR,
+                                 JOINT_PRISMATIC, JOINT_REVOLUTE,
+                                 JOINT_WELD, JOINT_WHEEL)
 
     jn = state.joints
     lc = np.asarray(state.bodies.local_center, F)
@@ -103,7 +104,10 @@ def _oracle_joints(state):
             continue
         kind = {JOINT_REVOLUTE: "revolute",
                 JOINT_DISTANCE: "distance",
-                JOINT_PRISMATIC: "prismatic"}[ty]
+                JOINT_PRISMATIC: "prismatic",
+                JOINT_WHEEL: "wheel",
+                JOINT_WELD: "weld",
+                JOINT_MOTOR: "motor"}[ty]
         a, b = int(np.asarray(jn.body_a[i])), int(np.asarray(jn.body_b[i]))
         d = {k: np.asarray(getattr(jn, k)[i])
              for k in ("frame_a_p", "frame_a_q", "frame_b_p", "frame_b_q",
@@ -111,7 +115,11 @@ def _oracle_joints(state):
                        "hertz", "damping_ratio", "spring_target",
                        "enable_spring", "enable_limit", "enable_motor",
                        "lower", "upper", "motor_speed", "max_motor_force",
-                       "length", "lower_spring_force", "upper_spring_force")}
+                       "length", "lower_spring_force", "upper_spring_force",
+                       "angular_hertz", "angular_damping_ratio",
+                       "linear_velocity", "angular_velocity",
+                       "max_velocity_force", "max_velocity_torque",
+                       "max_spring_force", "max_spring_torque")}
         d["local_center_a"] = lc[a]
         d["local_center_b"] = lc[b]
         out.append(oracle.OJoint(kind=kind, index_a=a, index_b=b, d=d))
@@ -275,6 +283,61 @@ def _dist_bob(spring=False):
     return w
 
 
+def _wheel(motor=False, limit=False):
+    """Wheel suspension: a wheel hanging from a static frame on a vertical
+    axis spring (joint oracle, ref: src/joints/WheelJoint.cs:92-285)."""
+    w = _world()
+    frame = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 2.0)))
+    wheel = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.15, 1.6)))
+    w.create_circle_shape(wheel, t.ShapeDef(density=1.0), (0.0, 0.0), 0.3)
+    kw = dict(enable_spring=True, hertz=3.0, damping_ratio=0.4)
+    if motor:
+        kw.update(enable_motor=True, max_motor_torque=2.0, motor_speed=2.0)
+    if limit:
+        kw.update(enable_limit=True, lower_translation=-0.6,
+                  upper_translation=0.1)
+    w.create_joint(t.WheelJointDef(
+        body_a=frame, body_b=wheel, local_anchor_a=(0.0, 0.0),
+        local_anchor_b=(0.0, 0.0), local_axis_a=(0.0, 1.0), **kw))
+    return w
+
+
+def _weld(soft=False):
+    """Weld: a bar welded to a static post, starting offset so the weld
+    pulls it back (joint oracle, ref: src/joints/WeldJoint.cs:40-160)."""
+    w = _world()
+    post = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 3.0)))
+    bar = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.6, 2.8),
+                                  angle=0.25))
+    w.create_polygon_shape(bar, t.ShapeDef(density=1.0), g.box(0.5, 0.1))
+    kw = {}
+    if soft:
+        kw = dict(linear_hertz=4.0, linear_damping_ratio=0.3,
+                  angular_hertz=3.0, angular_damping_ratio=0.3)
+    w.create_joint(t.WeldJointDef(
+        body_a=post, body_b=bar, local_anchor_a=(0.0, 0.0),
+        local_anchor_b=(-0.5, 0.0), **kw))
+    return w
+
+
+def _motor_joint():
+    """Motor joint: a free box driven toward a target pose by spring +
+    velocity drives (joint oracle, ref: src/joints/MotorJoint.cs:61-217)."""
+    w = _world()
+    frame = w.create_body(t.BodyDef(type=t.STATIC, position=(0.0, 2.0)))
+    box = w.create_body(t.BodyDef(type=t.DYNAMIC, position=(0.8, 1.5),
+                                  angle=0.4))
+    w.create_polygon_shape(box, t.ShapeDef(density=1.0), g.box(0.3, 0.3))
+    w.create_joint(t.MotorJointDef(
+        body_a=frame, body_b=box,
+        linear_velocity=(0.3, 0.0), angular_velocity=0.8,
+        max_velocity_force=8.0, max_velocity_torque=2.0,
+        linear_hertz=2.0, linear_damping_ratio=0.5, max_spring_force=15.0,
+        angular_hertz=1.5, angular_damping_ratio=0.4,
+        max_spring_torque=4.0))
+    return w
+
+
 @pytest.mark.parametrize("scene,steps,bound", [
     # single-contact scenes hold the 1000-step north-star bound
     # (BASELINE.json: <1e-3 drift over 1000 steps)
@@ -290,6 +353,11 @@ def _dist_bob(spring=False):
     ("pendulum_spring", 1000, 1e-3),
     ("dist_rigid", 1000, 1e-3), ("dist_spring", 1000, 1e-3),
     ("slider", 1000, 1e-3), ("slider_motor", 1000, 1e-3),
+    # wheel/weld/motor transliterations (WheelJoint.cs / WeldJoint.cs /
+    # MotorJoint.cs)
+    ("wheel", 1000, 1e-3), ("wheel_motor", 1000, 1e-3),
+    ("weld_rigid", 1000, 1e-3), ("weld_soft", 1000, 1e-3),
+    ("motor_joint", 1000, 1e-3),
 ])
 def test_oracle_drift(scene, steps, bound):
     builders = {
@@ -306,6 +374,11 @@ def test_oracle_drift(scene, steps, bound):
         "dist_spring": lambda: _dist_bob(spring=True),
         "slider": _slider,
         "slider_motor": lambda: _slider(motor=True, spring=True),
+        "wheel": lambda: _wheel(limit=True),
+        "wheel_motor": lambda: _wheel(motor=True, limit=True),
+        "weld_rigid": _weld,
+        "weld_soft": lambda: _weld(soft=True),
+        "motor_joint": _motor_joint,
     }
     oracle_c = _run_oracle(builders[scene](), steps)
     engine_c = _run_engine(builders[scene](), steps)
