@@ -519,6 +519,226 @@ class World:
             self.state,
             bodies=dataclasses.replace(self.state.bodies, **cols))
 
+    # -- per-body enumeration & derived getters (ref: api/Body.cs) ---------
+
+    def body_shapes(self, body: int) -> list:
+        """Shape handles attached to a body (ref: BodyAPI.GetShapes /
+        GetShapeCount — the linked list becomes a mask scan)."""
+        body = self._bid(body)
+        owner = np.asarray(self.state.shapes.body)
+        alive = np.asarray(self.state.shapes.enabled)
+        gens = getattr(self, "_shape_gen", None)
+        return [self._handle(i, gens) if gens is not None else int(i)
+                for i in np.nonzero((owner == body) & alive)[0]]
+
+    def body_joints(self, body: int) -> list:
+        """Joint handles attached to a body (ref: BodyAPI.GetJoints)."""
+        body = self._bid(body)
+        jn = self.state.joints
+        on = ((np.asarray(jn.body_a) == body)
+              | (np.asarray(jn.body_b) == body))
+        on &= np.asarray(jn.enabled) & (np.asarray(jn.type) >= 0)
+        gens = getattr(self, "_joint_gen", None)
+        return [self._handle(i, gens) if gens is not None else int(i)
+                for i in np.nonzero(on)[0]]
+
+    def body_contact_data(self, body: int) -> list:
+        """Touching contacts involving the body (ref:
+        BodyAPI.GetContactData): [(shape_a, shape_b, normal, points), ...]
+        assembled from the persistent contact store + this body's shapes."""
+        shapes = set(self._decode(h, getattr(self, "_shape_gen", None),
+                                  "shape") for h in self.body_shapes(body))
+        out = []
+        for sa, sb, nrm, pts in self.contact_data():
+            if sa in shapes or sb in shapes:
+                out.append((sa, sb, nrm, pts))
+        return out
+
+    def apply_force(self, body: int, force, point, wake=True):
+        """Force at a world point: force + induced torque
+        (ref: BodyAPI.ApplyForce)."""
+        blane = self._bid(body)
+        if wake:
+            self.wake_body(body)
+        bd = self.state.bodies
+        f = jnp.asarray(force, jnp.float32)
+        lever = jnp.asarray(point, jnp.float32) - bd.center[blane]
+        self._update_bodies(
+            force=bd.force.at[blane].add(f),
+            torque=bd.torque.at[blane].add(m.cross(lever, f)))
+
+    def clear_forces(self, body: int):
+        """ref: BodyAPI.ClearForces."""
+        blane = self._bid(body)
+        bd = self.state.bodies
+        self._update_bodies(force=bd.force.at[blane].set(0.0),
+                            torque=bd.torque.at[blane].set(0.0))
+
+    def local_vector(self, body: int, world_vector):
+        blane = self._bid(body)
+        return np.asarray(m.inv_rot_vec(
+            self.state.bodies.rot[blane],
+            jnp.asarray(world_vector, jnp.float32)))
+
+    def world_vector(self, body: int, local_vector):
+        blane = self._bid(body)
+        return np.asarray(m.rot_vec(
+            self.state.bodies.rot[blane],
+            jnp.asarray(local_vector, jnp.float32)))
+
+    def world_point_velocity(self, body: int, world_point):
+        """Velocity of a body-attached world point (ref:
+        BodyAPI.GetWorldPointVelocity)."""
+        blane = self._bid(body)
+        bd = self.state.bodies
+        r = jnp.asarray(world_point, jnp.float32) - bd.center[blane]
+        return np.asarray(bd.v[blane] + m.cross_sv(bd.w[blane], r))
+
+    def local_point_velocity(self, body: int, local_point):
+        """ref: BodyAPI.GetLocalPointVelocity."""
+        return self.world_point_velocity(
+            body, self.world_point(body, local_point))
+
+    def body_mass_data(self, body: int) -> tuple:
+        """(mass, local center, rotational inertia) (ref: GetMassData)."""
+        blane = self._bid(body)
+        bd = self.state.bodies
+        return (float(bd.mass[blane]),
+                np.asarray(bd.local_center[blane]),
+                float(bd.inertia[blane]))
+
+    def set_mass_data(self, body: int, mass: float, center, inertia: float):
+        """Override mass properties (ref: BodyAPI.SetMassData); COM moves
+        with the new local center like the reference does."""
+        blane = self._bid(body)
+        bd = self.state.bodies
+        lc = jnp.asarray(center, jnp.float32)
+        origin = bd.origin[blane]
+        new_center = origin + m.rot_vec(bd.rot[blane], lc)
+        inv_m = 1.0 / mass if mass > 0 else 0.0
+        inv_i = 1.0 / inertia if inertia > 0 else 0.0
+        self._update_bodies(
+            mass=bd.mass.at[blane].set(mass),
+            inv_mass=bd.inv_mass.at[blane].set(inv_m),
+            inertia=bd.inertia.at[blane].set(inertia),
+            inv_inertia=bd.inv_inertia.at[blane].set(inv_i),
+            local_center=bd.local_center.at[blane].set(lc),
+            center=bd.center.at[blane].set(new_center))
+
+    def apply_mass_from_shapes(self, body: int):
+        """Recompute mass from attached shapes (ref: ApplyMassFromShapes)."""
+        self._recompute_mass(self._bid(body))
+
+    def body_motion_locks(self, body: int) -> tuple:
+        from .state import LOCK_ANGULAR_Z, LOCK_LINEAR_X, LOCK_LINEAR_Y
+
+        fl = int(np.asarray(self.state.bodies.flags)[self._bid(body)])
+        return (bool(fl & LOCK_LINEAR_X), bool(fl & LOCK_LINEAR_Y),
+                bool(fl & LOCK_ANGULAR_Z))
+
+    def set_body_motion_locks(self, body: int, lock_x=False, lock_y=False,
+                              lock_rotation=False):
+        """ref: BodyAPI.SetMotionLocks."""
+        from .state import LOCK_ANGULAR_Z, LOCK_LINEAR_X, LOCK_LINEAR_Y
+
+        blane = self._bid(body)
+        bd = self.state.bodies
+        fl = int(np.asarray(bd.flags)[blane])
+        fl &= ~(LOCK_LINEAR_X | LOCK_LINEAR_Y | LOCK_ANGULAR_Z)
+        fl |= ((LOCK_LINEAR_X if lock_x else 0)
+               | (LOCK_LINEAR_Y if lock_y else 0)
+               | (LOCK_ANGULAR_Z if lock_rotation else 0))
+        self._update_bodies(flags=bd.flags.at[blane].set(fl))
+
+    def is_bullet(self, body: int) -> bool:
+        from .state import IS_BULLET
+
+        return bool(int(np.asarray(self.state.bodies.flags)[
+            self._bid(body)]) & IS_BULLET)
+
+    def set_bullet(self, body: int, flag: bool):
+        """ref: BodyAPI.SetBullet."""
+        from .state import IS_BULLET
+
+        blane = self._bid(body)
+        bd = self.state.bodies
+        fl = int(np.asarray(bd.flags)[blane])
+        fl = (fl | IS_BULLET) if flag else (fl & ~IS_BULLET)
+        self._update_bodies(flags=bd.flags.at[blane].set(fl))
+
+    def set_body_user_data(self, body: int, tag: int):
+        blane = self._bid(body)
+        bd = self.state.bodies
+        self._update_bodies(user_data=bd.user_data.at[blane].set(int(tag)))
+
+    def body_user_data(self, body: int) -> int:
+        return int(np.asarray(self.state.bodies.user_data)[self._bid(body)])
+
+    def set_sleep_threshold(self, body: int, v: float):
+        blane = self._bid(body)
+        bd = self.state.bodies
+        self._update_bodies(
+            sleep_threshold=bd.sleep_threshold.at[blane].set(float(v)))
+
+    def set_linear_damping(self, body: int, v: float):
+        blane = self._bid(body)
+        bd = self.state.bodies
+        self._update_bodies(
+            linear_damping=bd.linear_damping.at[blane].set(float(v)))
+
+    def set_angular_damping(self, body: int, v: float):
+        blane = self._bid(body)
+        bd = self.state.bodies
+        self._update_bodies(
+            angular_damping=bd.angular_damping.at[blane].set(float(v)))
+
+    def set_gravity_scale(self, body: int, v: float):
+        blane = self._bid(body)
+        bd = self.state.bodies
+        self._update_bodies(
+            gravity_scale=bd.gravity_scale.at[blane].set(float(v)))
+
+    def body_compute_aabb(self, body: int) -> np.ndarray:
+        """Union AABB over the body's shapes (ref: BodyAPI.ComputeAABB)."""
+        aabbs = [self.shape_aabb(s) for s in self.body_shapes(body)]
+        if not aabbs:
+            p = self.body_position(body)
+            return np.concatenate([p, p])
+        a = np.stack(aabbs)
+        return np.concatenate([a[:, :2].min(0), a[:, 2:].max(0)])
+
+    def wake_touching(self, body: int):
+        """Wake bodies touching this one (ref: BodyAPI.WakeTouching)."""
+        blane = self._bid(body)
+        cs = self.state.contacts
+        ka = np.asarray(cs.key_a)
+        kb = np.asarray(cs.key_b)
+        touch = np.asarray(cs.touching)
+        owner = np.asarray(self.state.shapes.body)
+        gens = getattr(self, "_body_gen", None)
+        for lane in np.nonzero(touch & (ka >= 0))[0]:
+            ba = int(owner[ka[lane]])
+            bb = int(owner[kb[lane]])
+            if blane in (ba, bb):
+                other = bb if ba == blane else ba
+                self.wake_body(self._handle(other, gens)
+                               if gens is not None else other)
+
+    def set_target_transform(self, body: int, position, angle: float,
+                             dt: float):
+        """Kinematic drive: velocities that reach the target pose in dt
+        (ref: BodyAPI.SetTargetTransform)."""
+        blane = self._bid(body)
+        bd = self.state.bodies
+        origin = np.asarray(bd.origin[blane])
+        cur_a = float(np.arctan2(np.asarray(bd.rot[blane, 1]),
+                                 np.asarray(bd.rot[blane, 0])))
+        dpos = (np.asarray(position, np.float32) - origin) / dt
+        da = float(angle) - cur_a
+        da = (da + np.pi) % (2 * np.pi) - np.pi
+        self.set_linear_velocity(body, dpos)
+        self.set_angular_velocity(body, da / dt)
+
     def set_transform(self, body: int, position, angle: float):
         """Teleport a body (ref: BodyAPI.SetTransform — the reference moves
         the proxies immediately; here the dirty flag forces a pair rebuild
@@ -1584,6 +1804,230 @@ class World:
         from .broadphase import compute_shape_aabbs
 
         return np.asarray(compute_shape_aabbs(self.state)[shape])
+
+    # -- shape material / flag accessors (ref: api/Shape.cs) ---------------
+
+    def _update_shapes(self, lane: int, **cols):
+        sh = self.state.shapes
+        upd = {k: getattr(sh, k).at[lane].set(v) for k, v in cols.items()}
+        self.state = dataclasses.replace(
+            self.state, shapes=dataclasses.replace(sh, **upd))
+        self._rebuild_shape_table()
+
+    def _rebuild_shape_table(self):
+        from .narrowphase import build_static_table
+
+        sh = self.state.shapes
+        self.state = dataclasses.replace(
+            self.state, shapes=dataclasses.replace(
+                sh, table=build_static_table(sh, self.capacity.max_verts)))
+
+    def shape_body(self, shape: int) -> int:
+        lane = int(np.asarray(self.state.shapes.body)[self._sid(shape)])
+        gens = getattr(self, "_body_gen", None)
+        return self._handle(lane, gens) if gens is not None else lane
+
+    def shape_friction(self, shape: int) -> float:
+        return float(np.asarray(self.state.shapes.friction)[
+            self._sid(shape)])
+
+    def set_friction(self, shape: int, v: float):
+        """ref: ShapeAPI.SetFriction."""
+        self._update_shapes(self._sid(shape), friction=float(v))
+
+    def shape_restitution(self, shape: int) -> float:
+        return float(np.asarray(self.state.shapes.restitution)[
+            self._sid(shape)])
+
+    def set_restitution(self, shape: int, v: float):
+        """ref: ShapeAPI.SetRestitution."""
+        self._update_shapes(self._sid(shape), restitution=float(v))
+
+    def shape_density(self, shape: int) -> float:
+        return float(np.asarray(self.state.shapes.density)[
+            self._sid(shape)])
+
+    def set_density(self, shape: int, v: float, update_mass: bool = True):
+        """ref: ShapeAPI.SetDensity."""
+        lane = self._sid(shape)
+        self._update_shapes(lane, density=float(v))
+        self._shape_recs[lane]["density"] = float(v)
+        if update_mass:
+            self._recompute_mass(self._shape_recs[lane]["body"])
+
+    def set_surface_material(self, shape: int, friction=None,
+                             restitution=None, rolling_resistance=None,
+                             tangent_speed=None, user_material=None):
+        """ref: ShapeAPI.SetSurfaceMaterial / SetUserMaterial."""
+        lane = self._sid(shape)
+        cols = {}
+        if friction is not None:
+            cols["friction"] = float(friction)
+        if restitution is not None:
+            cols["restitution"] = float(restitution)
+        if rolling_resistance is not None:
+            cols["rolling_resistance"] = float(rolling_resistance)
+        if tangent_speed is not None:
+            cols["tangent_speed"] = float(tangent_speed)
+        if user_material is not None:
+            cols["user_material"] = int(user_material)
+        if cols:
+            self._update_shapes(lane, **cols)
+
+    def shape_surface_material(self, shape: int) -> dict:
+        lane = self._sid(shape)
+        sh = self.state.shapes
+        return {k: (float if k != "user_material" else int)(
+            np.asarray(getattr(sh, k))[lane])
+            for k in ("friction", "restitution", "rolling_resistance",
+                      "tangent_speed", "user_material")}
+
+    def enable_shape_contact_events(self, shape: int, flag: bool):
+        """ref: ShapeAPI.EnableContactEvents (post-compile)."""
+        self._update_shapes(self._sid(shape),
+                            enable_contact_events=bool(flag))
+
+    def enable_shape_hit_events(self, shape: int, flag: bool):
+        self._update_shapes(self._sid(shape), enable_hit_events=bool(flag))
+
+    def enable_shape_sensor_events(self, shape: int, flag: bool):
+        self._update_shapes(self._sid(shape),
+                            enable_sensor_events=bool(flag))
+
+    def shape_filter(self, shape: int) -> "t.Filter":
+        lane = self._sid(shape)
+        sh = self.state.shapes
+        return t.Filter(
+            category_bits=int(np.asarray(sh.filter_category)[lane]),
+            mask_bits=int(np.asarray(sh.filter_mask)[lane]),
+            group_index=int(np.asarray(sh.filter_group)[lane]))
+
+    def shape_geometry(self, shape: int):
+        """The host-side ShapeGeom record (ref: ShapeAPI.GetPolygon /
+        GetCircle / GetCapsule / GetSegment / GetType)."""
+        return self._shape_recs[self._sid(shape)]["geom"]
+
+    def shape_ray_cast(self, shape: int, origin, translation):
+        """Ray vs ONE shape in world space (ref: ShapeAPI.RayCast).
+        Returns (hit, fraction, point, normal)."""
+        from .queries import ray_shape_analytic
+
+        lane = self._sid(shape)
+        sh = self.state.shapes
+        b = self.state.bodies
+        bid = sh.body[lane]
+        sp = b.origin[bid]
+        sq = b.rot[bid]
+        lo = m.inv_transform_point(sp, sq,
+                                   jnp.asarray(origin, jnp.float32))
+        ld = m.inv_rot_vec(sq, jnp.asarray(translation, jnp.float32))
+        hit, frac, pt, nrm = ray_shape_analytic(
+            lo, ld, jnp.float32(1.0), sh.type[lane], sh.verts[lane],
+            sh.normals[lane], sh.count[lane], sh.radius[lane])
+        return (bool(hit), float(frac),
+                np.asarray(m.transform_point(sp, sq, pt)),
+                np.asarray(m.rot_vec(sq, nrm)))
+
+    def shape_closest_point(self, shape: int, point) -> np.ndarray:
+        """Closest point on the shape surface (ref: GetClosestPoint)."""
+        from .particles import _point_shape_distance
+
+        lane = self._sid(shape)
+        sh = self.state.shapes
+        b = self.state.bodies
+        bid = sh.body[lane]
+        sp = b.origin[bid]
+        sq = b.rot[bid]
+        lp = m.inv_transform_point(sp, sq, jnp.asarray(point, jnp.float32))
+        dist, nrm = _point_shape_distance(
+            lp, sh.verts[lane], sh.normals[lane], sh.count[lane],
+            sh.radius[lane])
+        cp = lp - jnp.maximum(dist, 0.0) * nrm
+        return np.asarray(m.transform_point(sp, sq, cp))
+
+    # -- typed joint getters (ref: api/Joint.cs *Joint_Get*) ----------------
+
+    def joint_bodies(self, joint: int) -> tuple:
+        lane = self._jid(joint)
+        jn = self.state.joints
+        gens = getattr(self, "_body_gen", None)
+        a = int(np.asarray(jn.body_a)[lane])
+        b = int(np.asarray(jn.body_b)[lane])
+        if gens is not None:
+            return self._handle(a, gens), self._handle(b, gens)
+        return a, b
+
+    def _joint_frames_world(self, lane: int):
+        jn = self.state.joints
+        bd = self.state.bodies
+        a = jn.body_a[lane]
+        b = jn.body_b[lane]
+        pa = m.transform_point(bd.origin[a], bd.rot[a], jn.frame_a_p[lane])
+        pb = m.transform_point(bd.origin[b], bd.rot[b], jn.frame_b_p[lane])
+        qa = m.rot_mul(bd.rot[a], jn.frame_a_q[lane])
+        qb = m.rot_mul(bd.rot[b], jn.frame_b_q[lane])
+        return pa, qa, pb, qb
+
+    def distance_joint_current_length(self, joint: int) -> float:
+        """ref: DistanceJoint_GetCurrentLength."""
+        pa, _, pb, _ = self._joint_frames_world(self._jid(joint))
+        return float(m.length(pb - pa))
+
+    def revolute_joint_angle(self, joint: int) -> float:
+        """ref: RevoluteJoint_GetAngle."""
+        _, qa, _, qb = self._joint_frames_world(self._jid(joint))
+        rel = m.rot_inv_mul(qa, qb)
+        return float(jnp.arctan2(rel[1], rel[0]))
+
+    def prismatic_joint_translation(self, joint: int) -> float:
+        """ref: PrismaticJoint_GetTranslation (wheel uses the same axis
+        projection, WheelJoint.cs:184)."""
+        lane = self._jid(joint)
+        pa, qa, pb, _ = self._joint_frames_world(lane)
+        axis = m.rot_vec(qa, jnp.asarray([1.0, 0.0], jnp.float32))
+        return float(m.dot(pb - pa, axis))
+
+    wheel_joint_translation = prismatic_joint_translation
+
+    def joint_linear_separation(self, joint: int) -> float:
+        """Positional constraint error (ref: JointAPI.GetLinearSeparation
+        for the point-to-point types)."""
+        pa, _, pb, _ = self._joint_frames_world(self._jid(joint))
+        return float(m.length(pb - pa))
+
+    def joint_angular_separation(self, joint: int) -> float:
+        """ref: JointAPI.GetAngularSeparation."""
+        _, qa, _, qb = self._joint_frames_world(self._jid(joint))
+        rel = m.rot_inv_mul(qa, qb)
+        return float(jnp.arctan2(rel[1], rel[0]))
+
+    def joint_local_frames(self, joint: int) -> tuple:
+        lane = self._jid(joint)
+        jn = self.state.joints
+        return (np.asarray(jn.frame_a_p[lane]),
+                np.asarray(jn.frame_a_q[lane]),
+                np.asarray(jn.frame_b_p[lane]),
+                np.asarray(jn.frame_b_q[lane]))
+
+    def set_joint_local_frames(self, joint: int, frame_a_p=None,
+                               frame_b_p=None):
+        """ref: JointAPI.SetLocalFrameA/B (anchor positions)."""
+        fields = {}
+        if frame_a_p is not None:
+            fields["frame_a_p"] = jnp.asarray(frame_a_p, jnp.float32)
+        if frame_b_p is not None:
+            fields["frame_b_p"] = jnp.asarray(frame_b_p, jnp.float32)
+        if fields:
+            self._set_joint(joint, **fields)
+
+    def joint_user_data(self, joint: int) -> int:
+        # joints carry no user-data column; host-side map
+        return getattr(self, "_joint_user", {}).get(self._jid(joint), 0)
+
+    def set_joint_user_data(self, joint: int, tag: int):
+        if not hasattr(self, "_joint_user"):
+            self._joint_user = {}
+        self._joint_user[self._jid(joint)] = int(tag)
 
     def contact_data(self):
         """Manifolds of all currently-touching contacts (ref:

@@ -384,3 +384,63 @@ def test_oracle_drift(scene, steps, bound):
     engine_c = _run_engine(builders[scene](), steps)
     drift = np.max(np.abs(oracle_c - engine_c))
     assert drift < bound, f"{scene}: drift {drift}"
+
+
+def _particle_scene(boxes, pts, radius):
+    w = _world()
+    tank = w.create_body(t.BodyDef(type=t.STATIC))
+    for c, h in boxes:
+        w.create_polygon_shape(tank, t.ShapeDef(),
+                               g.box(h[0], h[1], center=c))
+    ps = w.create_particle_system(radius=radius)
+    for p in pts:
+        ps.create_particle(p)
+    w.compile()
+    return w
+
+
+def _run_both(boxes, pts, radius, steps):
+    import oracle_particles as op
+
+    w = _particle_scene(boxes, pts, radius)
+    pw = op.PWorld(boxes, radius=radius)
+    pos = np.asarray(pts, np.float32)
+    vel = np.zeros_like(pos)
+    for _ in range(steps):
+        w.step(1 / 60)
+        pos, vel = pw.step(pos, vel, 1 / 60)
+    return np.asarray(w.state.particles.pos)[:len(pts)], pos
+
+
+def test_particle_column_oracle_exact():
+    """50-particle water column vs the scalar LiquidFun transliteration
+    (tests/oracle_particles.py; ref particle/ParticleSystem.cs:1512-1915):
+    the collapsing column matches the reference pipeline formula-for-formula
+    over the first steps (summation-order float noise only — a collapsing
+    column is chaotic, so per-particle bounds cannot survive longer)."""
+    boxes = [((0.0, -0.25), (1.0, 0.25)),
+             ((-1.0, 1.0), (0.25, 1.5)),
+             ((1.0, 1.0), (0.25, 1.5))]
+    radius = 0.05
+    stride = 0.75 * 2 * radius
+    pts = [(-0.5 + c * stride, 0.06 + r * stride)
+           for r in range(10) for c in range(5)]
+    eng, pos = _run_both(boxes, pts, radius, 2)
+    drift = np.max(np.abs(eng - pos))
+    assert drift < 1e-6, f"particle column early drift {drift}"
+
+
+def test_particle_bed_oracle_drift():
+    """Shallow 2-layer bed (laminar: settles hydrostatically, no splash):
+    the 1000-step trajectory holds the 1e-2 drift bound vs the reference
+    transliteration."""
+    boxes = [((0.0, -0.25), (1.2, 0.25)),
+             ((-1.2, 1.0), (0.25, 1.5)),
+             ((1.2, 1.0), (0.25, 1.5))]
+    radius = 0.05
+    stride = 0.75 * 2 * radius
+    pts = [(-0.9 + c * stride, 0.05 + r * stride)
+           for r in range(2) for c in range(25)]
+    eng, pos = _run_both(boxes, pts, radius, 1000)
+    drift = np.max(np.abs(eng - pos))
+    assert drift < 1e-2, f"particle bed drift {drift}"
