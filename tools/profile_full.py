@@ -66,8 +66,9 @@ def main():
     print(f"scene={scene}-{size} use_pallas={use_pallas} "
           f"backend={jax.default_backend()}")
 
-    # advance the REAL world 10 steps for a realistic settling state
-    for _ in range(10):
+    # advance the REAL world for a realistic settling state (PROFILE_WARM
+    # steps; a pyramid needs ~60+ before the contact set is fully live)
+    for _ in range(int(os.environ.get("PROFILE_WARM", "10"))):
         w.step()
     s = w.state
     jax.block_until_ready(s.bodies.center)
