@@ -160,6 +160,21 @@ def measure_batch(n_worlds=64, rows=20, steps=240):
     }
 
 
+def measure_batch_flat_particles(n_worlds=64, particles=500, steps=240):
+    """Flat batch of particle worlds: n dam-break copies tiled into ONE
+    world — one sorted particle table serves the whole batch (the lane-flat
+    analog of vmapping LiquidFun over worlds)."""
+    from box2d_tpu import scenes
+
+    w = scenes.replicate(scenes.dam_break(particles), n_worlds)
+    out = measure_world(w, "dam_break", steps)
+    out["metric"] = (f"particle-steps/sec ({n_worlds}x dam_break-{particles}"
+                     " flat batch, " + out["metric"].split(", ")[1])
+    base = CPU_BASELINE.get("dam_break", 0.0)
+    out["vs_baseline"] = round(out["value"] / base, 3) if base else 0.0
+    return out
+
+
 def measure_batch_flat(n_worlds=64, rows=20, steps=240):
     """Flat batch: n copies tiled into ONE world (scenes.replicate), stepped
     as a single program — the TPU-first batch mode (a vmapped batch pays
@@ -211,6 +226,8 @@ def main():
         results["batch_flat"] = measure_batch_flat(steps=steps)
         results["batch_flat_1024"] = measure_batch_flat(
             1024, 8, min(steps, 120))
+        results["batch_flat_particles"] = measure_batch_flat_particles(
+            steps=steps)
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "BENCH_FULL.json"), "w") as f:
             json.dump(results, f, indent=1)
@@ -222,6 +239,8 @@ def main():
         out = measure_batch(steps=steps)
     elif scene_name == "batch_flat":
         out = measure_batch_flat(steps=steps)
+    elif scene_name == "batch_flat_particles":
+        out = measure_batch_flat_particles(steps=steps)
     else:
         w, tag = build(scene_name, rows, count)
         out = measure_world(w, tag, steps)

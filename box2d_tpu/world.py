@@ -707,15 +707,31 @@ def _store_joint_impulses(joints, jc):
 
 
 def _compact_events(mask, payload, capacity):
-    """Scatter masked lanes into a fixed-size event array. Returns
-    (array, clamped count, dropped count) — drops are surfaced in
-    Profile.events_dropped, never silent (the reference grows its event
-    arrays instead, ref: src/World.cs:376-450)."""
-    pos = jnp.cumsum(mask) - 1
+    """Select masked lanes into a fixed-size event array (lane order
+    preserved). Returns (array, clamped count, dropped count) — drops are
+    surfaced in Profile.events_dropped, never silent (the reference grows
+    its event arrays instead, ref: src/World.cs:376-450).
+
+    top_k of the (small) selected set + a capacity-sized gather instead of
+    a P-lane cumsum + P-source scatter: scatters cost per SOURCE row on TPU
+    (~1.3 ms at 40k lanes), top_k only O(P log k)."""
+    n = mask.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+    score = jnp.where(mask, lane, big)
+    k = min(capacity, n)
+    neg_top, _ = jax.lax.top_k(-score, k)    # largest of -score = first lanes
+    idx = -neg_top                           # ascending lane order
+    valid = idx < big
+    rows = payload[jnp.clip(idx, 0, n - 1)]
+    vmask = valid.reshape((k,) + (1,) * (payload.ndim - 1))
+    rows = jnp.where(vmask, rows, 0)
+    if k < capacity:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((capacity - k,) + payload.shape[1:],
+                             payload.dtype)])
     count = jnp.sum(mask)
-    out = jnp.zeros((capacity,) + payload.shape[1:], payload.dtype)
-    out = out.at[jnp.where(mask, pos, capacity)].set(payload, mode="drop")
-    return (out, jnp.minimum(count, capacity).astype(jnp.int32),
+    return (rows, jnp.minimum(count, capacity).astype(jnp.int32),
             jnp.maximum(count - capacity, 0).astype(jnp.int32))
 
 

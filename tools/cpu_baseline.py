@@ -25,6 +25,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")  # the container force-registers
+assert jax.default_backend() == "cpu"      # the axon TPU; env alone fails
+
 import numpy as np
 
 
