@@ -29,21 +29,27 @@ import jax
 import numpy as np
 
 # single-core CPU XLA-path proxies (body-steps/s or particle-steps/s),
-# measured with tools/cpu_baseline.py on this host; see BASELINE.md.
-# re-measured 2026-08-18 with ROUND-3 code (the engine's CPU path sped up
-# too — quiet-step gates, V-wide manifolds, sorted-space particles — so
-# stale proxies would inflate vs_baseline). tumbler/joint_farm/dam_break
-# measured AT DRIVER SCALE (2000 boxes / 1000 ragdolls / 100k particles).
+# measured with tools/cpu_baseline.py; see BASELINE.md for the policy.
+# RE-MEASURED 2026-08-18 (round 4) after discovering the round-3 proxies
+# were NOT single-core CPU numbers: the container's sitecustomize force-
+# registers the axon TPU platform, so the script's JAX_PLATFORMS=cpu env
+# var was silently ignored (cpu_baseline.py now asserts the backend), and
+# the host is single-core so no hidden multithreading is possible either.
+# The round-3 denominators were therefore ~20-60x too high (dam-break's
+# round-3 "proxy" of 185.5k vs the TPU's own 187.7k is the tell). Rates
+# are per-entity at the measurement scales (pyramid-20/140 exact; tumbler
+# 800 boxes, joint_farm 100 ragdolls, dam_break 2k particles — per-entity
+# cost is near-linear, documented in BASELINE.md).
 CPU_BASELINE = {
-    "pyramid-20": 210230.3,
-    "pyramid-140": 190706.1,
-    "tumbler": 135347.4,
-    "joint_farm": 292343.8,
-    "bullet_barrage": 19872.4,
-    "dam_break": 185457.0,
+    "pyramid-20": 11263.0,
+    "pyramid-140": 8390.2,
+    "tumbler": 16546.5,
+    "joint_farm": 579.8,
+    "bullet_barrage": 3279.1,
+    "dam_break": 95743.3,
     # a single core runs batch members sequentially, so the per-world rate
     # is the batch baseline
-    "batch": 210230.3,
+    "batch": 11263.0,
 }
 
 
