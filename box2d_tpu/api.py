@@ -226,6 +226,8 @@ class World:
                 use_window_kernel=(jax.default_backend() not in ("cpu",)
                                    and len(pb.flags) >= 2048),
                 max_body_shapes=mbs,
+                geom_types=frozenset(
+                    int(s["geom"].type) for s in self.builder._shapes),
             )
         # flagship Pallas solver: TPU-only.
         # mode 1 = VMEM-resident mega-kernel (small joint-free worlds,

@@ -179,6 +179,10 @@ class ParticleConfig(NamedTuple):
     # windowed gather/scatter pipeline. Only valid when no gated pass needs
     # the flat pair view (plain-water scenes); set by api.compile() on TPU.
     use_window_kernel: bool = False
+    # trace-time geometry families present in the scene: the anti-tunnel
+    # raycast evaluates every closed-form variant per (particle, shape)
+    # lane otherwise (4x the work for the usual polygon-tank scenes)
+    geom_types: frozenset | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -1074,7 +1078,7 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
 
         # ---- collision anti-tunneling (ref SolveCollision) ----
         vel = _solve_collision(pt, pos, vel, state, bs_idx, bs_valid,
-                               dt, inv_dt, prm)
+                               dt, inv_dt, prm, cfg.geom_types)
 
         # ---- barrier segments block crossing (ref SolveBarrier) ----
         if cfg.has_barrier:
@@ -1272,7 +1276,7 @@ def _solve_rigid(pt: Particles, pos, vel, mass, dt, inv_dt):
 
 
 def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
-                     bs_valid, dt, inv_dt, prm):
+                     bs_valid, dt, inv_dt, prm, geom_types=None):
     """Ray cast each particle's predicted motion against nearby shapes and
     clamp velocity at the surface (ref: SolveCollision :1565-1624)."""
     b = state.bodies
@@ -1288,7 +1292,8 @@ def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
             lambda p1, d: ray_shape_analytic(p1, d, jnp.float32(1.0),
                                              sh.type[si], sh.verts[si],
                                              sh.normals[si], sh.count[si],
-                                             sh.radius[si]))(lo, ld)
+                                             sh.radius[si],
+                                             geom_types))(lo, ld)
         hit = hit & valid & pt.alive & jnp.isfinite(frac) & (frac > 0.0)
         wpt = jax.vmap(lambda x: m.transform_point(sp, sq, x))(lpt)
         wn = jax.vmap(lambda v: m.rot_vec(sq, v))(lnrm)

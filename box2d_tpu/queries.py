@@ -162,17 +162,32 @@ def _ray_capsule(p1, d, max_frac, v1, v2, radius):
     return hit, frac, pt, nrm
 
 
-def ray_shape_analytic(p1, d, max_frac, stype, verts, normals, count, radius):
+def ray_shape_analytic(p1, d, max_frac, stype, verts, normals, count, radius,
+                       types_present: frozenset | None = None):
     """Closed-form-only dispatch (no GJK): rounded polygons are treated as
     their sharp core. Used by the particle anti-tunneling pass where a GJK
-    cast per (particle, shape) would dominate the whole step."""
-    hit_c, f_c, pt_c, n_c = _ray_circle(p1, d, max_frac, verts[0], radius)
-    hit_k, f_k, pt_k, n_k = _ray_capsule(p1, d, max_frac, verts[0], verts[1],
-                                         radius)
-    hit_s, f_s, pt_s, n_s = _ray_segment(
-        p1, d, max_frac, verts[0], verts[1], stype == g.CHAIN_SEGMENT)
-    hit_p, f_p, pt_p, n_p = _ray_polygon_sharp(p1, d, max_frac, verts,
-                                               normals, count)
+    cast per (particle, shape) would dominate the whole step.
+
+    types_present: optional TRACE-TIME set of geometry types in the scene —
+    absent families drop out of the program entirely (the pass evaluates
+    every variant per (particle, shape) lane otherwise; for the usual
+    polygon-tank particle scenes this is a 4x cut)."""
+    tp = types_present
+    has = lambda *ts: tp is None or any(t in tp for t in ts)
+    miss = (jnp.bool_(False), jnp.float32(jnp.inf), p1, jnp.zeros(2))
+    hit_c, f_c, pt_c, n_c = (
+        _ray_circle(p1, d, max_frac, verts[0], radius)
+        if has(g.CIRCLE) else miss)
+    hit_k, f_k, pt_k, n_k = (
+        _ray_capsule(p1, d, max_frac, verts[0], verts[1], radius)
+        if has(g.CAPSULE) else miss)
+    hit_s, f_s, pt_s, n_s = (
+        _ray_segment(p1, d, max_frac, verts[0], verts[1],
+                     stype == g.CHAIN_SEGMENT)
+        if has(g.SEGMENT, g.CHAIN_SEGMENT, g.CAPSULE) else miss)
+    hit_p, f_p, pt_p, n_p = (
+        _ray_polygon_sharp(p1, d, max_frac, verts, normals, count)
+        if has(g.POLYGON) else miss)
     is_circle = stype == g.CIRCLE
     is_cap = (stype == g.CAPSULE) & (radius > 0.0)
     is_seg = (stype == g.SEGMENT) | (stype == g.CHAIN_SEGMENT) | (
