@@ -522,6 +522,90 @@ def _point_shape_distance(p, verts, normals, count, radius, verts_next=None):
     return dist, normal
 
 
+def _point_shape_distance_batched(pos, s_origin, s_rot, verts, normals,
+                                  counts, radii):
+    """(N, Sb) point-vs-shape distances + WORLD-space outward normals —
+    the lane-major batched form of _point_shape_distance (same math).
+
+    The vmap(vmap(...)) form operates on (..., 2)-minor arrays, which tile
+    to 128 lanes (64x waste) — at 31k particles x 192 shapes that padding
+    alone costs tens of ms/iteration. Here every elementwise op runs on
+    (N, Sb) or (N, Sb*V) matrices with full lane utilization; vector math
+    is componentwise."""
+    V = verts.shape[1]
+    Sb = verts.shape[0]
+    # local point per (particle, shape): R^T (p - origin), componentwise
+    dx = pos[:, 0:1] - s_origin[None, :, 0]   # (N, Sb)
+    dy = pos[:, 1:2] - s_origin[None, :, 1]
+    c = s_rot[None, :, 0]
+    s = s_rot[None, :, 1]
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+
+    # flattened per-(shape, vertex) tables (Sb*V,)
+    lane_ok = (_LANES[None, :V] < counts[:, None]).reshape(-1)
+    vnext = jnp.take_along_axis(
+        verts, ((jnp.arange(V)[None, :] + 1)
+                % jnp.maximum(counts, 1)[:, None])[..., None], axis=1)
+    vx = verts[..., 0].reshape(-1)
+    vy = verts[..., 1].reshape(-1)
+    nx = normals[..., 0].reshape(-1)
+    ny = normals[..., 1].reshape(-1)
+    ex = (vnext[..., 0].reshape(-1) - vx)
+    ey = (vnext[..., 1].reshape(-1) - vy)
+    e2 = jnp.maximum(ex * ex + ey * ey, 1e-12)
+
+    lxv = jnp.repeat(lx, V, axis=1)           # (N, Sb*V)
+    lyv = jnp.repeat(ly, V, axis=1)
+    # face separations
+    seps = nx[None] * (lxv - vx[None]) + ny[None] * (lyv - vy[None])
+    seps_m = jnp.where(lane_ok[None], seps, -jnp.inf)
+    inside3 = jnp.all(
+        (jnp.where(lane_ok[None], seps <= 0.0, True)
+         ).reshape(-1, Sb, V), axis=2) & (counts[None, :] >= 3)
+    # per-edge closest point
+    tt = jnp.clip(((lxv - vx[None]) * ex[None]
+                   + (lyv - vy[None]) * ey[None]) / e2[None], 0.0, 1.0)
+    cpx = vx[None] + tt * ex[None]
+    cpy = vy[None] + tt * ey[None]
+    ddx = lxv - cpx
+    ddy = lyv - cpy
+    dd2 = ddx * ddx + ddy * ddy
+    dd = jnp.where(lane_ok[None], jnp.sqrt(dd2), jnp.inf)
+    dd3 = dd.reshape(-1, Sb, V)
+    dist_out = jnp.min(dd3, axis=2)           # (N, Sb)
+    bsel = dd3 == dist_out[..., None]
+    bsel = bsel & (jnp.cumsum(bsel, axis=2) == 1)
+    cl_x = jnp.sum(jnp.where(bsel, cpx.reshape(-1, Sb, V), 0.0), axis=2)
+    cl_y = jnp.sum(jnp.where(bsel, cpy.reshape(-1, Sb, V), 0.0), axis=2)
+    safe = jnp.where(dist_out > 0, dist_out, 1.0)
+    nox = (lx - cl_x) / safe
+    noy = (ly - cl_y) / safe
+    # inside: deepest face
+    seps3 = seps_m.reshape(-1, Sb, V)
+    sep_max = jnp.max(seps3, axis=2)
+    fsel = seps3 == sep_max[..., None]
+    fsel = fsel & (jnp.cumsum(fsel, axis=2) == 1)
+    nix = jnp.sum(jnp.where(fsel, nx.reshape(Sb, V)[None], 0.0), axis=2)
+    niy = jnp.sum(jnp.where(fsel, ny.reshape(Sb, V)[None], 0.0), axis=2)
+    dist = jnp.where(inside3, sep_max, dist_out) - radii[None, :]
+    lnx = jnp.where(inside3, nix, nox)
+    lny = jnp.where(inside3, niy, noy)
+    # degenerate single-point shape (circle): normal from center
+    is_pt = (counts == 1)[None, :]
+    dcx = lx - verts[None, :, 0, 0]
+    dcy = ly - verts[None, :, 0, 1]
+    dlen = jnp.sqrt(dcx * dcx + dcy * dcy)
+    dls = jnp.where(dlen > 0, dlen, 1.0)
+    dist = jnp.where(is_pt, dlen - radii[None, :], dist)
+    lnx = jnp.where(is_pt, dcx / dls, lnx)
+    lny = jnp.where(is_pt, dcy / dls, lny)
+    # rotate normals to world space
+    wnx = c * lnx - s * lny
+    wny = s * lnx + c * lny
+    return dist, jnp.stack([wnx, wny], axis=-1)
+
+
 def _safe_div(a, b):
     return a / jnp.where(b != 0.0, b, 1.0)
 
@@ -587,6 +671,10 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     s_invm = b.inv_mass[p_body]
     s_invI = b.inv_inertia[p_body]
     s_dyn = b.type[p_body] == DYNAMIC
+    s_verts = sh.verts[bs_idx]
+    s_normals = sh.normals[bs_idx]
+    s_count = sh.count[bs_idx]
+    s_radius = sh.radius[bs_idx]
 
     def body_vel_at(points):
         """Body surface velocity at (n, Sb, 2) points (broadcast rows)."""
@@ -711,23 +799,11 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             c_flags = jnp.where(c_ok, pt.flags[ia] | pt.flags[ib], 0)
 
         # ---- body contacts (ref UpdateBodyContacts) ----
-        # (Np, Sb) point-shape distances; all body fields come from the
-        # per-shape rows (broadcasts), never (Np, Sb)-index gathers
-        def shape_dist(si, sp, sq):
-            v1 = sh.verts[si]
-            nrm_s = sh.normals[si]
-            cnt = sh.count[si]
-            rad = sh.radius[si]
-            v2 = v1[(jnp.arange(MAX_POLYGON_VERTICES) + 1)
-                    % jnp.maximum(cnt, 1)]  # per-shape, hoisted out of vmap
-            local = jax.vmap(lambda x: m.inv_transform_point(sp, sq, x))(pos)
-            dist, nrm = jax.vmap(
-                lambda lp: _point_shape_distance(lp, v1, nrm_s, cnt, rad,
-                                                 v2))(local)
-            return dist, jax.vmap(lambda v: m.rot_vec(sq, v))(nrm)
-
-        bdist, bnrm = jax.vmap(shape_dist, in_axes=(0, 0, 0),
-                               out_axes=1)(bs_idx, s_origin, s_rot)  # (Np, Sb)
+        # (Np, Sb) point-shape distances in the lane-major batched form
+        # (see _point_shape_distance_batched); all body fields come from
+        # the per-shape rows (broadcasts), never (Np, Sb)-index gathers
+        bdist, bnrm = _point_shape_distance_batched(
+            pos, s_origin, s_rot, s_verts, s_normals, s_count, s_radius)
         bc_ok = (bdist < prm.radius) & pt.alive[:, None] & bs_valid[None, :]
         # contact normal points particle -> shape (ref stores -output.normal)
         bc_n = -bnrm
@@ -1275,13 +1351,89 @@ def _solve_rigid(pt: Particles, pos, vel, mass, dt, inv_dt):
     return jnp.where(in_rigid[:, None], v_rigid, vel)
 
 
+def _ray_polygon_batched(pos, delta, s_origin, s_rot, verts, normals,
+                         counts):
+    """(N, Sb) slab raycast against radius-0 polygons — the lane-major
+    batched form of queries._ray_polygon_sharp (same math; see
+    _point_shape_distance_batched for why). Returns (hit, frac,
+    world normal); interior starts are excluded (frac would be 0, which
+    the anti-tunnel pass drops anyway)."""
+    V = verts.shape[1]
+    Sb = verts.shape[0]
+    c = s_rot[None, :, 0]
+    s = s_rot[None, :, 1]
+    dx0 = pos[:, 0:1] - s_origin[None, :, 0]
+    dy0 = pos[:, 1:2] - s_origin[None, :, 1]
+    lpx = c * dx0 + s * dy0                       # (N, Sb) local origin
+    lpy = -s * dx0 + c * dy0
+    ldx = c * delta[:, 0:1] + s * delta[:, 1:2]   # local direction
+    ldy = -s * delta[:, 0:1] + c * delta[:, 1:2]
+
+    lane_ok = (_LANES[None, :V] < counts[:, None]).reshape(-1)
+    bx = verts[:, 0, 0]
+    by = verts[:, 0, 1]
+    vx = verts[..., 0].reshape(-1)
+    vy = verts[..., 1].reshape(-1)
+    nx = normals[..., 0].reshape(-1)
+    ny = normals[..., 1].reshape(-1)
+    # p = local origin - base, per (particle, shape); expanded over verts
+    px = jnp.repeat(lpx - bx[None, :], V, axis=1)      # (N, Sb*V)
+    py = jnp.repeat(lpy - by[None, :], V, axis=1)
+    ddx = jnp.repeat(ldx, V, axis=1)
+    ddy = jnp.repeat(ldy, V, axis=1)
+    rvx = (vx - jnp.repeat(bx, V))[None]
+    rvy = (vy - jnp.repeat(by, V))[None]
+    num = nx[None] * (rvx - px) + ny[None] * (rvy - py)
+    den = nx[None] * ddx + ny[None] * ddy
+    tf = num / jnp.where(den != 0.0, den, 1.0)
+    lower_c = jnp.where(lane_ok[None] & (den < 0.0), tf, -jnp.inf)
+    upper_c = jnp.where(lane_ok[None] & (den > 0.0), tf, jnp.inf)
+    par_miss = jnp.any(
+        (lane_ok[None] & (den == 0.0) & (num < 0.0)).reshape(-1, Sb, V),
+        axis=2)
+    lc3 = lower_c.reshape(-1, Sb, V)
+    mx = jnp.max(lc3, axis=2)                      # (N, Sb)
+    lower = jnp.maximum(mx, 0.0)
+    upper = jnp.minimum(jnp.min(upper_c.reshape(-1, Sb, V), axis=2), 1.0)
+    hit = (~par_miss) & (lower <= upper) & (mx > 0.0) & (mx <= 1.0)
+    frac = jnp.where(hit, lower, jnp.inf)
+    sel = lc3 == mx[..., None]
+    sel = sel & (jnp.cumsum(sel, axis=2) == 1)
+    lnx = jnp.sum(jnp.where(sel, nx.reshape(Sb, V)[None], 0.0), axis=2)
+    lny = jnp.sum(jnp.where(sel, ny.reshape(Sb, V)[None], 0.0), axis=2)
+    wnx = c * lnx - s * lny
+    wny = s * lnx + c * lny
+    return hit, frac, wnx, wny
+
+
 def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
                      bs_valid, dt, inv_dt, prm, geom_types=None):
     """Ray cast each particle's predicted motion against nearby shapes and
     clamp velocity at the surface (ref: SolveCollision :1565-1624)."""
+    from . import geometry as g
+
     b = state.bodies
     sh = state.shapes
     origin = b.origin
+
+    if geom_types is not None and geom_types <= {g.POLYGON}:
+        # lane-major batched slab ray for polygon-only scenes (tanks)
+        p_body = sh.body[bs_idx]
+        hit, frac, wnx, wny = _ray_polygon_batched(
+            pos, dt * vel, origin[p_body], b.rot[p_body], sh.verts[bs_idx],
+            sh.normals[bs_idx], sh.count[bs_idx])
+        hit = hit & bs_valid[None, :] & pt.alive[:, None]
+        frac = jnp.where(hit, frac, jnp.inf)
+        fbest = jnp.min(frac, axis=1)                      # (N,)
+        any_hit = jnp.isfinite(fbest)
+        sel = (frac == fbest[:, None])
+        sel = sel & (jnp.cumsum(sel, axis=1) == 1)
+        wn = jnp.stack([jnp.sum(jnp.where(sel, wnx, 0.0), axis=1),
+                        jnp.sum(jnp.where(sel, wny, 0.0), axis=1)], axis=-1)
+        fb = jnp.where(any_hit, fbest, 0.0)
+        target = pos + fb[:, None] * (dt * vel) + PARTICLE_LINEAR_SLOP * wn
+        v_new = inv_dt * (target - pos)
+        return jnp.where(any_hit[:, None], v_new, vel)
 
     def vs_shape(si, valid):
         sp = origin[sh.body[si]]
