@@ -300,7 +300,23 @@ class World:
             particle_cfg=self._pcfg, use_pallas=self._use_pallas,
             custom_filter=getattr(self, "_custom_filter", None),
             pre_solve=getattr(self, "_pre_solve", None))
+        self._step_light = None  # built lazily on first run() (extra trace)
         self._run_fns = None  # cached scan fns close over the old step
+
+    def _get_light_step(self):
+        """Step variant with event compaction skipped (world.make_step
+        light_events) — used for run()'s scanned prefix, whose per-frame
+        event arrays are overwritten before anyone can read them."""
+        if getattr(self, "_step_light", None) is None:
+            self._step_light = make_step(
+                self.capacity, self._classes, self.substeps, self._jtypes,
+                self._sensors,
+                continuous=self.builder.def_.enable_continuous,
+                particle_cfg=self._pcfg, use_pallas=self._use_pallas,
+                custom_filter=getattr(self, "_custom_filter", None),
+                pre_solve=getattr(self, "_pre_solve", None),
+                light_events=True)
+        return self._step_light
 
     # -- user hooks (ref: api/World.cs SetCustomFilterCallback /
     # SetPreSolveCallback; include/Types.cs:813,:827) -----------------------
@@ -342,7 +358,10 @@ class World:
         count (each chunk length compiles once and is cached).
 
         collect_events=False (default): events/profile reflect only the
-        FINAL frame; returns the new state.
+        FINAL frame; returns the new state. The scanned prefix runs a
+        LIGHT step (event compaction skipped — those arrays are provably
+        discarded); the final frame is a full step, so the returned
+        events are exactly what per-step dispatch would produce.
         collect_events=True: every frame's Events pytree is carried out of
         the scan (ys) and returned STACKED with a leading (steps,) axis —
         the analog of consuming the reference's per-step event buffers
@@ -360,7 +379,7 @@ class World:
             chunk = 1 << (chunk.bit_length() - 1)  # pow2: few cached fns
         if not hasattr(self, "_run_fns") or self._run_fns is None:
             self._run_fns = {}
-        inner = self._step
+        inner = self._step if collect_events else self._get_light_step()
 
         def get_fn(length):
             fn = self._run_fns.get((length, collect_events))
@@ -383,6 +402,10 @@ class World:
             return fn
 
         dt_f = jnp.float32(dt)
+        # without event collection the prefix scans the light step and the
+        # LAST frame runs the full step so final events/profile are real;
+        # the pow2 chunk decomposition is kept and only the final piece is
+        # shaved by one frame (one extra dispatch total, not a re-split)
         left = steps
         ev_chunks = []
         while left > 0:
@@ -390,6 +413,10 @@ class World:
             # scan lengths stays logarithmic
             n = min(chunk, 1 << (left.bit_length() - 1)) if chunk < steps \
                 else left
+            if not collect_events and n == left:
+                n = n - 1          # final frame runs as a full step below
+                if n == 0:
+                    break
             out = get_fn(n)(self.state, dt_f)
             if collect_events:
                 self.state, evs = out
@@ -397,6 +424,10 @@ class World:
             else:
                 self.state = out
             left -= n
+            if not collect_events and left == 1:
+                break
+        if not collect_events:
+            self.state = self._step(self.state, dt_f)
         if collect_events:
             events = (ev_chunks[0] if len(ev_chunks) == 1 else jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *ev_chunks))

@@ -225,21 +225,23 @@ def _repair_colors_impl(body_a, body_b, active, reserved, prev_color,
     dyn_a = dyn[body_a]
     dyn_b = dyn[body_b]
     live_colored = active & (prev_color >= 0)
-    # ONE packed scatter-add builds both the per-body used-color masks and
-    # the per-color counts (targets offset into one array; scatters cost
-    # per-op, not per-element). Colors of a body's constraints are distinct
-    # (the invariant), so the bit adds never collide.
+    # ONE packed scatter-add builds the per-body used-color masks (targets
+    # offset into one array; scatters cost per SOURCE ROW, not per-element).
+    # Colors of a body's constraints are distinct (the invariant), so the
+    # bit adds never collide. The per-color counts ride an (N, C) one-hot
+    # reduce instead — C <= 32 makes that pure cheap vector work, saving N
+    # scatter rows (~0.6 ms at 39k lanes).
     nb1 = num_bodies + 1
     idx_all = jnp.concatenate([
-        slot_of(body_a, dyn_a), slot_of(body_b, dyn_b),
-        jnp.where(live_colored, nb1 + prev_color, nb1 + max_colors)])
+        slot_of(body_a, dyn_a), slot_of(body_b, dyn_b)])
     val_all = jnp.concatenate([
-        jnp.where(dyn_a, bit, 0), jnp.where(dyn_b, bit, 0),
-        live_colored.astype(jnp.int32)])
-    packed = jnp.zeros(nb1 + max_colors + 1, jnp.int32).at[
-        idx_all].add(val_all)
-    used0 = packed[:nb1].at[num_bodies].set(0)
-    counts0 = packed[nb1:nb1 + max_colors]
+        jnp.where(dyn_a, bit, 0), jnp.where(dyn_b, bit, 0)])
+    used0 = jnp.zeros(nb1, jnp.int32).at[idx_all].add(
+        val_all).at[num_bodies].set(0)
+    counts0 = jnp.sum(
+        (jnp.clip(prev_color, 0, max_colors - 1)[:, None]
+         == jnp.arange(max_colors)[None, :]) & live_colored[:, None],
+        axis=0).astype(jnp.int32)
 
     # --- compact uncolored active lanes into the repair buffer -------------
     todo = active & (prev_color < 0)

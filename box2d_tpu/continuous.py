@@ -68,6 +68,26 @@ def continuous_pass(state: WorldState, bs, dt, fast_cap: int = 32,
     fast_shape_mask = fast_shape_mask & jnp.where(
         shape_is_bullet, has_any_target, has_static_target)
 
+    # whole-pass gate: no fast shape this step (settling scenes, most of a
+    # pyramid's life) -> skip the compaction/top-k/TOI machinery entirely
+    # (~1 ms at 10k shapes). Under vmap the cond lowers to a select — same
+    # as the old always-on behavior.
+    return jax.lax.cond(
+        jnp.any(fast_shape_mask),
+        lambda _: _continuous_impl(state, bs, dt, fast_cap, cand_cap,
+                                   fast_shape_mask, bullet_body, c2, q2,
+                                   max_velocity),
+        lambda _: (jnp.ones(nb, jnp.float32), jnp.int32(0)),
+        None)
+
+
+def _continuous_impl(state: WorldState, bs, dt, fast_cap, cand_cap,
+                     fast_shape_mask, bullet_body, c2, q2, max_velocity):
+    sh = state.shapes
+    b = state.bodies
+    nb = b.center.shape[0]
+    S = sh.type.shape[0]
+
     # compact fast shapes, highest tunneling risk first: a dropped slow-ish
     # lane is far less likely to tunnel than a dropped fast one (the old
     # lowest-shape-id order shed arbitrary lanes)

@@ -1246,6 +1246,7 @@ def _unwind(angle):
 
 
 def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple, stream: bool,
+                  halves: int,
                   win_ref, tlo_ref, thi_ref, nact_ref, wrest_ref, kind_ref,
                   scal_ref, idx_ref, data_ref, acc_ref,
                   body_ref, param_ref,
@@ -1326,8 +1327,6 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple, stream: bool,
     @pl.when(run)
     def _sweep():
         col = pl.multiple_of(win_ref[wi] * w, w)
-        tlo = tlo_ref[wi]
-        thi = thi_ref[wi]
         if stream:
             # acc lives in HBM (aliased in->out buffer); fetch this
             # window's slice into VMEM scratch by explicit DMA — output
@@ -1350,27 +1349,48 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple, stream: bool,
         d = data_ref[:]                       # streamed (NF, w) window
 
         iota_tb = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
-        # a- and b-side one-hots built and contracted as ONE (tb, 2w) op
-        # per tile: sweep cost is dominated by per-op issue overhead, not
-        # element count (tb=256 with 2x the tile iterations measures much
-        # slower than tb=512 at identical total elements)
-        iab = jnp.concatenate([ia, ib], axis=1)          # (1, 2w)
-
-        def gather_tile(t, st):
-            base = pl.multiple_of(t * tb, tb)
-            bt = out_body_ref[:, pl.ds(base, tb)]
-            oh = jnp.where(iota_tb + base == iab, 1.0, 0.0)   # (tb, 2w)
-            return st + dotf(bt, oh)
-
         # CONTACT warm start (p==0) never reads body state — its deltas are
         # pure functions of stored impulses — so skip the gather loop
         # entirely; JOINT warm start needs anchors (dq) so it gathers
         kind = kind_ref[wi] if jtypes else jnp.int32(0)
         skip_gather = ((p == 0) & (kind == 0)) if jtypes else (p == 0)
-        gthi = jnp.where(skip_gather, tlo, thi)
-        st = lax.fori_loop(tlo, gthi, gather_tile,
-                           jnp.zeros((8, 2 * w), jnp.float32))
-        st_a, st_b = st[:, :w], st[:, w:]
+
+        # a- and b-side one-hots built and contracted as ONE (tb, 2hw) op
+        # per tile: sweep cost is dominated by per-op issue overhead, not
+        # element count (tb=256 with 2x the tile iterations measures much
+        # slower than tb=512 at identical total elements).
+        # halves > 1: the window is `halves` color-chunk-aligned 128-lane
+        # sub-windows sharing one grid step (grid overhead is ~1us/step);
+        # each half gathers/scatters its OWN body-tile range so spans stay
+        # as tight as 128-lane windows (a fused 2w-wide gather is what made
+        # the plain wide-window variant regress). Solve math runs fused on
+        # the full w lanes — it is elementwise across lanes.
+        hw = w // halves
+        iab_hs, bounds = [], []
+        st_hs = []
+        for hh in range(halves):
+            ia_h = ia[:, hh * hw:(hh + 1) * hw] if halves > 1 else ia
+            ib_h = ib[:, hh * hw:(hh + 1) * hw] if halves > 1 else ib
+            iab_h = jnp.concatenate([ia_h, ib_h], axis=1)    # (1, 2hw)
+            tlo_h = tlo_ref[wi * halves + hh]
+            thi_h = thi_ref[wi * halves + hh]
+            iab_hs.append(iab_h)
+            bounds.append((tlo_h, thi_h))
+
+            def gather_tile(t, st, _iab=iab_h):
+                base = pl.multiple_of(t * tb, tb)
+                bt = out_body_ref[:, pl.ds(base, tb)]
+                oh = jnp.where(iota_tb + base == _iab, 1.0, 0.0)  # (tb, 2hw)
+                return st + dotf(bt, oh)
+
+            gthi_h = jnp.where(skip_gather, tlo_h, thi_h)
+            st_hs.append(lax.fori_loop(tlo_h, gthi_h, gather_tile,
+                                       jnp.zeros((8, 2 * hw), jnp.float32)))
+        if halves == 1:
+            st_a, st_b = st_hs[0][:, :w], st_hs[0][:, w:]
+        else:
+            st_a = jnp.concatenate([s_[:, :hw] for s_ in st_hs], axis=1)
+            st_b = jnp.concatenate([s_[:, hw:] for s_ in st_hs], axis=1)
 
         dpx = st_b[3:4] - st_a[3:4]
         dpy = st_b[4:5] - st_a[4:5]
@@ -1564,23 +1584,35 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple, stream: bool,
             copy_out.wait()
         else:
             out_acc_ref[:, pl.ds(col, w)] = acc_new
-        dvab = jnp.concatenate([dva, dvb], axis=1)       # (3, 2w)
+        for hh in range(halves):
+            dva_h = dva[:, hh * hw:(hh + 1) * hw] if halves > 1 else dva
+            dvb_h = dvb[:, hh * hw:(hh + 1) * hw] if halves > 1 else dvb
+            dvab_h = jnp.concatenate([dva_h, dvb_h], axis=1)  # (3, 2hw)
+            iab_h = iab_hs[hh]
+            tlo_h, thi_h = bounds[hh]
 
-        def scatter_tile(t, _):
-            base = pl.multiple_of(t * tb, tb)
-            oh = jnp.where(iota_tb + base == iab, 1.0, 0.0)   # (tb, 2w)
-            upd = dot_t(dvab, oh)                        # (3, tb)
-            out_body_ref[0:3, pl.ds(base, tb)] = (
-                out_body_ref[0:3, pl.ds(base, tb)] + upd)
-            return 0
+            def scatter_tile(t, _, _iab=iab_h, _dvab=dvab_h):
+                base = pl.multiple_of(t * tb, tb)
+                oh = jnp.where(iota_tb + base == _iab, 1.0, 0.0)  # (tb, 2hw)
+                upd = dot_t(_dvab, oh)                   # (3, tb)
+                out_body_ref[0:3, pl.ds(base, tb)] = (
+                    out_body_ref[0:3, pl.ds(base, tb)] + upd)
+                return 0
 
-        lax.fori_loop(tlo, thi, scatter_tile, 0)
+            lax.fori_loop(tlo_h, thi_h, scatter_tile, 0)
 
 
 def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
                     w: int, tb: int = DEFAULT_BODY_TILE, restitution=None,
-                    kind=None, key=None, enumerate_all: bool = False):
+                    kind=None, key=None, enumerate_all: bool = False,
+                    halves: int = 1):
     """Active-window list + per-window body-tile ranges.
+
+    halves > 1: tile ranges are computed per 1/halves sub-window and
+    returned FLATTENED as (n_win * halves,) arrays indexed
+    [window * halves + half] — the kernel gathers/scatters each half with
+    its own (tight) range while the grid advances one w-wide window per
+    step. Empty halves get tlo == thi == 0 (their loops vanish).
 
     live: (L,) bool; body_a/b: (L,) i32; dyn_a/b: (L,) bool (dynamic
     endpoint — only dynamic bodies bound the gather tile range; statics
@@ -1595,37 +1627,34 @@ def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
     windows live in a separate layout region but must be solved inside
     their color's Gauss-Seidel slot."""
     n_win = layout_len // w
-    lane_win = jnp.arange(layout_len, dtype=jnp.int32) // w
-    win = jnp.where(live, lane_win, n_win)
+    assert n_win * w == layout_len  # window_width divides every region
 
-    # ONE packed row scatter-max computes all per-window reductions
-    # (scatters cost per-op on TPU, not per-element): occ, hi-tile, has-rest,
-    # and -lo-tile (min via negated max), plus kind/key when present
+    # windows are CONTIGUOUS fixed-width lane ranges, so every per-window
+    # reduction is a reshape + axis reduce — pure vector work, no scatter
+    # (the old (L,) scatter-max cost ~1 ms at 64k layout rows)
     big = jnp.int32(2**30)
     lo_cand = jnp.minimum(jnp.where(dyn_a, body_a, big),
                           jnp.where(dyn_b, body_b, big)) // tb
     hi_cand = jnp.maximum(jnp.where(dyn_a, body_a, -1),
                           jnp.where(dyn_b, body_b, -1)) // tb + 1
-    has_r = (jnp.zeros_like(live, jnp.int32) if restitution is None
-             else (live & (restitution != 0.0)).astype(jnp.int32))
-    row_list = [
-        live.astype(jnp.int32),
-        jnp.where(live, hi_cand, 0),
-        has_r,
-        jnp.where(live, -lo_cand, -big),
-    ]
-    if kind is not None:
-        row_list.append(jnp.where(live, kind, 0))
-    if key is not None:
-        row_list.append(jnp.where(live, key, 0))
-    rows = jnp.stack(row_list, axis=1)                      # (L, 4..6)
-    red = jnp.full((n_win + 1, len(row_list)), jnp.iinfo(jnp.int32).min,
-                   jnp.int32).at[win].max(rows)[:n_win]
-    occ = jnp.maximum(red[:, 0], 0)
-    thi_w = jnp.maximum(red[:, 1], 0)
-    wrest_w = jnp.maximum(red[:, 2], 1 if restitution is None else 0)
-    tlo_w = -red[:, 3]
-    kind_w = (jnp.maximum(red[:, 4], 0) if kind is not None
+
+    hw = w // halves
+    assert hw * halves == w
+
+    def wmax(x, fill):
+        return jnp.max(jnp.where(live, x, fill).reshape(n_win, w), axis=1)
+
+    def hmax(x, fill):
+        # per-half reduce: (n_win, halves)
+        return jnp.max(jnp.where(live, x, fill).reshape(n_win, halves, hw),
+                       axis=2)
+
+    occ = jnp.any(live.reshape(n_win, w), axis=1).astype(jnp.int32)
+    thi_w = jnp.maximum(hmax(hi_cand, 0), 0)          # (n_win, halves)
+    wrest_w = (jnp.ones(n_win, jnp.int32) if restitution is None
+               else wmax((live & (restitution != 0.0)).astype(jnp.int32), 0))
+    tlo_w = -hmax(-lo_cand, -big)
+    kind_w = (wmax(kind, 0) if kind is not None
               else jnp.zeros(n_win, jnp.int32))
 
     nact = jnp.sum(occ).astype(jnp.int32)
@@ -1635,7 +1664,7 @@ def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
             jnp.where(occ > 0, pos, n_win)].set(
             jnp.arange(n_win, dtype=jnp.int32), mode="drop")
     else:
-        key_w = jnp.maximum(red[:, 5], 0)
+        key_w = jnp.maximum(wmax(key, 0), 0)
         sortk = jnp.where(occ > 0,
                           key_w * n_win + jnp.arange(n_win, dtype=jnp.int32),
                           jnp.int32(jnp.iinfo(jnp.int32).max))
@@ -1654,8 +1683,8 @@ def window_metadata(live, body_a, body_b, dyn_a, dyn_b, layout_len: int,
         last = wl[jnp.maximum(nact - 1, 0)]
         wl = jnp.where(jnp.arange(n_win) < nact, wl, last)
 
-    tlo = jnp.minimum(tlo_w[wl], thi_w[wl])
-    thi = thi_w[wl]
+    tlo = jnp.minimum(tlo_w[wl], thi_w[wl]).reshape(-1)  # (n_win*halves,)
+    thi = thi_w[wl].reshape(-1)
     wrest = wrest_w[wl]
     return wl, tlo, thi, nact[None], wrest, kind_w[wl]
 
@@ -1680,7 +1709,8 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
                             w: int = DEFAULT_WINDOW,
                             tb: int = DEFAULT_BODY_TILE,
                             grid_windows: int | None = None,
-                            stream_acc: bool = False):
+                            stream_acc: bool = False,
+                            halves: int = 1):
     """Invoke the HBM-streaming tiled kernel. Shapes as run_solver_kernel
     except data may carry NFJ rows when joint windows ride along (jtypes =
     sorted trace-time joint types present); body row 5 (dq.c) must be
@@ -1696,6 +1726,9 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
     nrows = data.shape[0]
     nb = body.shape[1]
     assert L % w == 0 and chunk % w == 0
+    # sub-window halving is contact-only (joint windows are kind-pure at w
+    # granularity) and rides the resident-acc path
+    assert halves == 1 or (not stream_acc and not jtypes)
     nb_pad = ((max(nb, 128) + tb - 1) // tb) * tb
     if nb_pad != nb:
         body = jnp.pad(body, ((0, 0), (0, nb_pad - nb)))
@@ -1736,7 +1769,7 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
                         if stream_acc else []),
     )
     kern = functools.partial(_tiled_kernel, nsub, w, tb, tuple(jtypes),
-                             stream_acc)
+                             stream_acc, halves)
     out_body, out_acc = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -47,8 +47,15 @@ def make_step(capacity: Capacity, classes_present: frozenset,
               particle_cfg: ParticleConfig | None = None,
               use_pallas: bool = False,
               custom_filter: Callable | None = None,
-              pre_solve: Callable | None = None) -> Callable:
+              pre_solve: Callable | None = None,
+              light_events: bool = False) -> Callable:
     """Build a jit-able step function for the given static configuration.
+
+    light_events=True skips contact/hit/joint event COMPACTION (the arrays
+    stay empty; dense body-move masks and all physics, incl. the touching
+    diffs that drive sleep/wake, are unchanged). World.run uses it for the
+    scanned prefix whose events are discarded anyway — the final frame of a
+    run always executes a full step (see api.World.run).
 
     custom_filter / pre_solve are TRACE-TIME user hooks (the TPU analog of
     ref include/Types.cs:813 CustomFilterFcn / :827 PreSolveFcn): jittable
@@ -71,7 +78,7 @@ def make_step(capacity: Capacity, classes_present: frozenset,
     def step(state: WorldState, dt) -> WorldState:
         return _step(state, dt, capacity, classes_present, substeps,
                      joint_types, sensor_ids, continuous, particle_cfg,
-                     use_pallas, custom_filter, pre_solve)
+                     use_pallas, custom_filter, pre_solve, light_events)
 
     return step
 
@@ -81,7 +88,8 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
           sensor_ids: tuple = (), continuous: bool = True,
           particle_cfg: ParticleConfig | None = None,
           use_pallas: bool = False,
-          custom_filter=None, pre_solve=None) -> WorldState:
+          custom_filter=None, pre_solve=None,
+          light_events: bool = False) -> WorldState:
     # whole-world idle fast path: when every non-static body is asleep and
     # no host mutator dirtied the broadphase, the world is a fixed point —
     # skip the entire step (the reference's sleeping solver sets cost
@@ -102,12 +110,13 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
                               joint_types, sensor_ids, continuous,
                               particle_cfg, use_pallas,
                               custom_filter=custom_filter,
-                              pre_solve=pre_solve)
+                              pre_solve=pre_solve, light_events=light_events)
 
         return lax.cond(idle, idle_fn, work_fn, state)
     return _step_work(state, dt, cap, classes_present, substeps, joint_types,
                       sensor_ids, continuous, particle_cfg, use_pallas,
-                      custom_filter=custom_filter, pre_solve=pre_solve)
+                      custom_filter=custom_filter, pre_solve=pre_solve,
+                      light_events=light_events)
 
 
 def _step_work(state: WorldState, dt, cap: Capacity,
@@ -116,7 +125,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                sensor_ids: tuple = (), continuous: bool = True,
                particle_cfg: ParticleConfig | None = None,
                use_pallas: bool = False, until: str = "",
-               custom_filter=None, pre_solve=None) -> WorldState:
+               custom_filter=None, pre_solve=None,
+               light_events: bool = False) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -372,17 +382,19 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             lay_len_k = layout_len
             cidx = layout_idx
             nrows = NF
-        # ONE combined float scatter for data+acc (scatter ops cost ~1.3ms
-        # each at 40k source rows regardless of width), ints separately
+        # ONE combined scatter for data+acc+int columns (scatter ops cost
+        # ~1.3ms each at 40k source rows regardless of width); the int
+        # columns ride the float scatter as BITCAST rows — scatter-set only
+        # moves bits, never does arithmetic on them
         if nrows != NF:
             data_p = jnp.pad(data_p, ((0, 0), (0, nrows - NF)))
-        combL = jnp.zeros((lay_len_k, nrows + NA), jnp.float32).at[
-            cidx].set(jnp.concatenate([data_p, acc_p], axis=1),
-                      mode="drop")
+        as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        as_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        ncols = 4 if with_joints else 2
+        fill = jnp.concatenate(
+            [jnp.zeros(nrows + NA, jnp.float32),
+             jnp.broadcast_to(as_f(jnp.int32(-1)), (ncols,))])
         if with_joints:
-            jdata, jacc0, jidx = pack_joint_rows(state.joints, jc)
-            combL = combL.at[jpos].set(
-                jnp.concatenate([jdata, jacc0], axis=1), mode="drop")
             # int columns: [body_a, body_b, kind, visit key]; joints sort
             # before contacts of the same color (matching the XLA order,
             # though same-color windows are conflict-free either way) and
@@ -392,21 +404,29 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             int_c = jnp.concatenate(
                 [idx_p, jnp.zeros((p_cap, 1), jnp.int32),
                  key_c[:, None]], axis=1)
+            rows_c = jnp.concatenate([data_p, acc_p, as_f(int_c)], axis=1)
+            jdata, jacc0, jidx = pack_joint_rows(state.joints, jc)
             int_j = jnp.concatenate(
                 [jidx, 1 + jn.type[:, None],
                  2 * jnp.maximum(joint_color, 0)[:, None]], axis=1)
-            idxL4 = jnp.full((lay_len_k, 4), -1, jnp.int32).at[
-                cidx].set(int_c, mode="drop").at[jpos].set(
-                int_j, mode="drop")
+            rows_j = jnp.concatenate([jdata, jacc0, as_f(int_j)], axis=1)
+            combL = jnp.broadcast_to(
+                fill, (lay_len_k, fill.shape[0])).at[
+                cidx].set(rows_c, mode="drop").at[
+                jpos].set(rows_j, mode="drop")
+            idxL4 = as_i(combL[:, nrows + NA:])
             idxL = idxL4[:, :2]
             kindL = jnp.maximum(idxL4[:, 2], 0)
             keyL = idxL4[:, 3]
         else:
-            idxL = jnp.full((lay_len_k, 2), -1, jnp.int32).at[
-                cidx].set(idx_p, mode="drop")
+            rows_c = jnp.concatenate([data_p, acc_p, as_f(idx_p)], axis=1)
+            combL = jnp.broadcast_to(
+                fill, (lay_len_k, fill.shape[0])).at[
+                cidx].set(rows_c, mode="drop")
+            idxL = as_i(combL[:, nrows + NA:])
             kindL = keyL = None
         dataL = combL[:, :nrows]
-        accL = combL[:, nrows:]
+        accL = combL[:, nrows:nrows + NA]
         datap, accp, idxp = dataL.T, accL.T, idxL.T
         if until == "layout":
             return datap, accp, idxp
@@ -416,6 +436,19 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             jnp.float32(0)])[None, :]
         if use_pallas >= 2:
             stream_acc = use_pallas == 3
+            # contact-only resident-acc layouts ride PAIRED sub-windows:
+            # one grid step sweeps `halves` 128-lane halves (each with its
+            # own tight gather range), halving/quartering the ~1us-per-
+            # grid-step overhead that dominates sparse-window sweeps
+            halves = 1
+            w_k = w_win
+            if not with_joints and not stream_acc:
+                # bucket alignment: chunk divisibility keeps every window
+                # inside ONE color bucket (ovf_cap is a chunk multiple)
+                for cand in (4, 2):
+                    if chunk % (cand * w_win) == 0:
+                        halves, w_k = cand, cand * w_win
+                        break
             bodyp, paramsp = pack_bodies_tiled(b, bs, tn, h, inv_dt)
             liveL = idxL[:, 0] >= 0
             bodyL_a = jnp.maximum(idxL[:, 0], 0)
@@ -432,18 +465,18 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             wl, tlo, thi, nactp, wrest, kindw = window_metadata(
                 liveL, bodyL_a, bodyL_b,
                 nonstatic[bodyL_a] & liveL, nonstatic[bodyL_b] & liveL,
-                lay_len_k, w_win, restitution=restL,
-                kind=kindL, key=keyL)
+                lay_len_k, w_k, restitution=restL,
+                kind=kindL, key=keyL, halves=halves)
             if until == "meta":
                 return wl, tlo, thi, nactp, wrest, kindw, bodyp, paramsp
             out_body, out_acc = run_solver_kernel_tiled(
                 substeps, chunk, scalars, idxp, datap, accp, bodyp,
                 paramsp, wl, tlo, thi, nactp, wrest, kinds=kindw,
-                jtypes=solvable_joints if with_joints else (), w=w_win,
+                jtypes=solvable_joints if with_joints else (), w=w_k,
                 grid_windows=max_active_windows(
-                    lay_len_k // w_win, p_cap, cap.max_colors, ovf_cap,
-                    w_win, J if with_joints else 0, n_groups),
-                stream_acc=stream_acc)
+                    lay_len_k // w_k, p_cap, cap.max_colors, ovf_cap,
+                    w_k, J if with_joints else 0, n_groups),
+                stream_acc=stream_acc, halves=halves)
             if until == "kernel":
                 return out_body, out_acc
             bs = unpack_bodies_tiled(bs, out_body)
@@ -470,7 +503,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                           prev_origin, prev_rot,
                           (orphan_mask, old_key_a, old_key_b, store_drops),
                           particle_overflow, until=until,
-                          rows_fresh=particle_cfg is None)
+                          rows_fresh=particle_cfg is None,
+                          light_events=light_events)
 
     cc_pairs_relv = cc.relative_velocity
 
@@ -588,7 +622,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                       cc_pairs_relv, prev_origin, prev_rot,
                       (orphan_mask, old_key_a, old_key_b, store_drops),
                       particle_overflow, until=until,
-                      rows_fresh=particle_cfg is None)
+                      rows_fresh=particle_cfg is None,
+                      light_events=light_events)
 
 
 def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
@@ -596,7 +631,7 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
                contact_color_store, ni, ti, roll, tni, relv,
                prev_origin=None, prev_rot=None, orphan_info=None,
                particle_overflow=None, until: str = "",
-               rows_fresh: bool = True):
+               rows_fresh: bool = True, light_events: bool = False):
     """Post-solve: store impulses, events, continuous, finalize, sleep,
     sensors, profile. Shared by the XLA and Pallas solver paths.
 
@@ -614,11 +649,17 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
     # --- events -----------------------------------------------------------
     if until == "store":
         return state.contacts
-    events, ev_drop = _contact_events(state, data, touching, cap,
-                                      orphan_info)
-    events, d_hit = _hit_events(state, data, tni, relv, touching, events, cap)
-    events, d_joint = _joint_events(state, jc, inv_h, events, cap)
-    ev_drop = ev_drop + d_hit + d_joint
+    if light_events:
+        # scanned-prefix steps: the compacted arrays are provably discarded
+        # (run() overwrites them next frame); skip the top_k/scatter work
+        events, ev_drop = zero_events(cap), jnp.int32(0)
+    else:
+        events, ev_drop = _contact_events(state, data, touching, cap,
+                                          orphan_info)
+        events, d_hit = _hit_events(state, data, tni, relv, touching, events,
+                                    cap)
+        events, d_joint = _joint_events(state, jc, inv_h, events, cap)
+        ev_drop = ev_drop + d_hit + d_joint
     if until == "events":
         return events
 

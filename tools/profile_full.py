@@ -70,6 +70,30 @@ def main():
     # steps; a pyramid needs ~60+ before the contact set is fully live)
     for _ in range(int(os.environ.get("PROFILE_WARM", "10"))):
         w.step()
+
+    # pick the state kind to profile: keep (default) stops on a state whose
+    # next step REUSES the pair buffer (the ~90% case the scan pays for);
+    # PROFILE_STATE=rebuild stops on a state that forces a pair rebuild
+    want_rebuild = os.environ.get("PROFILE_STATE", "keep") == "rebuild"
+    from box2d_tpu.broadphase import compute_shape_aabbs as _aabbs
+
+    @jax.jit
+    def would_rebuild(st):
+        bp = st.broadphase
+        sh = st.shapes
+        ab = _aabbs(st, cap.max_verts)
+        alive = sh.enabled & st.bodies.enabled[sh.body] & ~sh.is_sensor
+        inside = ((ab[:, 0] >= bp.fat[:, 0]) & (ab[:, 1] >= bp.fat[:, 1])
+                  & (ab[:, 2] <= bp.fat[:, 2]) & (ab[:, 3] <= bp.fat[:, 3]))
+        return bp.dirty | jnp.any(alive & ~inside) | jnp.any(
+            alive != bp.alive)
+
+    if w.state.broadphase is not None:
+        for _ in range(200):
+            if bool(would_rebuild(w.state)) == want_rebuild:
+                break
+            w.step()
+        print(f"profiling a {'REBUILD' if want_rebuild else 'KEEP'} step")
     s = w.state
     jax.block_until_ready(s.bodies.center)
 
