@@ -416,6 +416,286 @@ def collide_polygons(va, na, ca, ra, p_a, q_a, vb, nb, cb, rb, p_b, q_b) -> Mani
     return _select(in_range & ~beyond, mf, _empty())
 
 
+def collide_polygons_batched(va, na, ca, ra, p_a, q_a,
+                             vb, nb_, cb, rb, p_b, q_b) -> Manifold:
+    """LANE-MAJOR batched collide_polygons — identical math on (P,)/(P, V)
+    arrays (ref: src/Manifold.cs:410-562, same structure as the scalar
+    collide_polygons above, which stays for one-off callers).
+
+    Under vmap, the scalar version's (V, 2)-shaped locals tile their 2-wide
+    minor dim to 128 lanes (64x VPU waste) — at 39k pairs the narrow phase
+    measured ~3 ms/step of which most was this padding. Here every
+    elementwise op runs on (P,) or (P, V) with vector components split into
+    x/y columns; per-lane vertex selections are (P, V) one-hot sums."""
+    P, V = va.shape[0], va.shape[1]
+    lanes = jnp.arange(V)
+
+    vax, vay = va[..., 0], va[..., 1]
+    nax, nay = na[..., 0], na[..., 1]
+    vbx, vby = vb[..., 0], vb[..., 1]
+    nbx, nby = nb_[..., 0], nb_[..., 1]
+    qac, qas = q_a[:, 0], q_a[:, 1]
+    qbc, qbs = q_b[:, 0], q_b[:, 1]
+
+    def sel(arr, idx):
+        """arr (P, V), idx (P,) -> (P,) one-hot row select."""
+        oh = idx[:, None] == lanes[None, :]
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
+    # local frame: A-local, origin at A's first vertex
+    ox, oy = vax[:, 0], vay[:, 0]
+    spx = p_a[:, 0] + qac * ox - qas * oy
+    spy = p_a[:, 1] + qas * ox + qac * oy
+    dx = p_b[:, 0] - spx
+    dy = p_b[:, 1] - spy
+    xpx = qac * dx + qas * dy      # inv_rot_vec(q_a, p_b - sp_a)
+    xpy = -qas * dx + qac * dy
+    xqc = qac * qbc + qas * qbs    # rot_inv_mul(q_a, q_b)
+    xqs = qac * qbs - qas * qbc
+
+    lvax = vax - ox[:, None]
+    lvay = vay - oy[:, None]
+    lnax, lnay = nax, nay
+    lvbx = xqc[:, None] * vbx - xqs[:, None] * vby + xpx[:, None]
+    lvby = xqs[:, None] * vbx + xqc[:, None] * vby + xpy[:, None]
+    lnbx = xqc[:, None] * nbx - xqs[:, None] * nby
+    lnby = xqs[:, None] * nbx + xqc[:, None] * nby
+
+    ok_a = lanes[None, :] < ca[:, None]
+    ok_b = lanes[None, :] < cb[:, None]
+
+    def max_separation(n1x, n1y, v1x, v1y, c1ok, v2x, v2y, c2ok):
+        """(ref: src/Manifold.cs:389-408) max_i min_j dot(n1[i], v2j-v1i);
+        first-max argmax like jnp.argmax."""
+        best_sep = jnp.full((P,), -jnp.inf, jnp.float32)
+        best_i = jnp.zeros((P,), jnp.int32)
+        for i in range(V):
+            sij = (n1x[:, i:i + 1] * (v2x - v1x[:, i:i + 1])
+                   + n1y[:, i:i + 1] * (v2y - v1y[:, i:i + 1]))
+            si = jnp.min(jnp.where(c2ok, sij, jnp.inf), axis=1)
+            take = c1ok[:, i] & (si > best_sep)
+            best_sep = jnp.where(take, si, best_sep)
+            best_i = jnp.where(take, jnp.int32(i), best_i)
+        return best_sep, best_i
+
+    sep_a, edge_a0 = max_separation(lnax, lnay, lvax, lvay, ok_a,
+                                    lvbx, lvby, ok_b)
+    sep_b, edge_b0 = max_separation(lnbx, lnby, lvbx, lvby, ok_b,
+                                    lvax, lvay, ok_a)
+    radius = ra + rb
+    in_range = ((sep_a <= SPECULATIVE_DISTANCE + radius)
+                & (sep_b <= SPECULATIVE_DISTANCE + radius))
+    flip = sep_a < sep_b
+
+    # incident edge search (ref: :444-472)
+    ena_x = sel(lnax, edge_a0)
+    ena_y = sel(lnay, edge_a0)
+    dots_b = jnp.where(ok_b, lnbx * ena_x[:, None] + lnby * ena_y[:, None],
+                       jnp.inf)
+    inc_b = jnp.argmin(dots_b, axis=1).astype(jnp.int32)
+    enb_x = sel(lnbx, edge_b0)
+    enb_y = sel(lnby, edge_b0)
+    dots_a = jnp.where(ok_a, lnax * enb_x[:, None] + lnay * enb_y[:, None],
+                       jnp.inf)
+    inc_a = jnp.argmin(dots_a, axis=1).astype(jnp.int32)
+    edge_a = jnp.where(flip, inc_a, edge_a0)
+    edge_b = jnp.where(flip, edge_b0, inc_b)
+
+    # reference-edge clip with flip-SELECTED inputs (the scalar version
+    # computes both clip orientations and selects after; selecting the
+    # operand columns first is the batched equivalent)
+    c_ref = jnp.where(flip, cb, ca)
+    c_inc = jnp.where(flip, ca, cb)
+    i11 = jnp.where(flip, edge_b, edge_a)
+    i12 = jnp.where(i11 + 1 < c_ref, i11 + 1, 0)
+    i21 = jnp.where(flip, edge_a, edge_b)
+    i22 = jnp.where(i21 + 1 < c_inc, i21 + 1, 0)
+    rvx = jnp.where(flip[:, None], lvbx, lvax)
+    rvy = jnp.where(flip[:, None], lvby, lvay)
+    rnx = jnp.where(flip[:, None], lnbx, lnax)
+    rny = jnp.where(flip[:, None], lnby, lnay)
+    ivx = jnp.where(flip[:, None], lvax, lvbx)
+    ivy = jnp.where(flip[:, None], lvay, lvby)
+    v11x, v11y = sel(rvx, i11), sel(rvy, i11)
+    v12x, v12y = sel(rvx, i12), sel(rvy, i12)
+    v21x, v21y = sel(ivx, i21), sel(ivy, i21)
+    v22x, v22y = sel(ivx, i22), sel(ivy, i22)
+    nrx, nry = sel(rnx, i11), sel(rny, i11)
+    tx, ty = -nry, nrx                        # cross_sv(1, normal)
+    upper1 = (v12x - v11x) * tx + (v12y - v11y) * ty
+    upper2 = (v21x - v11x) * tx + (v21y - v11y) * ty
+    lower2 = (v22x - v11x) * tx + (v22y - v11y) * ty
+    nonoverlap = (upper2 < 0.0) | (upper1 < lower2)
+
+    span = upper2 - lower2
+    big = span > FLT_EPSILON
+    safe_span = jnp.where(span != 0.0, span, 1.0)
+    t_lo = (0.0 - lower2) / safe_span
+    t_up = (upper1 - lower2) / safe_span
+    lo_clip = (lower2 < 0.0) & big
+    up_clip = (upper2 > upper1) & big
+    v_lo_x = jnp.where(lo_clip, v22x + (v21x - v22x) * t_lo, v22x)
+    v_lo_y = jnp.where(lo_clip, v22y + (v21y - v22y) * t_lo, v22y)
+    v_up_x = jnp.where(up_clip, v22x + (v21x - v22x) * t_up, v21x)
+    v_up_y = jnp.where(up_clip, v22y + (v21y - v22y) * t_up, v21y)
+    sep_lower = (v_lo_x - v11x) * nrx + (v_lo_y - v11y) * nry
+    sep_upper = (v_up_x - v11x) * nrx + (v_up_y - v11y) * nry
+
+    nmx = jnp.where(flip, -nrx, nrx)
+    nmy = jnp.where(flip, -nry, nry)
+    r1 = jnp.where(flip, rb, ra)
+    r2 = jnp.where(flip, ra, rb)
+    adj_lo = 0.5 * (r1 - r2 - sep_lower)
+    adj_up = 0.5 * (r1 - r2 - sep_upper)
+    v_lo_x = v_lo_x + adj_lo * nrx
+    v_lo_y = v_lo_y + adj_lo * nry
+    v_up_x = v_up_x + adj_up * nrx
+    v_up_y = v_up_y + adj_up * nry
+
+    mk = lambda a, b: (a << 8) | (b & 0xFF)
+    id0 = jnp.where(flip, mk(i21, i12), mk(i11, i22))
+    id1 = jnp.where(flip, mk(i22, i11), mk(i12, i21))
+    pt0x = jnp.where(flip, v_up_x, v_lo_x)
+    pt0y = jnp.where(flip, v_up_y, v_lo_y)
+    pt1x = jnp.where(flip, v_lo_x, v_up_x)
+    pt1y = jnp.where(flip, v_lo_y, v_up_y)
+    sp0 = jnp.where(flip, sep_upper, sep_lower) - radius
+    sp1 = jnp.where(flip, sep_lower, sep_upper) - radius
+    clip_count = jnp.where(nonoverlap, 0, 2).astype(jnp.int32)
+
+    # vertex-vertex fallback when separated (ref: :474-544)
+    speculative = jnp.maximum(sep_a, sep_b) > 0.1 * LINEAR_SLOP
+    j11 = edge_a
+    j12 = jnp.where(edge_a + 1 < ca, edge_a + 1, 0)
+    j21 = edge_b
+    j22 = jnp.where(edge_b + 1 < cb, edge_b + 1, 0)
+    p1x, p1y = sel(lvax, j11), sel(lvay, j11)
+    q1x, q1y = sel(lvax, j12), sel(lvay, j12)
+    p2x, p2y = sel(lvbx, j21), sel(lvby, j21)
+    q2x, q2y = sel(lvbx, j22), sel(lvby, j22)
+    # segment_distance, componentwise (ref: src/Distance.cs:20-72)
+    d1x, d1y = q1x - p1x, q1y - p1y
+    d2x, d2y = q2x - p2x, q2y - p2y
+    rx, ry = p1x - p2x, p1y - p2y
+    dd1 = d1x * d1x + d1y * d1y
+    dd2 = d2x * d2x + d2y * d2y
+    rd1 = rx * d1x + ry * d1y
+    rd2 = rx * d2x + ry * d2y
+    eps_sqr = jnp.float32(FLT_EPSILON * FLT_EPSILON)
+    d12 = d1x * d2x + d1y * d2y
+    denom = dd1 * dd2 - d12 * d12
+    sdd1 = jnp.where(dd1 != 0.0, dd1, 1.0)
+    sdd2 = jnp.where(dd2 != 0.0, dd2, 1.0)
+    f1g = jnp.where(denom != 0.0,
+                    jnp.clip((d12 * rd2 - rd1 * dd2)
+                             / jnp.where(denom != 0.0, denom, 1.0),
+                             0.0, 1.0), 0.0)
+    f2g = (d12 * f1g + rd2) / sdd2
+    f1g = jnp.where(f2g < 0.0, jnp.clip(-rd1 / sdd1, 0.0, 1.0),
+                    jnp.where(f2g > 1.0,
+                              jnp.clip((d12 - rd1) / sdd1, 0.0, 1.0), f1g))
+    f2g = jnp.clip(f2g, 0.0, 1.0)
+    f1_d1 = jnp.clip(-rd1 / sdd1, 0.0, 1.0)
+    f2_d2 = jnp.clip(rd2 / sdd2, 0.0, 1.0)
+    deg1 = dd1 < eps_sqr
+    deg2 = dd2 < eps_sqr
+    f1 = jnp.where(deg1 | deg2, jnp.where(~deg1, f1_d1, 0.0), f1g)
+    f2 = jnp.where(deg1 | deg2, jnp.where(deg1 & ~deg2, f2_d2, 0.0), f2g)
+    c1x, c1y = p1x + f1 * d1x, p1y + f1 * d1y
+    c2x, c2y = p2x + f2 * d2x, p2y + f2 * d2y
+    dsq = (c2x - c1x) ** 2 + (c2y - c1y) ** 2
+    dist = jnp.sqrt(jnp.maximum(dsq, 0.0))
+    separation = dist - radius
+    beyond = speculative & (separation > SPECULATIVE_DISTANCE)
+
+    min_sep = jnp.minimum(jnp.where(clip_count > 0, sp0, jnp.inf),
+                          jnp.where(clip_count > 1, sp1, jnp.inf))
+    vertex_case = (speculative
+                   & (separation + 0.1 * LINEAR_SLOP < min_sep)
+                   & ((f1 == 0.0) | (f1 == 1.0))
+                   & ((f2 == 0.0) | (f2 == 1.0)))
+
+    va_px = jnp.where(f1 == 0.0, p1x, q1x)
+    va_py = jnp.where(f1 == 0.0, p1y, q1y)
+    vb_px = jnp.where(f2 == 0.0, p2x, q2x)
+    vb_py = jnp.where(f2 == 0.0, p2y, q2y)
+    ia = jnp.where(f1 == 0.0, j11, j12)
+    ib = jnp.where(f2 == 0.0, j21, j22)
+    inv_d = jnp.where(dist != 0.0, 1.0 / jnp.where(dist != 0.0, dist, 1.0),
+                      0.0)
+    nvx = (vb_px - va_px) * inv_d
+    nvy = (vb_py - va_py) * inv_d
+    ca1x = va_px + ra * nvx
+    ca1y = va_py + ra * nvy
+    cb1x = vb_px - rb * nvx
+    cb1y = vb_py - rb * nvy
+    av_x = 0.5 * (ca1x + cb1x)
+    av_y = 0.5 * (ca1y + cb1y)
+
+    # merge: vertex-vertex one-point vs two-point clip, then the range gate
+    use_vv = vertex_case
+    count = jnp.where(use_vv, 1, clip_count)
+    nmx = jnp.where(use_vv, nvx, nmx)
+    nmy = jnp.where(use_vv, nvy, nmy)
+    a0x = jnp.where(use_vv, av_x, pt0x)
+    a0y = jnp.where(use_vv, av_y, pt0y)
+    a1x = jnp.where(use_vv, 0.0, pt1x)
+    a1y = jnp.where(use_vv, 0.0, pt1y)
+    s0 = jnp.where(use_vv, separation, sp0)
+    s1 = jnp.where(use_vv, 0.0, sp1)
+    id0 = jnp.where(use_vv, mk(ia, ib), id0)
+    id1 = jnp.where(use_vv, 0, id1)
+
+    # finalize (ref: src/Manifold.cs:299-313, 546-560): shift anchors back
+    # by the local origin, rotate into world orientation, derive B/point
+    a0x = a0x + ox
+    a0y = a0y + oy
+    a1x = a1x + ox
+    a1y = a1y + oy
+    wa0x = qac * a0x - qas * a0y
+    wa0y = qas * a0x + qac * a0y
+    wa1x = qac * a1x - qas * a1y
+    wa1y = qas * a1x + qac * a1y
+    wnx = qac * nmx - qas * nmy
+    wny = qas * nmx + qac * nmy
+    dpx = p_a[:, 0] - p_b[:, 0]
+    dpy = p_a[:, 1] - p_b[:, 1]
+
+    # range gate LAST, zeroing every field exactly like the scalar
+    # version's final _select(..., _empty())
+    live = in_range & ~beyond
+    zf = jnp.float32(0.0)
+    count = jnp.where(live, count, 0)
+    wnx = jnp.where(live, wnx, zf)
+    wny = jnp.where(live, wny, zf)
+    wa0x = jnp.where(live, wa0x, zf)
+    wa0y = jnp.where(live, wa0y, zf)
+    wa1x = jnp.where(live, wa1x, zf)
+    wa1y = jnp.where(live, wa1y, zf)
+    s0 = jnp.where(live, s0, zf)
+    s1 = jnp.where(live, s1, zf)
+    id0 = jnp.where(live, id0, 0)
+    id1 = jnp.where(live, id1, 0)
+    dpx = jnp.where(live, dpx, zf)
+    dpy = jnp.where(live, dpy, zf)
+    pax = jnp.where(live, p_a[:, 0], zf)
+    pay = jnp.where(live, p_a[:, 1], zf)
+
+    def two(x0, y0, x1, y1):
+        return jnp.stack([jnp.stack([x0, y0], axis=-1),
+                          jnp.stack([x1, y1], axis=-1)], axis=1)
+
+    return Manifold(
+        normal=jnp.stack([wnx, wny], axis=-1),
+        point_count=count,
+        anchor_a=two(wa0x, wa0y, wa1x, wa1y),
+        anchor_b=two(wa0x + dpx, wa0y + dpy, wa1x + dpx, wa1y + dpy),
+        point=two(wa0x + pax, wa0y + pay, wa1x + pax, wa1y + pay),
+        separation=jnp.stack([s0, s1], axis=-1),
+        ids=jnp.stack([id0, id1], axis=-1).astype(jnp.int32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # chain segment family (one-sided) — ref: src/Manifold.cs:570-915
 # ---------------------------------------------------------------------------

@@ -246,7 +246,10 @@ def narrow_phase(state: WorldState, pairs: PairBuffer,
             (tb == g.CAPSULE) | (tb == g.SEGMENT))
         out = merge(both2, man)
     if CLS_POLYS in classes_present:
-        man = jax.vmap(mfm.collide_polygons)(
+        # lane-major batched form: the vmapped scalar kernel's (V, 2)
+        # locals tile the 2-wide minor dim to 128 lanes (64x VPU waste,
+        # ~2 ms/step at 39k pairs)
+        man = mfm.collide_polygons_batched(
             va, na, ca, ra, pa, qa, vb, nb, cb, rb, pb, qb)
         apoly = (ta == g.POLYGON) | (tb == g.POLYGON)
         not_special = (ta != g.CHAIN_SEGMENT) & (tb != g.CIRCLE)
@@ -407,47 +410,68 @@ def remap_cache(old_cache: ContactStore, new_ka, new_kb,
     P = ka.shape[0]
     lane = jnp.arange(P, dtype=jnp.int32)
     live = ka >= 0
+    big = jnp.int32(1 << 30)
 
     # --- probe-insert old lanes (parallel claim rounds) --------------------
+    # ONE persistent claim table: each round, pending lanes claim their
+    # round-r slot iff it was empty BEFORE the round (earlier winners are
+    # never unseated); intra-round races resolve by scatter-min on lane id.
+    # 3 per-row ops/round vs the old 4 (separate claims + taken bitmap),
+    # and no final table-build scatter.
     slots = _probe_slots(ka, kb, t)
+    tbl_lane = jnp.full(t + 1, big, jnp.int32)
     slot_of = jnp.full(P, -1, jnp.int32)
-    taken = jnp.zeros(t, bool)
-    big = jnp.int32(1 << 30)
     for r in range(_PROBES):
         s_r = slots[:, r]
-        cand = live & (slot_of < 0) & ~taken[s_r]
-        claim = jnp.full(t, big, jnp.int32).at[
-            jnp.where(cand, s_r, 0)].min(jnp.where(cand, lane, big))
-        won = cand & (claim[s_r] == lane)
+        pend = live & (slot_of < 0)
+        cand = pend & (tbl_lane[s_r] == big)
+        tbl_lane = tbl_lane.at[jnp.where(cand, s_r, t)].min(
+            jnp.where(cand, lane, big))
+        won = cand & (tbl_lane[s_r] == lane)
         slot_of = jnp.where(won, s_r, slot_of)
-        taken = taken.at[jnp.where(won, s_r, 0)].max(won)
     drops = jnp.sum(live & (slot_of < 0)).astype(jnp.int32)
-    tbl = jnp.full(t, -1, jnp.int32).at[
-        jnp.where(slot_of >= 0, slot_of, t)].set(lane, mode="drop")
 
     # --- probe-match new lanes --------------------------------------------
-    nslots = _probe_slots(new_ka, new_kb, t)          # (P, R)
-    cand_lane = tbl[nslots]                            # (P, R) old lanes
-    cl = jnp.maximum(cand_lane, 0)
-    hit = ((cand_lane >= 0)
-           & (ka[cl] == new_ka[:, None]) & (kb[cl] == new_kb[:, None])
-           & (new_ka >= 0)[:, None])
-    found = jnp.any(hit, axis=1)
-    first = jnp.argmax(hit, axis=1)
-    old_lane = jnp.where(found, cl[jnp.arange(P), first], 0)
+    # slot rows pack (lane, key_a, key_b): each match round costs ONE
+    # (P,)-row gather. The old (P, R) table + key gathers cost per ELEMENT
+    # (~3x P*R rows, measured 19.8 ms of the 22.7 ms rebuild at 39k pairs).
+    rows = jnp.stack([lane, ka, kb], axis=1)
+    tbl = jnp.full((t + 1, 3), -1, jnp.int32).at[
+        jnp.where(slot_of >= 0, slot_of, t)].set(rows, mode="drop")
 
+    nslots = _probe_slots(new_ka, new_kb, t)          # (P, R)
+    live_new = new_ka >= 0
+    old_lane_s = jnp.full(P, -1, jnp.int32)
+    for r in range(_PROBES):
+        row = tbl[nslots[:, r]]                        # (P, 3) row gather
+        ok = (live_new & (old_lane_s < 0)
+              & (row[:, 1] == new_ka) & (row[:, 2] == new_kb))
+        old_lane_s = jnp.where(ok, row[:, 0], old_lane_s)
+    found = old_lane_s >= 0
+    old_lane = jnp.maximum(old_lane_s, 0)
+
+    # transfer warm data with ONE packed row gather (ints ride bitcast;
+    # six separate field gathers cost ~6x the per-row price)
     f = found
+    as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    as_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    packed = jnp.concatenate([
+        as_f(old_cache.ids),
+        old_cache.normal_impulse,
+        old_cache.tangent_impulse,
+        old_cache.rolling_impulse[:, None],
+        old_cache.touching[:, None].astype(jnp.float32),
+        as_f(old_cache.color[:, None]),
+    ], axis=1)                                        # (P, 9)
+    gr = packed[old_lane]
     new_cache = ContactStore(
         key_a=new_ka, key_b=new_kb,
-        ids=jnp.where(f[:, None], old_cache.ids[old_lane], 0),
-        normal_impulse=jnp.where(
-            f[:, None], old_cache.normal_impulse[old_lane], 0.0),
-        tangent_impulse=jnp.where(
-            f[:, None], old_cache.tangent_impulse[old_lane], 0.0),
-        rolling_impulse=jnp.where(
-            f, old_cache.rolling_impulse[old_lane], 0.0),
-        touching=f & old_cache.touching[old_lane],
-        color=jnp.where(f, old_cache.color[old_lane], -1),
+        ids=jnp.where(f[:, None], as_i(gr[:, 0:2]), 0),
+        normal_impulse=jnp.where(f[:, None], gr[:, 2:4], 0.0),
+        tangent_impulse=jnp.where(f[:, None], gr[:, 4:6], 0.0),
+        rolling_impulse=jnp.where(f, gr[:, 6], 0.0),
+        touching=f & (gr[:, 7] > 0),
+        color=jnp.where(f, as_i(gr[:, 8]), -1),
     )
 
     claimed = jnp.zeros(P + 1, bool).at[

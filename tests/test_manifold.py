@@ -145,3 +145,66 @@ def test_manifolds_vmap():
                                                V, N, 4, 0.0, o, I2).point_count)
     counts = f(offs)
     assert list(np.asarray(counts)) == [2, 0, 2]
+
+
+def test_collide_polygons_batched_matches_scalar():
+    """The lane-major batched poly-poly kernel (used by the narrow phase)
+    must reproduce the scalar collide_polygons exactly — every field,
+    including zeroed gated-out lanes — on random rounded polygons,
+    capsules-as-2-gons, and boxes at random poses."""
+    import numpy as np
+    from box2d_tpu import geometry as g
+
+    rng = np.random.RandomState(7)
+    P = 128
+    V = 8
+
+    def rand_geoms(n):
+        out = []
+        for _ in range(n):
+            k = rng.choice([2, 3, 4, 5, 8])
+            if k == 2:
+                out.append(g.capsule(tuple(rng.uniform(-1, 1, 2)),
+                                     tuple(rng.uniform(-1, 1, 2)), 0.1))
+            elif k == 4:
+                out.append(g.box(rng.uniform(0.2, 1.0),
+                                 rng.uniform(0.2, 1.0)))
+            else:
+                out.append(g.polygon(
+                    rng.uniform(-1, 1, (int(k) + 3, 2)).astype(np.float32),
+                    radius=float(rng.uniform(0, 0.1))))
+        return out
+
+    def pack(lst):
+        verts = np.zeros((P, V, 2), np.float32)
+        norms = np.zeros((P, V, 2), np.float32)
+        cnt = np.zeros(P, np.int32)
+        rad = np.zeros(P, np.float32)
+        for i, q in enumerate(lst):
+            c = int(q.count)
+            verts[i, :c] = np.asarray(q.verts)[:c]
+            norms[i, :c] = np.asarray(q.normals)[:c]
+            cnt[i] = c
+            rad[i] = q.radius
+        return (jnp.asarray(verts), jnp.asarray(norms), jnp.asarray(cnt),
+                jnp.asarray(rad))
+
+    va, na, ca, ra = pack(rand_geoms(P))
+    vb, nb, cb, rb = pack(rand_geoms(P))
+    ang = rng.uniform(0, 6.28, (2, P)).astype(np.float32)
+    p_a = jnp.asarray(rng.uniform(-0.7, 0.7, (P, 2)).astype(np.float32))
+    p_b = jnp.asarray(rng.uniform(-0.7, 0.7, (P, 2)).astype(np.float32))
+    q_a = jnp.stack([jnp.cos(ang[0]), jnp.sin(ang[0])], axis=1)
+    q_b = jnp.stack([jnp.cos(ang[1]), jnp.sin(ang[1])], axis=1)
+
+    ref = jax.vmap(mf.collide_polygons)(va, na, ca, ra, p_a, q_a,
+                                        vb, nb, cb, rb, p_b, q_b)
+    bat = mf.collide_polygons_batched(va, na, ca, ra, p_a, q_a,
+                                      vb, nb, cb, rb, p_b, q_b)
+    for name in ref._fields:
+        r = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(bat, name))
+        if r.dtype.kind == "i":
+            assert (r == b).all(), name
+        else:
+            np.testing.assert_allclose(b, r, atol=2e-5, err_msg=name)
