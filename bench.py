@@ -126,8 +126,8 @@ def measure_batch(n_worlds=64, rows=20, steps=240):
     use_pallas = 0
     if jax.default_backend() not in ("cpu",):
         from box2d_tpu.solver_pallas import fits_kernel
-        chunk = cap.color_chunk or max(
-            128, ((cap.max_contact_pairs // 16 + 127) // 128) * 128)
+        from box2d_tpu.state import auto_chunk
+        chunk = cap.color_chunk or auto_chunk(cap.max_contact_pairs)
         l0 = cap.max_colors * chunk
         ovf = ((min(cap.max_contact_pairs, 2 * chunk) + chunk - 1)
                // chunk) * chunk

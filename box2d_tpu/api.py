@@ -240,8 +240,9 @@ class World:
                                         fits_tiled_streamed, window_width)
             from .state import JOINT_FILTER
             solvable = sorted(int(t) for t in jtypes if t != JOINT_FILTER)
-            chunk = self.capacity.color_chunk or max(
-                128, ((self.capacity.max_contact_pairs // 16 + 127) // 128) * 128)
+            from .state import auto_chunk
+            chunk = (self.capacity.color_chunk
+                     or auto_chunk(self.capacity.max_contact_pairs))
             l0 = self.capacity.max_colors * chunk
             # mirrors world.py's chunk-multiple overflow rounding
             ovf = ((min(self.capacity.max_contact_pairs, 2 * chunk)

@@ -386,6 +386,21 @@ class Capacity:
     has_joint_exclusions: bool = True  # any collide_connected=False joint
 
 
+def auto_chunk(max_contact_pairs: int) -> int:
+    """Default per-color bucket cap when Capacity.color_chunk == 0.
+
+    128-multiples keep dynamic lane-dim slices tile-aligned for the Pallas
+    kernel (Mosaic requires it). Chunks >= 512 round up to a 512 multiple so
+    the tiled kernel can sweep 4x128-lane sub-windows per grid step
+    (world.py `halves`) — without the rounding, layouts like the 64-world
+    flat batch land on chunk = 27*128 and fall back to one 128-lane window
+    per grid step (~1us of per-step overhead each)."""
+    c = max(128, ((max_contact_pairs // 16 + 127) // 128) * 128)
+    if c >= 512:
+        c = ((c + 511) // 512) * 512
+    return c
+
+
 def zero_events(cap: Capacity, nb: int | None = None) -> Events:
     e = cap.event_capacity
     nb = cap.max_bodies if nb is None else nb

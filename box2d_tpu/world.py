@@ -223,10 +223,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     all_prev = jnp.concatenate([jnp.where(touching, data.prev_color, -1),
                                 jn.color])
     all_reserved = jnp.concatenate([touching, jn.enabled & (jn.type >= 0)])
-    # chunk multiples of 128 keep dynamic lane-dim slices tile-aligned for
-    # the Pallas kernel (Mosaic requires it) and cost XLA nothing
-    chunk = cap.color_chunk or max(
-        128, ((cap.max_contact_pairs // 16 + 127) // 128) * 128)
+    from .state import auto_chunk
+    chunk = cap.color_chunk or auto_chunk(cap.max_contact_pairs)
     raw_colors = repair_colors(
         all_ba, all_bb, all_active, all_reserved, all_prev, b.type, nb,
         cap.max_colors, color_cap=chunk,
@@ -444,8 +442,9 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             w_k = w_win
             if not with_joints and not stream_acc:
                 # bucket alignment: chunk divisibility keeps every window
-                # inside ONE color bucket (ovf_cap is a chunk multiple)
-                for cand in (4, 2):
+                # inside ONE color bucket (ovf_cap is a chunk multiple);
+                # 5 covers chunk = 2560 (pyramid-140) with 640-lane steps
+                for cand in (5, 4, 2):
                     if chunk % (cand * w_win) == 0:
                         halves, w_k = cand, cand * w_win
                         break

@@ -284,3 +284,36 @@ def test_tiled_kernel_halved_subwindows_match_xla_interpreted():
                                np.asarray(sx.bodies.center), atol=1e-4)
     np.testing.assert_allclose(np.asarray(st.bodies.v),
                                np.asarray(sx.bodies.v), atol=2e-3)
+
+
+def test_tiled_kernel_five_subwindows_match_xla_interpreted():
+    """chunk=640 routes the contact-only tiled kernel onto FIVE 128-lane
+    sub-windows per grid step (world.py halves=5 — the shape pyramid-140's
+    chunk=2560 takes after auto_chunk's 512-rounding). Must reproduce the
+    XLA path like the halves=4 kernel does."""
+    from jax.experimental.pallas import tpu as pltpu
+    from box2d_tpu.state import Capacity
+
+    w = scenes.pyramid(rows=4)
+    nb = len(w.builder._bodies)
+    ns = len(w.builder._shapes)
+    cap = Capacity(max_bodies=nb, max_shapes=ns, max_joints=1,
+                   max_contact_pairs=max(4 * ns, 64), color_chunk=640,
+                   max_colors=8)  # small grid: interpret mode is slow
+    state, cap = w.builder.build(cap)
+    classes = classes_for_shape_types(s["geom"].type for s in w.builder._shapes)
+
+    step_x = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes, 4,
+                                     frozenset(), (), False, None, 0))
+    step_t = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes, 4,
+                                     frozenset(), (), False, None, 2))
+    sx = state
+    st = state
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(4):
+            sx = step_x(sx)
+            st = step_t(st)
+    np.testing.assert_allclose(np.asarray(st.bodies.center),
+                               np.asarray(sx.bodies.center), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.bodies.v),
+                               np.asarray(sx.bodies.v), atol=2e-3)
