@@ -1324,24 +1324,62 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple, stream: bool,
     # nonzero restitution (wrest); most scenes have none and skip stage 3
     run = (wi < nact_ref[0]) & ((p != 3) | (wrest_ref[wi] > 0))
 
+    if stream:
+        # acc lives in HBM (aliased in->out buffer); output blocks may not
+        # be revisited across grid stages, so the auto-pipelined block path
+        # cannot carry a read-modify-write accumulator. DOUBLE-BUFFERED
+        # manual DMA instead: each visit k prefetches visit k+1's window
+        # slice into the other scratch slot before waiting on its own, so
+        # the fetch latency hides under this visit's compute. Safe because
+        # consecutive visits touch DIFFERENT windows (distinct layout
+        # slices) whenever nact > 1; at nact == 1 the same window repeats
+        # back-to-back (its input is this visit's output), so prefetch is
+        # disabled and every visit does a blocking self-fetch. The
+        # write-back stays blocking, which keeps both scratch slots free
+        # of outstanding writes by the time they are re-fetched into.
+        # Visits are gated on wi < nact ONLY (not the restitution skip):
+        # stage-3 windows without restitution still ride the DMA chain
+        # (fetch, no compute, no write-back) so the prefetch handoff never
+        # breaks.
+        nact_v = nact_ref[0]
+        stages_total = 3 * nsub + 1
+        kvis = s * nact_v + wi                # visit counter (run_dma steps)
+        parity = lax.rem(kvis, 2)
+        run_dma = wi < nact_v
+        first_vis = (s == 0) & (wi == 0)
+        last_vis = (s == stages_total - 1) & (wi == nact_v - 1)
+        col_s = pl.multiple_of(win_ref[wi] * w, w)
+
+        def in_copy(slot, c):
+            return pltpu.make_async_copy(
+                out_acc_ref.at[:, pl.ds(pl.multiple_of(c, w), w)],
+                acc_vmem_ref.at[slot], sem_in.at[slot])
+
+        @pl.when(run_dma & (first_vis | (nact_v == 1)))
+        def _self_fetch():
+            in_copy(parity, col_s).start()
+
+        nwi = jnp.where(wi + 1 < nact_v, wi + 1, 0)
+        ncol = win_ref[nwi] * w
+
+        @pl.when(run_dma & (nact_v > 1) & ~last_vis)
+        def _prefetch():
+            in_copy(1 - parity, ncol).start()
+
+        # every started fetch is waited EXACTLY once (also on visits whose
+        # compute is skipped by the restitution gate) — a skipped wait
+        # would leave a stale semaphore count for a later visit
+        @pl.when(run_dma)
+        def _wait_in():
+            in_copy(parity, col_s).wait()
+
     @pl.when(run)
     def _sweep():
         col = pl.multiple_of(win_ref[wi] * w, w)
         if stream:
-            # acc lives in HBM (aliased in->out buffer); fetch this
-            # window's slice into VMEM scratch by explicit DMA — output
-            # blocks may not be revisited across grid stages, so the
-            # auto-pipelined block path cannot carry a read-modify-write
-            # accumulator
-            pltpu.make_async_copy(
-                out_acc_ref.at[:, pl.ds(col, w)], acc_vmem_ref,
-                sem_in).start()
             ia = idx_ref[0:1, :]              # streamed (2, w) block
             ib = idx_ref[1:2, :]
-            pltpu.make_async_copy(
-                out_acc_ref.at[:, pl.ds(col, w)], acc_vmem_ref,
-                sem_in).wait()
-            a = acc_vmem_ref[:]
+            a = acc_vmem_ref[parity]
         else:
             ia = idx_ref[0:1, pl.ds(col, w)]
             ib = idx_ref[1:2, pl.ds(col, w)]
@@ -1577,9 +1615,10 @@ def _tiled_kernel(nsub: int, w: int, tb: int, jtypes: tuple, stream: bool,
         if stream:
             # scratch/HBM rows are padded to NA_PAD for DMA tiling; rows
             # NA.. carry don't-care padding
-            acc_vmem_ref[:] = jnp.concatenate([acc_new, a[NA:]], 0)
+            acc_vmem_ref[parity] = jnp.concatenate([acc_new, a[NA:]], 0)
             copy_out = pltpu.make_async_copy(
-                acc_vmem_ref, out_acc_ref.at[:, pl.ds(col, w)], sem_out)
+                acc_vmem_ref.at[parity], out_acc_ref.at[:, pl.ds(col, w)],
+                sem_out)
             copy_out.start()
             copy_out.wait()
         else:
@@ -1764,8 +1803,9 @@ def run_solver_kernel_tiled(nsub, chunk, scalars, idx, data, acc, body,
                    (pl.BlockSpec(memory_space=pltpu.ANY)
                     if stream_acc else
                     pl.BlockSpec(memory_space=pltpu.VMEM))),
-        scratch_shapes=([pltpu.VMEM((NA_PAD, w), jnp.float32),
-                         pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+        scratch_shapes=([pltpu.VMEM((2, NA_PAD, w), jnp.float32),
+                         pltpu.SemaphoreType.DMA((2,)),
+                         pltpu.SemaphoreType.DMA]
                         if stream_acc else []),
     )
     kern = functools.partial(_tiled_kernel, nsub, w, tb, tuple(jtypes),

@@ -317,3 +317,46 @@ def test_tiled_kernel_five_subwindows_match_xla_interpreted():
                                np.asarray(sx.bodies.center), atol=1e-4)
     np.testing.assert_allclose(np.asarray(st.bodies.v),
                                np.asarray(sx.bodies.v), atol=2e-3)
+
+
+def test_streamed_acc_single_window_matches_xla_interpreted():
+    """nact == 1 exercises the streamed kernel's OTHER DMA path: with a
+    single active window, consecutive visits hit the SAME layout slice
+    (visit k+1's input is visit k's output), so the double-buffered
+    prefetch is disabled and every visit must do a blocking self-fetch.
+    One box resting on the ground = one contact = one color = one window."""
+    from jax.experimental.pallas import tpu as pltpu
+    from box2d_tpu import geometry as g
+    from box2d_tpu import types as t
+    from box2d_tpu.api import World
+    from box2d_tpu.state import Capacity
+
+    w = World(t.WorldDef(gravity=(0.0, -10.0)))
+    ground = w.create_body(t.BodyDef(type=0, position=(0.0, -0.5)))
+    w.create_polygon_shape(ground, t.ShapeDef(), g.box(5.0, 0.5))
+    box = w.create_body(t.BodyDef(type=2, position=(0.0, 0.55)))
+    w.create_polygon_shape(box, t.ShapeDef(density=1.0), g.box(0.5, 0.5))
+    nb = len(w.builder._bodies)
+    ns = len(w.builder._shapes)
+    cap = Capacity(max_bodies=nb, max_shapes=ns, max_joints=1,
+                   max_contact_pairs=64, color_chunk=128)
+    state, cap = w.builder.build(cap)
+    classes = classes_for_shape_types(s["geom"].type for s in w.builder._shapes)
+
+    step_x = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes, 4,
+                                     frozenset(), (), False, None, 0))
+    step_t = jax.jit(lambda s: _step(s, jnp.float32(1 / 60), cap, classes, 4,
+                                     frozenset(), (), False, None, 3))
+    sx = state
+    st = state
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(5):
+            sx = step_x(sx)
+            st = step_t(st)
+    np.testing.assert_allclose(np.asarray(st.bodies.center),
+                               np.asarray(sx.bodies.center), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.bodies.v),
+                               np.asarray(sx.bodies.v), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st.contacts.normal_impulse),
+                               np.asarray(sx.contacts.normal_impulse),
+                               atol=2e-3)
