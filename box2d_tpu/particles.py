@@ -704,13 +704,21 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     need_inv = cfg.has_elastic or cfg.has_spring or cfg.has_barrier
 
     def iteration(carry, _):
-        pt0, body_dv, body_dw, _bc_cnt = carry
+        pt0, body_dv, body_dw, _bc_cnt, s2o = carry
         n_ = pt0.pos.shape[0]
 
         # ---- cell sort: the WHOLE iteration runs in sorted space --------
         # (gathers/scatters cost per index on TPU; in sorted space the
         # same-row neighbor window becomes static shifts and the row-above
-        # window one packed gather — see _find_contacts_sorted)
+        # window one packed gather — see _find_contacts_sorted).
+        # The carry STAYS in sorted order across sub-iterations: pt0's
+        # per-particle fields are in the PREVIOUS iteration's sorted order
+        # and s2o maps sorted position -> original lane. Each iteration
+        # composes the new order on top (one extra int column in the
+        # packed gather); the scatter back to original lanes happens ONCE
+        # per step after the scan — the old per-iteration un-sort cost
+        # three ~n-row scatters per iteration just so the next iteration
+        # could re-gather.
         key = _cell_key(pt0.pos, pt0.alive, diameter)
         order = jnp.argsort(key)
         skey = key[order]
@@ -720,7 +728,9 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             pt0.pos, pt0.vel, pt0.force, pt0.expiration[:, None],
             pt0.static_pressure[:, None]], axis=1)[order]
         ipack = jnp.stack([pt0.flags, pt0.group,
-                           pt0.alive.astype(jnp.int32)], axis=1)[order]
+                           pt0.alive.astype(jnp.int32), s2o],
+                          axis=1)[order]
+        s2o_new = ipack[:, 3]
         pt = dataclasses.replace(
             pt0, pos=fpack[:, 0:2], vel=fpack[:, 2:4], force=fpack[:, 4:6],
             expiration=fpack[:, 6], static_pressure=fpack[:, 7],
@@ -730,7 +740,9 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         if cfg.has_colormix:
             pt = dataclasses.replace(pt, color=pt0.color[order])
         if need_inv:
-            inv_order = jnp.zeros(n_, jnp.int32).at[order].set(
+            # triad/pair indices are stored as ORIGINAL lane ids (the carry
+            # never overwrites them); map original -> current sorted pos
+            inv_order = jnp.zeros(n_, jnp.int32).at[s2o_new].set(
                 jnp.arange(n_, dtype=jnp.int32))
 
             def remap(idx):
@@ -1177,35 +1189,65 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         # ---- integrate (ref :1554-1561) ----
         pos = pos + jnp.where(pt.alive[:, None], dt * vel, 0.0)
 
-        # ---- un-sort: scatter changed fields back to original lanes ----
-        fout = jnp.concatenate([pos, vel, expiration[:, None]], axis=1)
-        fback = jnp.zeros_like(fout).at[order].set(fout)
-        alive_o = jnp.zeros_like(alive).at[order].set(alive)
+        # ---- carry stays SORTED: only update the mutated fields ----
         pt2 = dataclasses.replace(
-            pt0, pos=fback[:, 0:2], vel=fback[:, 2:4],
-            expiration=fback[:, 4], alive=alive_o)
+            pt, pos=pos, vel=vel, expiration=expiration, alive=alive)
         if cfg.has_static_pressure:
-            pt2 = dataclasses.replace(
-                pt2, static_pressure=jnp.zeros_like(static_pressure)
-                .at[order].set(static_pressure))
+            pt2 = dataclasses.replace(pt2, static_pressure=static_pressure)
         if cfg.has_colormix:
+            pt2 = dataclasses.replace(pt2, color=col)
+        if need_inv:
+            # restore the ORIGINAL-lane triad/pair ids (pt holds this
+            # iteration's remapped copies)
             pt2 = dataclasses.replace(
-                pt2, color=jnp.zeros_like(col).at[order].set(col))
-        if cfg.has_solid:
-            pt2 = dataclasses.replace(
-                pt2,
-                depth=jnp.zeros_like(pt.depth).at[order].set(pt.depth),
-                group_flags=pt.group_flags)
-        bc_cnt = jnp.zeros(n_, jnp.int32).at[order].set(
-            jnp.sum(bc_ok, axis=1).astype(jnp.int32))
-        return (pt2, body_dv, body_dw, bc_cnt), c_over
+                pt2, triad_a=pt0.triad_a, triad_b=pt0.triad_b,
+                triad_c=pt0.triad_c, pair_a=pt0.pair_a, pair_b=pt0.pair_b)
+        bc_cnt = jnp.sum(bc_ok, axis=1).astype(jnp.int32)
+        return (pt2, body_dv, body_dw, bc_cnt, s2o_new), c_over
 
-    bc_cnt0 = jnp.zeros(pt.pos.shape[0], jnp.int32)
-    (pt, body_dv, body_dw, bc_cnt), c_over_iters = jax.lax.scan(
-        iteration, (pt, body_dv, body_dw, bc_cnt0), None,
+    n0 = pt.pos.shape[0]
+    bc_cnt0 = jnp.zeros(n0, jnp.int32)
+    pt_orig = pt
+    (pt_s, body_dv, body_dw, bc_cnt_s, s2o), c_over_iters = jax.lax.scan(
+        iteration, (pt, body_dv, body_dw, bc_cnt0,
+                    jnp.arange(n0, dtype=jnp.int32)), None,
         length=cfg.iterations)
     neighbor_overflow = (jnp.max(c_over_iters).astype(jnp.int32)
                          + shape_overflow)
+
+    # ---- un-sort ONCE: scatter the mutated fields back to original lanes
+    # (one packed float scatter + one packed int scatter per STEP, instead
+    # of three per sub-iteration)
+    fcols = [pt_s.pos, pt_s.vel, pt_s.expiration[:, None]]
+    if cfg.has_static_pressure:
+        fcols.append(pt_s.static_pressure[:, None])
+    if cfg.has_colormix:
+        fcols.append(pt_s.color.reshape(n0, -1).astype(jnp.float32))
+    if cfg.has_solid:
+        fcols.append(pt_s.depth[:, None])
+    fout = jnp.concatenate(fcols, axis=1)
+    fback = jnp.zeros_like(fout).at[s2o].set(fout)
+    iback = jnp.zeros((n0, 2), jnp.int32).at[s2o].set(
+        jnp.stack([pt_s.alive.astype(jnp.int32), bc_cnt_s], axis=1))
+    alive_o = iback[:, 0] > 0
+    bc_cnt = iback[:, 1]
+    pt = dataclasses.replace(
+        pt_orig, pos=fback[:, 0:2], vel=fback[:, 2:4], expiration=fback[:, 4],
+        alive=alive_o)
+    c = 5
+    if cfg.has_static_pressure:
+        pt = dataclasses.replace(pt, static_pressure=fback[:, c])
+        c += 1
+    if cfg.has_colormix:
+        nc = pt_orig.color.reshape(n0, -1).shape[1]
+        pt = dataclasses.replace(
+            pt, color=fback[:, c:c + nc].astype(pt_orig.color.dtype)
+            .reshape(pt_orig.color.shape))
+        c += nc
+    if cfg.has_solid:
+        pt = dataclasses.replace(pt, depth=fback[:, c],
+                                 group_flags=pt_s.group_flags)
+        c += 1
     # stuck detection (ref DetectStuckParticle :1520-1541): particles with
     # >= 2 body contacts this step extend their streak, others reset
     stuck_now = pt.alive & (bc_cnt >= 2)
