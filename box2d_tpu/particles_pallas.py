@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,18 +54,45 @@ def _dot_t(a, b):
 
 
 def _kernel(offs_ref, scal_ref, tab_ref, out_ref, band_s, band_u, band_d,
-            sems, *, phase: int):
+            sems, *, phase: int, n_blocks: int):
+    # DOUBLE-BUFFERED band DMA: block i's three bands were prefetched while
+    # block i-1 computed (slot = i % 2); this visit starts block i+1's
+    # fetches into the other slot before waiting on its own. Safe: the grid
+    # is sequential, block i-1 (the other slot's last reader) has finished,
+    # and band scratch is read-only to the compute.
     i = pl.program_id(0)
+    slot = lax.rem(i, 2)
+
+    def band_copies(blk, sl):
+        s_off = pl.multiple_of(offs_ref[blk, 0], 128)
+        u_off = pl.multiple_of(offs_ref[blk, 1], 128)
+        d_off = pl.multiple_of(offs_ref[blk, 2], 128)
+        out = []
+        for band, off, L in ((band_s, s_off, BS), (band_u, u_off, BU),
+                             (band_d, d_off, BU)):
+            out.append(pltpu.make_async_copy(
+                tab_ref.at[:, pl.ds(off, L)], band.at[sl],
+                sems.at[sl, len(out)]))
+        return out
+
+    @pl.when(i == 0)
+    def _self_fetch():
+        for c in band_copies(0, slot):
+            c.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _prefetch():
+        nxt = jnp.minimum(i + 1, n_blocks - 1)
+        for c in band_copies(nxt, 1 - slot):
+            c.start()
+
+    copies = band_copies(i, slot)
+    band_s = band_s.at[slot]
+    band_u = band_u.at[slot]
+    band_d = band_d.at[slot]
     s_off = pl.multiple_of(offs_ref[i, 0], 128)
     u_off = pl.multiple_of(offs_ref[i, 1], 128)
     d_off = pl.multiple_of(offs_ref[i, 2], 128)
-    copies = []
-    for band, off, L in ((band_s, s_off, BS), (band_u, u_off, BU),
-                         (band_d, d_off, BU)):
-        c = pltpu.make_async_copy(
-            tab_ref.at[:, pl.ds(off, L)], band, sems.at[len(copies)])
-        c.start()
-        copies.append(c)
 
     inv_d = scal_ref[0, 0]       # 1 / diameter
     d2max = scal_ref[0, 1]       # diameter^2
@@ -216,7 +244,7 @@ def window_pass(tab, offs, scalars, phase: int, n_blocks: int,
     [inv_diameter, diameter^2, lin_damping, quad_damping, vel_per_pressure].
     Returns (n_blocks*B, 8): cols 0-1 = weight / dvel, col 2 = coverage
     overflow flag."""
-    kern = functools.partial(_kernel, phase=phase)
+    kern = functools.partial(_kernel, phase=phase, n_blocks=n_blocks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -227,10 +255,10 @@ def window_pass(tab, offs, scalars, phase: int, n_blocks: int,
         out_specs=pl.BlockSpec((B_BLK, 8), lambda i, offs: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, BS), jnp.float32),
-            pltpu.VMEM((8, BU), jnp.float32),
-            pltpu.VMEM((8, BU), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 8, BS), jnp.float32),     # double-buffered bands
+            pltpu.VMEM((2, 8, BU), jnp.float32),
+            pltpu.VMEM((2, 8, BU), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     return pl.pallas_call(
