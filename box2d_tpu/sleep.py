@@ -108,7 +108,23 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
     any_new = jnp.any(new_touch)
     any_lost = (jnp.any(lost_touch) if lost_touch is not None
                 else jnp.bool_(False))
-    run_labels = b.island_dirty | any_new | any_lost
+    # a new touch between bodies that already share a label adds no
+    # information (min-merge over an intra-island edge is the identity), so
+    # only CROSS-island new touches schedule a propagation — during a
+    # settling stack, contacts churn almost entirely inside one island and
+    # this one gated (2P,) gather replaces the 5-round gather+scatter pass.
+    # Exact, not heuristic: lost edges and host mutations still force the
+    # pass through any_lost/island_dirty.
+    def _any_cross(_):
+        lab_ab = b.island_label[jnp.concatenate([body_a, body_b])]
+        P_ = body_a.shape[0]
+        return jnp.any(new_touch & (c_typ_a == DYNAMIC)
+                       & (c_typ_b == DYNAMIC)
+                       & (lab_ab[:P_] != lab_ab[P_:]))
+
+    any_new_cross = lax.cond(any_new, _any_cross,
+                             lambda _: jnp.bool_(False), None)
+    run_labels = b.island_dirty | any_new_cross | any_lost
     # a removed edge invalidates any partially-propagated partition (min-
     # merge cannot undo a merge through the departed edge): re-seed it
     fresh_in = jnp.where(any_lost, jnp.arange(nb, dtype=jnp.int32),

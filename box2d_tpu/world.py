@@ -388,25 +388,37 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             data_p = jnp.pad(data_p, ((0, 0), (0, nrows - NF)))
         as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         as_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-        ncols = 4 if with_joints else 2
+        # nonstatic endpoint flags ride the scatter as one more bitcast
+        # column (bit 0 = side a, bit 1 = side b): window_metadata needs
+        # them per LAYOUT lane, and gathering body.type[bodyL] there costs
+        # two L-row gathers (~2 ms at 66k lanes) while the narrow phase's
+        # packed dyn rows already hold the type per pair, gather-free
+        ns_c = ((data.dyn_a[:, 11] != 0).astype(jnp.int32)
+                + 2 * (data.dyn_b[:, 11] != 0).astype(jnp.int32))
+        ncols = 5 if with_joints else 3
         fill = jnp.concatenate(
             [jnp.zeros(nrows + NA, jnp.float32),
              jnp.broadcast_to(as_f(jnp.int32(-1)), (ncols,))])
         if with_joints:
-            # int columns: [body_a, body_b, kind, visit key]; joints sort
-            # before contacts of the same color (matching the XLA order,
-            # though same-color windows are conflict-free either way) and
-            # overflow-tail contacts last
+            # int columns: [body_a, body_b, kind, visit key, nonstatic];
+            # joints sort before contacts of the same color (matching the
+            # XLA order, though same-color windows are conflict-free either
+            # way) and overflow-tail contacts last
             key_c = jnp.where(is_ovf_lane, 2 * cap.max_colors,
                               2 * jnp.maximum(cc.color, 0) + 1)
             int_c = jnp.concatenate(
                 [idx_p, jnp.zeros((p_cap, 1), jnp.int32),
-                 key_c[:, None]], axis=1)
+                 key_c[:, None], ns_c[:, None]], axis=1)
             rows_c = jnp.concatenate([data_p, acc_p, as_f(int_c)], axis=1)
             jdata, jacc0, jidx = pack_joint_rows(state.joints, jc)
+            ns_j = ((b.type[jnp.maximum(jn.body_a, 0)] != 0)
+                    .astype(jnp.int32)
+                    + 2 * (b.type[jnp.maximum(jn.body_b, 0)] != 0)
+                    .astype(jnp.int32))
             int_j = jnp.concatenate(
                 [jidx, 1 + jn.type[:, None],
-                 2 * jnp.maximum(joint_color, 0)[:, None]], axis=1)
+                 2 * jnp.maximum(joint_color, 0)[:, None],
+                 ns_j[:, None]], axis=1)
             rows_j = jnp.concatenate([jdata, jacc0, as_f(int_j)], axis=1)
             combL = jnp.broadcast_to(
                 fill, (lay_len_k, fill.shape[0])).at[
@@ -416,12 +428,18 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             idxL = idxL4[:, :2]
             kindL = jnp.maximum(idxL4[:, 2], 0)
             keyL = idxL4[:, 3]
+            nsL = idxL4[:, 4]
         else:
-            rows_c = jnp.concatenate([data_p, acc_p, as_f(idx_p)], axis=1)
+            rows_c = jnp.concatenate(
+                [data_p, acc_p,
+                 as_f(jnp.concatenate([idx_p, ns_c[:, None]], axis=1))],
+                axis=1)
             combL = jnp.broadcast_to(
                 fill, (lay_len_k, fill.shape[0])).at[
                 cidx].set(rows_c, mode="drop")
-            idxL = as_i(combL[:, nrows + NA:])
+            idxL3 = as_i(combL[:, nrows + NA:])
+            idxL = idxL3[:, :2]
+            nsL = idxL3[:, 2]
             kindL = keyL = None
         dataL = combL[:, :nrows]
         accL = combL[:, nrows:nrows + NA]
@@ -457,13 +475,13 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             # body (nonzero v/w, integrates dp/dq) outside the gathered range
             # would be solved as stationary, breaking moving-platform and
             # conveyor contacts whenever its index lies beyond the dynamic
-            # bodies' tiles
-            nonstatic = b.type != 0
+            # bodies' tiles. Flags come from the scattered nsL column
+            # (bit 0 = a, bit 1 = b) — see the layout scatter above.
             restL = (dataL[:, 3] if not with_joints
                      else jnp.where(kindL == 0, dataL[:, 3], 0.0))
             wl, tlo, thi, nactp, wrest, kindw = window_metadata(
                 liveL, bodyL_a, bodyL_b,
-                nonstatic[bodyL_a] & liveL, nonstatic[bodyL_b] & liveL,
+                ((nsL & 1) > 0) & liveL, ((nsL & 2) > 0) & liveL,
                 lay_len_k, w_k, restitution=restL,
                 kind=kindL, key=keyL, halves=halves)
             if until == "meta":
