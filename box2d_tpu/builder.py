@@ -299,6 +299,7 @@ class WorldBuilder:
             island_label=jnp.arange(Nb, dtype=jnp.int32),
             island_fresh=jnp.arange(Nb, dtype=jnp.int32),
             island_dirty=jnp.asarray(True),
+            island_split_pending=jnp.asarray(False),
             awake=farr("awake", dtype=bool),
             enabled=farr("enabled", dtype=bool),
             user_data=farr("user_data", dtype=np.int32),

@@ -114,7 +114,7 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
     # settling stack, contacts churn almost entirely inside one island and
     # this one gated (2P,) gather replaces the 5-round gather+scatter pass.
     # Exact, not heuristic: lost edges and host mutations still force the
-    # pass through any_lost/island_dirty.
+    # pass through the deferred split launch / island_dirty.
     def _any_cross(_):
         lab_ab = b.island_label[jnp.concatenate([body_a, body_b])]
         P_ = body_a.shape[0]
@@ -124,11 +124,22 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
 
     any_new_cross = lax.cond(any_new, _any_cross,
                              lambda _: jnp.bool_(False), None)
-    run_labels = b.island_dirty | any_new_cross | any_lost
-    # a removed edge invalidates any partially-propagated partition (min-
-    # merge cannot undo a merge through the departed edge): re-seed it
-    fresh_in = jnp.where(any_lost, jnp.arange(nb, dtype=jnp.int32),
+    # DEFERRED SPLITS: a lost edge only ever requires a re-partition (min-
+    # merge labels stay valid, just possibly over-merged — conservative).
+    # Launching the reseed immediately would re-run the propagation every
+    # churn step and never converge (each step's losses reseed it again), so
+    # the launch waits for a QUIET step (no touch-set change) — the analog of
+    # the reference's deferred split queue (src/Island.cs:316-426). A lost
+    # edge during an in-flight partition leaves the pending flag set: that
+    # partition may swap in over-merged (safe), and a clean one relaunches
+    # at the next quiet step.
+    any_change = any_new | any_lost
+    pend_in = b.island_split_pending | any_lost
+    launch = pend_in & ~any_change
+    run_labels = b.island_dirty | any_new_cross | launch
+    fresh_in = jnp.where(launch, jnp.arange(nb, dtype=jnp.int32),
                          b.island_fresh)
+    pend_out = pend_in & ~launch
 
     def do_labels(_):
         j_on = jn.enabled & (jn.body_a >= 0)
@@ -184,9 +195,6 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
 
     labels, fresh, dirty_out = lax.cond(run_labels, do_labels, skip_labels,
                                         None)
-    # an edge removal seen on a converged step must still schedule the
-    # re-partition that starts from the re-seeded fresh labels
-    dirty_out = dirty_out | any_lost
 
     # ---- wake: new touching contact reaches a sleeping body --------------
     # the waking side must be an AWAKE non-static body (ref: only moved
@@ -211,7 +219,10 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
             woken_body)
         return island_woken[jnp.clip(labels, 0, nb)] & (b.type == DYNAMIC)
 
-    wake = lax.cond(any_new, do_wake,
+    # nothing asleep => nothing to wake: skip the scatter/gather trio (the
+    # common case during settling churn, where every body is still awake)
+    any_asleep = jnp.any(~b.awake & (b.type == DYNAMIC) & b.enabled)
+    wake = lax.cond(any_new & any_asleep, do_wake,
                     lambda _: jnp.zeros(nb, bool), None)
     awake = b.awake | wake
     sleep_time = jnp.where(wake, 0.0, b.sleep_time)
@@ -232,5 +243,6 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
 
     bodies = dataclasses.replace(
         b, awake=awake, v=v, w=w, sleep_time=sleep_time, island_label=labels,
-        island_fresh=fresh, island_dirty=dirty_out)
+        island_fresh=fresh, island_dirty=dirty_out,
+        island_split_pending=pend_out)
     return dataclasses.replace(state, bodies=bodies)

@@ -629,14 +629,16 @@ def window_width(chunk: int, target: int = DEFAULT_WINDOW) -> int:
 
 
 def fits_tiled(nb: int, layout_len: int, w: int = DEFAULT_WINDOW,
-               tb: int = DEFAULT_BODY_TILE) -> bool:
+               tb: int = DEFAULT_BODY_TILE, halves: int = 1) -> bool:
     """VMEM budget for the tiled kernel: resident body/params/acc/idx plus
-    pipelined data windows and one gather tile frame."""
+    pipelined data windows and one gather tile frame. halves > 1 splits the
+    window into 128-lane sub-windows for gather/scatter, so the one-hot
+    tile term scales with w/halves, not w."""
     nb_pad = ((max(nb, 128) + tb - 1) // tb) * tb
     words = (28 * nb_pad            # body in/out + params
              + (2 * NA + 2) * layout_len   # acc in/out + idx(int32)
              + 3 * NF * w           # streamed data windows (pipelined)
-             + 4 * tb * w           # gather/scatter one-hot tiles
+             + 4 * tb * (w // halves)  # gather/scatter one-hot tiles
              + 48 * w + 65536)      # temporaries + slack
     return words * 4 < 12 * 1024 * 1024
 

@@ -98,6 +98,14 @@ class Bodies:
     #   touch-set changes this gates the whole propagation pass: quiet steps
     #   skip it entirely (the reference's islands also cost nothing unless
     #   contacts link/unlink, src/Island.cs:107-187)
+    island_split_pending: Any  # () bool — an edge left the graph and the
+    #   split re-partition it calls for has not run yet. The re-partition is
+    #   DEFERRED to the next quiet step (no touch-set change): during
+    #   sustained churn every step loses some edge, and an immediate reseed
+    #   would both re-run the 5-round propagation every step (~3.7 ms at 40k
+    #   lanes) and never converge. Over-merged islands in the meantime are
+    #   conservative (sleep later, wake more) — the reference defers splits
+    #   the same way (ref: src/Island.cs:316-426 deferred split queue)
     awake: Any         # (Nb,) bool — sleeping bodies hold state frozen
     enabled: Any       # (Nb,) bool — lane allocated & enabled
     user_data: Any     # (Nb,) i32 opaque tag

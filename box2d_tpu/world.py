@@ -460,10 +460,18 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             w_k = w_win
             if not with_joints and not stream_acc:
                 # bucket alignment: chunk divisibility keeps every window
-                # inside ONE color bucket (ovf_cap is a chunk multiple);
-                # 5 covers chunk = 2560 (pyramid-140) with 640-lane steps
-                for cand in (5, 4, 2):
-                    if chunk % (cand * w_win) == 0:
+                # inside ONE color bucket (ovf_cap is a chunk multiple).
+                # Wider is better (the ~1us grid-step overhead and the
+                # per-visit fixed costs amortize over more lanes; gather
+                # tiles stay 128-lane-tight per half) up to the VMEM
+                # budget — chunk/w_win sweeps a whole color bucket per
+                # grid step. fits_tiled knows hw=128 bounds the one-hot
+                # tile, so the budget scales only in streamed data rows.
+                from .solver_pallas import fits_tiled
+                for cand in (chunk // w_win, 20, 10, 5, 4, 2):
+                    if (cand > 1 and chunk % (cand * w_win) == 0
+                            and fits_tiled(nb, lay_len_k, cand * w_win,
+                                           halves=cand)):
                         halves, w_k = cand, cand * w_win
                         break
             bodyp, paramsp = pack_bodies_tiled(b, bs, tn, h, inv_dt)
