@@ -207,13 +207,27 @@ def repair_colors(
     # vmap the cond lowers to a select (both branches execute), which is
     # exactly the old always-on behavior.
     todo_full = active & (prev_color < 0)
-    return lax.cond(jnp.any(todo_full),
-                    lambda _: _repair_colors_impl(
-                        body_a, body_b, active, reserved, prev_color,
-                        dyn, slot_of, num_bodies, max_colors, dyn_colors,
-                        max_rounds, M, color_cap, big, bit_range, n),
-                    lambda _: prev_color,
-                    None)
+
+    def impl(m):
+        return lambda _: _repair_colors_impl(
+            body_a, body_b, active, reserved, prev_color,
+            dyn, slot_of, num_bodies, max_colors, dyn_colors,
+            max_rounds, m, color_cap, big, bit_range, n)
+
+    # two-tier buffer: settling churn repairs a handful of lanes/step, but
+    # every JP round pays (M, C) cumsums + 2M-row gathers at the full
+    # buffer width. A small fast tier handles the common trickle; the wide
+    # tier only runs on real bursts (scene drops, rebuild re-alignment).
+    # Under vmap the conds lower to selects (both tiers run) — same caveat
+    # as the outer any-gate, documented in BASELINE.md.
+    M_small = min(512, M)
+    if M_small < M:
+        n_todo = jnp.sum(todo_full.astype(jnp.int32))
+        run = lambda _: lax.cond(n_todo <= M_small, impl(M_small), impl(M),
+                                 None)
+    else:
+        run = impl(M)
+    return lax.cond(jnp.any(todo_full), run, lambda _: prev_color, None)
 
 
 def _repair_colors_impl(body_a, body_b, active, reserved, prev_color,
