@@ -122,6 +122,11 @@ def measure_batch(n_worlds=64, rows=20, steps=240):
 
     w = scenes.pyramid(rows=rows)
     state, cap = w.builder.build()
+    # under vmap the keep/repair/full cond lowers to selects (all branches
+    # run every step) — disable the repair tier so the vmapped path only
+    # pays for the two branches it always had
+    import dataclasses
+    cap = dataclasses.replace(cap, bp_repair_cap=0, batched=True)
     classes = classes_for_shape_types(s["geom"].type for s in w.builder._shapes)
     use_pallas = 0
     if jax.default_backend() not in ("cpu",):

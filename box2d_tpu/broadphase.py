@@ -111,21 +111,217 @@ def _pair_should_collide(state: WorldState, sa, sb):
     return (ba != bb) & one_dynamic & group_pass & alive_a & alive_b
 
 
+def _grid_cell(cap: Capacity, alive, fat_lo, fat_hi):
+    """Grid cell size = widest NON-big fat extent, after demoting
+    non-outlier bigs (keep in sync with the top_k + `genuine` demotion in
+    find_pairs, which also needs the big ids)."""
+    S = alive.shape[0]
+    B = min(cap.big_shape_cap, max(S - 1, 1))
+    extent = jnp.where(alive, jnp.maximum(fat_hi[:, 0] - fat_lo[:, 0],
+                                          fat_hi[:, 1] - fat_lo[:, 1]),
+                       -jnp.inf)
+    kb = min(B + 1, S)
+    top_ext, _ = jax.lax.top_k(extent, kb)
+    cell0 = jnp.maximum(top_ext[kb - 1], 1e-3)
+    genuine = top_ext[:B] > 2.0 * cell0
+    return jnp.maximum(
+        cell0, jnp.max(jnp.where(genuine, -jnp.inf, top_ext[:B]),
+                       initial=-jnp.inf))
+
+
+def _box_overlap(a, b):
+    """(…, 4) fat-AABB overlap, broadcasting."""
+    return ((a[..., 0] <= b[..., 2]) & (b[..., 0] <= a[..., 2])
+            & (a[..., 1] <= b[..., 3]) & (b[..., 1] <= a[..., 3]))
+
+
+def _compact_ids(mask, k):
+    """First k set lanes of `mask`, ascending (ids, ok)."""
+    n = mask.shape[0]
+    big = jnp.int32(1 << 30)
+    score = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), big)
+    neg, _ = jax.lax.top_k(-score, min(k, n))
+    ids = -neg
+    return jnp.clip(ids, 0, n - 1), ids < big
+
+
+# per-escaped-shape slots for NEW pairs (a shape that just escaped its
+# 0.05-margin fat box gains O(1) partners per step) and per-shape slots for
+# new escaped-BIG partners; truncation is counted in Profile.overflow_pairs
+# and forces a full rebuild next step (see `full` predicate)
+_REPAIR_KE = 8
+_REPAIR_KB = 4
+_REPAIR_EB = 8   # max escaped grid-big shapes handled incrementally
+
+
+def _repair_pairs(state: WorldState, cap: Capacity, bp, cache, fat_t,
+                  esc, wide, custom_filter=None):
+    """Incrementally repair the persistent pair buffer after a small set of
+    shapes escaped their fat AABBs (ref: the O(moved) BufferMove/FindPairs
+    path, src/BroadPhase.cs:56,197-268 — the reference never rebuilds the
+    whole pair set either).
+
+    Invariant maintained: valid lanes = exactly the fat-overlapping
+    admissible pairs under the CURRENT fat boxes (guaranteed by the previous
+    full build whenever its overflow == 0). Therefore:
+      - pairs between two non-escaped shapes are untouched (their fat boxes
+        did not change);
+      - existing lanes with an escaped endpoint are re-tested and
+        invalidated when the new fat boxes no longer overlap (orphaning
+        touching pairs for contact_end events);
+      - NEW pairs = overlap(new fat) & ~overlap(old fat) with at least one
+        escaped endpoint — found exactly by two dense passes (escaped-small
+        rows x all shapes; all shapes x escaped-big columns), deduped purely
+        geometrically, then scattered into free lanes.
+    Lane-stable: surviving pairs keep their lanes, so the lane-aligned
+    contact cache (warm impulses, feature ids, colors) needs NO remap."""
+    sh = state.shapes
+    b = state.bodies
+    S = fat_t.shape[0]
+    P = bp.shape_a.shape[0]
+    alive = bp.alive
+    all_ids = jnp.arange(S, dtype=jnp.int32)
+    fat_new = jnp.where(esc[:, None], fat_t, bp.fat)
+    old_fat = bp.fat
+    esc_big = esc & wide
+    esc_small = esc & ~wide
+
+    # ---- re-validate existing lanes with an escaped endpoint --------------
+    ab = jnp.stack([bp.shape_a, bp.shape_b], axis=1)        # (P, 2)
+    esc_ab = esc[ab]                                        # one (P,2) gather
+    touched_lane = bp.valid & (esc_ab[:, 0] | esc_ab[:, 1])
+    fr = fat_new[ab]                                        # one (P,2,4) gather
+    still = _box_overlap(fr[:, 0], fr[:, 1])
+    valid2 = bp.valid & (~touched_lane | still)
+    inval = bp.valid & ~valid2
+    orphan = inval & cache.touching
+
+    body_of = sh.body
+    dyn = b.type[body_of] == DYNAMIC
+
+    # ---- pass A: escaped small shapes vs everything ------------------------
+    E = min(cap.bp_repair_cap, S)
+    eids, e_ok = _compact_ids(esc_small, E)
+    E = eids.shape[0]
+    ef_new = fat_new[eids]
+    ef_old = old_fat[eids]
+    e_body = body_of[eids]
+    e_dyn = dyn[eids]
+    now_a = _box_overlap(ef_new[:, None, :], fat_new[None, :, :])
+    was_a = _box_overlap(ef_old[:, None, :], old_fat[None, :, :])
+    ok_a = (now_a & ~was_a & e_ok[:, None] & alive[None, :]
+            & (e_body[:, None] != body_of[None, :])
+            & (e_dyn[:, None] | dyn[None, :])
+            & (eids[:, None] != all_ids[None, :])
+            # escaped-big partners are pass B's to emit
+            & ~esc_big[None, :]
+            # small-small both-escaped pairs emit once, from the lower id
+            & (~esc_small[None, :] | (eids[:, None] < all_ids[None, :])))
+    rank_a = jnp.cumsum(ok_a, axis=1, dtype=jnp.int32) - 1
+    cnt_a = rank_a[:, -1] + 1
+    nbr_a = jnp.stack(
+        [jnp.max(jnp.where(ok_a & (rank_a == k), all_ids[None, :], -1),
+                 axis=1) for k in range(_REPAIR_KE)], axis=1)  # (E, KE)
+    ovf_repair = jnp.sum(jnp.maximum(cnt_a - _REPAIR_KE, 0))
+
+    # ---- pass B: everything vs escaped big shapes ---------------------------
+    gids, g_ok = _compact_ids(esc_big, _REPAIR_EB)
+    EB = gids.shape[0]
+    gf_new = fat_new[gids]
+    gf_old = old_fat[gids]
+    g_body = body_of[gids]
+    g_dyn = dyn[gids]
+    now_b = _box_overlap(fat_new[:, None, :], gf_new[None, :, :])
+    was_b = _box_overlap(old_fat[:, None, :], gf_old[None, :, :])
+    ok_b = (now_b & ~was_b & g_ok[None, :] & alive[:, None]
+            & (body_of[:, None] != g_body[None, :])
+            & (dyn[:, None] | g_dyn[None, :])
+            & (all_ids[:, None] != gids[None, :])
+            # big-big both-escaped pairs emit once, from the lower id side
+            & (~esc_big[:, None] | (all_ids[:, None] < gids[None, :])))
+    rank_b = jnp.cumsum(ok_b, axis=1, dtype=jnp.int32) - 1
+    cnt_b = rank_b[:, -1] + 1
+    nbr_b = jnp.stack(
+        [jnp.max(jnp.where(ok_b & (rank_b == k), gids[None, :], -1),
+                 axis=1) for k in range(_REPAIR_KB)], axis=1)  # (S, KB)
+    ovf_repair = ovf_repair + jnp.sum(jnp.maximum(cnt_b - _REPAIR_KB, 0))
+
+    # ---- compact candidates, filter, scatter into free lanes ---------------
+    cand_a = jnp.concatenate(
+        [jnp.broadcast_to(eids[:, None], nbr_a.shape).reshape(-1),
+         all_ids.repeat(_REPAIR_KB)])
+    cand_b = jnp.concatenate([nbr_a.reshape(-1), nbr_b.reshape(-1)])
+    cand_ok = cand_b >= 0
+    NEW = min(max(cap.bp_repair_cap, 128), cand_ok.shape[0], P)
+    pos, new_ok = _compact_ids(cand_ok, NEW)
+    na = cand_a[pos]
+    nb_ = jnp.maximum(cand_b[pos], 0)
+    lo = jnp.minimum(na, nb_)
+    hi = jnp.maximum(na, nb_)
+
+    # residual admissibility on the compacted candidates — mirrors the tail
+    # of find_pairs (category/group filters, joint exclusions, custom hook)
+    if cap.has_filters:
+        cat = sh.filter_category
+        msk = sh.filter_mask
+        grp = sh.filter_group
+        ga, gb = grp[lo], grp[hi]
+        same_group = (ga == gb) & (ga != 0)
+        group_pass = jnp.where(
+            same_group, ga > 0,
+            ((cat[lo] & msk[hi]) != 0) & ((cat[hi] & msk[lo]) != 0))
+        new_ok = new_ok & group_pass
+    if cap.has_joint_exclusions:
+        j = state.joints
+        jex = j.enabled & ~j.collide_connected & (j.body_a >= 0)
+        ba = body_of[lo]
+        bb = body_of[hi]
+        hit = (((ba[:, None] == j.body_a[None, :])
+                & (bb[:, None] == j.body_b[None, :]))
+               | ((ba[:, None] == j.body_b[None, :])
+                  & (bb[:, None] == j.body_a[None, :]))) & jex[None, :]
+        new_ok = new_ok & ~jnp.any(hit, axis=1)
+    if custom_filter is not None:
+        new_ok = new_ok & jnp.asarray(custom_filter(state, lo, hi), bool)
+
+    free_lanes, free_ok = _compact_ids(~valid2, NEW)
+    # candidates beyond the free-lane supply are dropped (counted below; the
+    # resulting overflow forces a full rebuild next step, which recovers them)
+    slot_ok = new_ok & free_ok
+    ovf_repair = (ovf_repair
+                  + jnp.sum(new_ok & ~free_ok)
+                  + jnp.maximum(jnp.sum(cand_ok) - NEW, 0))
+    tgt = jnp.where(slot_ok, free_lanes, P)
+    sa2 = bp.shape_a.at[tgt].set(lo, mode="drop")
+    sb2 = bp.shape_b.at[tgt].set(hi, mode="drop")
+    valid3 = valid2.at[tgt].set(True, mode="drop")
+    # fresh lanes must not warm-match stale cache rows; invalidated lanes
+    # must not warm-match their dead pair
+    ka2 = jnp.where(inval, -1, cache.key_a).at[tgt].set(-1, mode="drop")
+    kb2 = jnp.where(inval, -1, cache.key_b).at[tgt].set(-1, mode="drop")
+    import dataclasses as _dc
+    cache2 = _dc.replace(cache, key_a=ka2, key_b=kb2)
+    count2 = jnp.sum(valid3).astype(jnp.int32)
+    return (sa2, sb2, valid3, count2, ovf_repair.astype(jnp.int32),
+            fat_new, cache2, orphan, jnp.int32(0))
+
+
 def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs,
                            custom_filter=None):
     """Persistent-pair fast path (ref: src/BroadPhase.cs BufferMove/pairSet):
     reuse the stored pair buffer unless some alive shape's tight AABB escaped
     its stored fat AABB, aliveness changed, or a host mutator set `dirty`.
 
-    The per-lane contact cache (state.contacts) rides along: on the keep
-    branch it is already lane-aligned with the unchanged pair buffer; on a
-    rebuild it is re-aligned to the new lanes via narrowphase.remap_cache
-    (transient hash), which also reports orphaned touching pairs (for
-    contact_end events) and hash-congestion drops.
+    Three tiers (ref pays O(moved) per step, src/BroadPhase.cs:233-268):
+      keep   — nothing escaped: reuse the buffer, zero work;
+      repair — <= Capacity.bp_repair_cap shapes escaped (and <= 8 of them
+               grid-big, and the last build had no overflow): lane-stable
+               in-place repair (_repair_pairs), contact cache untouched;
+      full   — dirty / aliveness changed / too many escapes / prior
+               overflow: find_pairs + remap_cache re-alignment.
 
-    Returns (PairBuffer, new BroadphaseStore, cache, orphan_mask, drops).
-    Under vmap the cond lowers to both branches; single-world TPU scenes at
-    rest skip the entire pair search + remap (~25 ms/step at 10k shapes)."""
+    Returns (PairBuffer, new BroadphaseStore, cache, orphan_mask, drops,
+    kind) with kind 0/1/2 = keep/repair/full (Profile.pair_rebuild)."""
     from .narrowphase import remap_cache
     from .state import BroadphaseStore
 
@@ -137,30 +333,77 @@ def find_pairs_incremental(state: WorldState, cap: Capacity, aabbs,
     alive = sh.enabled & b.enabled[sh.body] & ~sh.is_sensor
     inside = ((aabbs[:, 0] >= bp.fat[:, 0]) & (aabbs[:, 1] >= bp.fat[:, 1])
               & (aabbs[:, 2] <= bp.fat[:, 2]) & (aabbs[:, 3] <= bp.fat[:, 3]))
-    rebuild = (bp.dirty | jnp.any(alive & ~inside)
-               | jnp.any(alive != bp.alive))
+    esc = alive & ~inside
+    n_esc = jnp.sum(esc)
+    must_full = bp.dirty | jnp.any(alive != bp.alive)
+    fat_t = jnp.concatenate([aabbs[:, :2] - AABB_MARGIN,
+                             aabbs[:, 2:] + AABB_MARGIN], -1)
 
-    def do(_):
+    def do_full(_):
         pb = find_pairs(state, cap, aabbs, custom_filter)
-        fat = jnp.concatenate([aabbs[:, :2] - AABB_MARGIN,
-                               aabbs[:, 2:] + AABB_MARGIN], -1)
         new_ka = jnp.where(pb.valid, pb.shape_a, -1)
         new_kb = jnp.where(pb.valid, pb.shape_b, -1)
         new_cache, orphan, drops = remap_cache(
             cache, new_ka, new_kb, cap.max_contact_pairs)
+        cell = _grid_cell(cap, alive, fat_t[:, :2], fat_t[:, 2:])
         return (pb.shape_a, pb.shape_b, pb.valid, pb.count, pb.overflow,
-                fat, new_cache, orphan, drops)
+                fat_t, new_cache, orphan, drops, cell)
 
     def keep(_):
         return (bp.shape_a, bp.shape_b, bp.valid, bp.count, bp.overflow,
-                bp.fat, cache, jnp.zeros(P, bool), jnp.int32(0))
+                bp.fat, cache, jnp.zeros(P, bool), jnp.int32(0), bp.cell)
 
-    sa, sb, valid, count, ovf, fat, cache2, orphan, drops = jax.lax.cond(
-        rebuild, do, keep, None)
+    if cap.bp_repair_cap <= 0 or bp.cell is None:
+        rebuild = must_full | (n_esc > 0)
+        out = jax.lax.cond(rebuild, do_full, keep, None)
+        kind = jnp.where(rebuild, 2, 0).astype(jnp.int32)
+    else:
+        # classify escaped shapes by CURRENT fat extent vs the stored grid
+        # cell: wider-than-cell shapes may touch thousands of partners, so
+        # they emit per-partner (pass B); more than _REPAIR_EB of those (or
+        # a prior build overflow, which breaks the repair invariant) forces
+        # a full rebuild. The 1.5 slack absorbs rotation: a grid-resident
+        # shape's AABB extent was <= cell at build time, so any rotation
+        # keeps it <= cell*sqrt(2) — without the slack, cell-sized boxes
+        # tumbling at 45 deg misclassify as big and trip the _REPAIR_EB gate
+        # every step (measured: tumbler-100 full-rebuilt 87/150 steps)
+        ext_new = jnp.where(
+            esc,
+            jnp.maximum(fat_t[:, 2] - fat_t[:, 0], fat_t[:, 3] - fat_t[:, 1]),
+            jnp.maximum(bp.fat[:, 2] - bp.fat[:, 0],
+                        bp.fat[:, 3] - bp.fat[:, 1]))
+        wide = ext_new > 1.5 * bp.cell
+        n_big = jnp.sum(esc & wide)
+        full = must_full | ((n_esc > 0)
+                            & ((bp.overflow > 0)
+                               | (n_esc > cap.bp_repair_cap)
+                               | (n_big > _REPAIR_EB)))
+
+        def not_full(_):
+            return jax.lax.cond(
+                n_esc > 0,
+                lambda __: _repair_pairs(state, cap, bp, cache, fat_t,
+                                         esc, wide, custom_filter)
+                + (bp.cell,),
+                keep, None)
+
+        out = jax.lax.cond(full, do_full, not_full, None)
+        kind = jnp.where(full, 2,
+                         jnp.where(n_esc > 0, 1, 0)).astype(jnp.int32)
+
+    sa, sb, valid, count, ovf, fat, cache2, orphan, drops, cell = out
+    # a repair that dropped candidates broke the completeness invariant —
+    # self-dirty so the NEXT step full-rebuilds even if nothing escapes
+    # (an escaped shape can land and never escape again, which would
+    # otherwise leave its dropped pair missing forever). Full-build
+    # overflow does NOT dirty: rebuilding again cannot help window
+    # truncation, and escapes already route it to the full branch.
+    dirty_out = (kind == 1) & (ovf > 0)
     new_bp = BroadphaseStore(
         fat=fat, alive=alive, shape_a=sa, shape_b=sb, valid=valid,
-        count=count, overflow=ovf, dirty=jnp.asarray(False))
-    return PairBuffer(sa, sb, valid, count, ovf), new_bp, cache2, orphan, drops
+        count=count, overflow=ovf, dirty=dirty_out, cell=cell)
+    return (PairBuffer(sa, sb, valid, count, ovf), new_bp, cache2, orphan,
+            drops, kind)
 
 
 def find_pairs(state: WorldState, cap: Capacity, aabbs=None,
@@ -187,10 +430,23 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None,
     # is then the largest remaining extent, which GUARANTEES grid coverage
     kb = min(B + 1, S)
     top_ext, bigs = jax.lax.top_k(extent, kb)
-    cell = jnp.maximum(top_ext[kb - 1], 1e-3)  # widest non-big shape
+    cell0 = jnp.maximum(top_ext[kb - 1], 1e-3)  # widest non-big shape
     bigs = bigs[:min(B, S)]
     B = bigs.shape[0]
-    big_valid = alive[bigs]
+    # demote non-outlier "bigs" back to the grid: big_shape_cap is a CAP,
+    # and top_k pads the big set with ordinary shapes when the scene has
+    # fewer true outliers — a rotated container wall's AABB then overlaps
+    # >KB of those fake bigs and the per-shape top_k silently drops pairs
+    # (measured: tumbler's missing-pair source). A shape stays big only if
+    # its extent clearly exceeds the provisional cell; demoted shapes
+    # re-enter the grid and the cell grows to cover them (coverage
+    # guarantee: two grid shapes overlapping have center distance
+    # <= max(ext_a, ext_b) <= cell).
+    genuine = top_ext[:B] > 2.0 * cell0
+    cell = jnp.maximum(
+        cell0, jnp.max(jnp.where(genuine, -jnp.inf, top_ext[:B]),
+                       initial=-jnp.inf))
+    big_valid = alive[bigs] & genuine
     # big shapes are EXCLUDED from the grid-window pass below, so each
     # big-small pair is emitted exactly once here; big-big pairs are
     # canonicalized to a < b (uniqueness by construction replaces the
@@ -244,14 +500,24 @@ def find_pairs(state: WorldState, cap: Capacity, aabbs=None,
     inv_c = 1.0 / cell
     xi = jnp.floor(center[:, 0] * inv_c).astype(jnp.int32)
     yi = jnp.floor(center[:, 1] * inv_c).astype(jnp.int32)
-    key = jnp.where(alive_w, ((yi + 0x8000) << 16) | ((xi + 0x8000) & 0xFFFF),
+    # 15-bit row bias keeps the key POSITIVE: a 16-bit row bias (0x8000<<16)
+    # sets the int32 sign bit for yi >= 0, which made rows >= 0 sort BEFORE
+    # row -1 and broke the row-above scan exactly at the y=0 cell boundary
+    # (the tumbler floor sits there — this was its silent pair-drop source).
+    # Range: yi in [-16384, 16383] cells, xi in [-32768, 32767]; coords
+    # beyond that wrap (same caveat the 16-bit column mask always had).
+    key = jnp.where(alive_w,
+                    (((yi + 0x4000) & 0x7FFF) << 16)
+                    | ((xi + 0x8000) & 0xFFFF),
                     jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key)
     skey = key[order]
 
     BLK = 128
     T = max(256, ((cap.bp_tile + BLK - 1) // BLK) * BLK)  # forward tile width
-    K = max(4, min(W, 16))        # per-shape neighbor slots (overflow counted)
+    K = max(4, min(W, 24))        # per-shape neighbor slots (overflow counted;
+    #   dense churn piles >16 shapes into one scan span — measured on the
+    #   tumbler — so the cap is 24, not 16)
     n_blk = (S + BLK - 1) // BLK
     S_pad = n_blk * BLK
 

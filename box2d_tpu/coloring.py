@@ -172,6 +172,7 @@ def repair_colors(
     max_rounds: int = 16,
     repair_cap: int = 4096,
     color_cap: int | None = None,
+    two_tier: bool = True,
 ):
     """Incremental constraint-graph coloring — the TPU analog of the
     reference's persistent graph with O(1) contact add/remove
@@ -218,10 +219,11 @@ def repair_colors(
     # every JP round pays (M, C) cumsums + 2M-row gathers at the full
     # buffer width. A small fast tier handles the common trickle; the wide
     # tier only runs on real bursts (scene drops, rebuild re-alignment).
-    # Under vmap the conds lower to selects (both tiers run) — same caveat
-    # as the outer any-gate, documented in BASELINE.md.
+    # two_tier=False (Capacity.batched: the step is vmapped, conds lower to
+    # selects and BOTH tiers would execute per world) keeps the single-tier
+    # behavior.
     M_small = min(512, M)
-    if M_small < M:
+    if two_tier and M_small < M:
         n_todo = jnp.sum(todo_full.astype(jnp.int32))
         run = lambda _: lax.cond(n_todo <= M_small, impl(M_small), impl(M),
                                  None)

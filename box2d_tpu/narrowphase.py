@@ -94,8 +94,8 @@ class ContactData(NamedTuple):
 
 # body-row columns inside the packed shape table's dynamic part / dyn_a/b
 _DYN = dict(ox=0, oy=1, qc=2, qs=3, offx=4, offy=5, vx=6, vy=7, w=8,
-            inv_m=9, inv_i=10, btype=11, awake=12, enabled=13)
-N_DYN = 14
+            inv_m=9, inv_i=10, btype=11, awake=12, enabled=13, label=14)
+N_DYN = 15
 
 
 def dyn_col(name: str) -> int:
@@ -142,6 +142,10 @@ def build_shape_table(state: WorldState, V: int):
         b.type.astype(jnp.float32)[:, None],
         b.awake.astype(jnp.float32)[:, None],
         b.enabled.astype(jnp.float32)[:, None],
+        # start-of-step island label (exact in f32 for any lane count that
+        # fits memory) — rides the existing gathers so wake_and_sleep's
+        # cross-island check needs no (2P,) label gather of its own
+        b.island_label.astype(jnp.float32)[:, None],
     ], axis=1)                              # (Nb, N_DYN)
     dyn = pose[sh.body]                     # (S, N_DYN) — one gather
     static = sh.table

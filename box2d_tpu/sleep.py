@@ -115,15 +115,23 @@ def wake_and_sleep(state: WorldState, touching, new_touch, body_a, body_b,
     # this one gated (2P,) gather replaces the 5-round gather+scatter pass.
     # Exact, not heuristic: lost edges and host mutations still force the
     # pass through the deferred split launch / island_dirty.
-    def _any_cross(_):
-        lab_ab = b.island_label[jnp.concatenate([body_a, body_b])]
-        P_ = body_a.shape[0]
-        return jnp.any(new_touch & (c_typ_a == DYNAMIC)
-                       & (c_typ_b == DYNAMIC)
-                       & (lab_ab[:P_] != lab_ab[P_:]))
+    if dyn_a is not None:
+        # labels ride the packed dyn rows (start-of-step values — only this
+        # function writes island_label): pure elementwise, no gather, no cond
+        lab_a = dyn_a[:, 14].astype(jnp.int32)
+        lab_b = dyn_b[:, 14].astype(jnp.int32)
+        any_new_cross = jnp.any(new_touch & (c_typ_a == DYNAMIC)
+                                & (c_typ_b == DYNAMIC) & (lab_a != lab_b))
+    else:
+        def _any_cross(_):
+            lab_ab = b.island_label[jnp.concatenate([body_a, body_b])]
+            P_ = body_a.shape[0]
+            return jnp.any(new_touch & (c_typ_a == DYNAMIC)
+                           & (c_typ_b == DYNAMIC)
+                           & (lab_ab[:P_] != lab_ab[P_:]))
 
-    any_new_cross = lax.cond(any_new, _any_cross,
-                             lambda _: jnp.bool_(False), None)
+        any_new_cross = lax.cond(any_new, _any_cross,
+                                 lambda _: jnp.bool_(False), None)
     # DEFERRED SPLITS: a lost edge only ever requires a re-partition (min-
     # merge labels stay valid, just possibly over-merged — conservative).
     # Launching the reseed immediately would re-run the propagation every

@@ -314,6 +314,10 @@ class Profile:
     #   step (begin/end/hit/joint); raise event_capacity if nonzero — a good
     #   sizing rule is ~2x the largest expected per-step begin-touch burst
     #   (scene drops / explosions), the reference grows its arrays instead
+    pair_rebuild: Any         # broadphase work this step: 0 = pair buffer
+    #   kept, 1 = incremental repair (escaped shapes only), 2 = full rebuild.
+    #   Steady-state churn should show 0/1 only — the reference pays
+    #   O(moved) per step, never O(world) (ref: src/BroadPhase.cs:233-268)
 
 
 @_pytree
@@ -334,6 +338,9 @@ class BroadphaseStore:
     count: Any      # i32
     overflow: Any   # i32
     dirty: Any      # bool — host mutators force a rebuild
+    cell: Any = None  # f32 grid cell size of the last FULL build (= widest
+    #   non-big fat extent); the incremental repair classifies escaped
+    #   shapes wider than this as "big" (per-partner emission side)
 
 
 def zero_broadphase(S: int, P: int) -> BroadphaseStore:
@@ -346,6 +353,7 @@ def zero_broadphase(S: int, P: int) -> BroadphaseStore:
         count=jnp.int32(0),
         overflow=jnp.int32(0),
         dirty=jnp.asarray(True),
+        cell=jnp.float32(1e9),
     )
 
 
@@ -388,10 +396,22 @@ class Capacity:
     #   neighbors further than bp_tile-128 sorted positions ahead overflow
     #   (counted in Profile.overflow_pairs); raise for scenes with very wide
     #   grid rows (thousands of same-size shapes in one horizontal band)
+    bp_repair_cap: int = 256     # incremental pair-repair budget: steps where
+    #   at most this many shapes escape their fat AABBs (and <= 8 of them are
+    #   grid-big) repair the persistent pair buffer in place instead of a
+    #   full rebuild (ref analog: O(moved) BufferMove/FindPairs,
+    #   src/BroadPhase.cs:233-268). 0 disables (always full-rebuild on
+    #   escape) — the vmapped batch path sets 0 so the lax.cond->select
+    #   lowering doesn't execute the repair pass every step.
     # trace-time gates (builder sets False when the scene provably never
     # needs the check, dropping its per-pair gathers from the program)
     has_filters: bool = True          # any non-default category/mask/group
     has_joint_exclusions: bool = True  # any collide_connected=False joint
+    batched: bool = False    # set True when the step will be vmapped over a
+    #   world axis: lax.cond fast paths lower to selects under vmap (both
+    #   branches execute per world), so tiered/conditional optimizations
+    #   that only pay off on a single world are disabled (coloring's
+    #   two-tier repair; pair repair is disabled via bp_repair_cap=0)
 
 
 def auto_chunk(max_contact_pairs: int) -> int:
@@ -438,4 +458,4 @@ def zero_events(cap: Capacity, nb: int | None = None) -> Events:
 
 def zero_profile() -> Profile:
     i0 = jnp.int32(0)
-    return Profile(i0, i0, i0, i0, i0, i0, i0, i0, i0)
+    return Profile(i0, i0, i0, i0, i0, i0, i0, i0, i0, i0)

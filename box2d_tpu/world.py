@@ -148,7 +148,7 @@ def _step_work(state: WorldState, dt, cap: Capacity,
     if until == "aabbs":
         return aabbs
     if state.broadphase is not None:
-        pairs, new_bp, cache, orphan_mask, store_drops = \
+        pairs, new_bp, cache, orphan_mask, store_drops, rebuild_kind = \
             find_pairs_incremental(state, cap, aabbs, custom_filter)
         state = dataclasses.replace(state, broadphase=new_bp, contacts=cache)
     else:
@@ -160,6 +160,7 @@ def _step_work(state: WorldState, dt, cap: Capacity,
             jnp.where(pairs.valid, pairs.shape_b, -1),
             cap.max_contact_pairs)
         state = dataclasses.replace(state, contacts=cache)
+        rebuild_kind = jnp.int32(2)
     if until == "pairs":
         return pairs, state.contacts
     data = narrow_phase(state, pairs, classes_present, cap.max_verts)
@@ -232,7 +233,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
         # buffer at 65536 lanes; excess new constraints overflow-solve this
         # step and retry next step
         repair_cap=min(max(512, cap.max_contact_pairs // 4),
-                       all_ba.shape[0], 1 << 16))
+                       all_ba.shape[0], 1 << 16),
+        two_tier=not cap.batched)
     ovf = all_active & (raw_colors < 0)
     overflow_colors = jnp.sum(ovf).astype(jnp.int32)
     colors = dense_remap(
@@ -526,7 +528,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                           sensor_ids, continuous, contact_color_store,
                           ni, ti, roll, tni, cc.relative_velocity,
                           prev_origin, prev_rot,
-                          (orphan_mask, old_key_a, old_key_b, store_drops),
+                          (orphan_mask, old_key_a, old_key_b, store_drops,
+                           rebuild_kind),
                           particle_overflow, until=until,
                           rows_fresh=particle_cfg is None,
                           light_events=light_events)
@@ -645,7 +648,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                       num_colors, overflow_colors, touching, sensor_ids,
                       continuous, contact_color_store, ni, ti, roll, tni,
                       cc_pairs_relv, prev_origin, prev_rot,
-                      (orphan_mask, old_key_a, old_key_b, store_drops),
+                      (orphan_mask, old_key_a, old_key_b, store_drops,
+                           rebuild_kind),
                       particle_overflow, until=until,
                       rows_fresh=particle_cfg is None,
                       light_events=light_events)
@@ -745,6 +749,8 @@ def _step_tail(state, data, bs, jc, dt, inv_dt, inv_h, cap, pairs,
         overflow_particles=(particle_overflow if particle_overflow is not None
                             else jnp.int32(0)),
         events_dropped=ev_drop,
+        pair_rebuild=(orphan_info[4] if orphan_info is not None
+                      and len(orphan_info) > 4 else jnp.int32(2)),
     )
     return dataclasses.replace(
         state, events=events, profile=profile,
@@ -837,7 +843,7 @@ def _contact_events(state: WorldState, data: ContactData, touching, cap,
         jnp.any(begin | end), compact_both, no_events, None)
 
     if orphan_info is not None:
-        orphan_mask, old_key_a, old_key_b, _ = orphan_info
+        orphan_mask, old_key_a, old_key_b = orphan_info[:3]
 
         def orphan_pass(args):
             end_arr, end_count, dropped = args
