@@ -239,6 +239,8 @@ def main():
             1024, 8, min(steps, 120))
         results["batch_flat_particles"] = measure_batch_flat_particles(
             steps=steps)
+        results["batch_flat_particles_12k"] = measure_batch_flat_particles(
+            n_worlds=8, particles=12000, steps=min(steps, 120))
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "BENCH_FULL.json"), "w") as f:
             json.dump(results, f, indent=1)
@@ -252,6 +254,9 @@ def main():
         out = measure_batch_flat(steps=steps)
     elif scene_name == "batch_flat_particles":
         out = measure_batch_flat_particles(steps=steps)
+    elif scene_name == "batch_flat_particles_12k":
+        out = measure_batch_flat_particles(
+            n_worlds=8, particles=12000, steps=min(steps, 120))
     else:
         w, tag = build(scene_name, rows, count)
         out = measure_world(w, tag, steps)

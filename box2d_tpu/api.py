@@ -202,6 +202,16 @@ class World:
                         n_near += 1
             mbs = int(min(max(16, 2 * n_near), 2048,
                           max(len(self.builder._shapes), 1)))
+            # per-block culling slots (particles.ParticleConfig
+            # .block_shape_slots): a block of 256 sorted particles sees
+            # roughly (n_near * 256 / n_particles) shapes when shapes are
+            # spread with the particles (the flat-batch layout); 1.5x that
+            # average plus slack covers block-spans-multiple-copies scenes
+            # (tiny worlds), overflow stays counted in overflow_particles
+            n_part = max(len(pb.flags), 1)
+            k_cull = int(min(mbs, max(8, 3 * n_near * 256 // (2 * n_part)
+                                      + 4)))
+            k_cull = (k_cull + 3) // 4 * 4
             # per-flag trace gates, the analog of the reference's
             # AllParticleFlags checks (ref: Solve :1523-1555)
             pcfg = ParticleConfig(
@@ -226,6 +236,7 @@ class World:
                 use_window_kernel=(jax.default_backend() not in ("cpu",)
                                    and len(pb.flags) >= 2048),
                 max_body_shapes=mbs,
+                block_shape_slots=k_cull,
                 geom_types=frozenset(
                     int(s["geom"].type) for s in self.builder._shapes),
             )

@@ -71,6 +71,10 @@ MIN_PARTICLE_WEIGHT = 1.0
 MAX_PARTICLE_PRESSURE = 0.25
 MAX_PARTICLE_FORCE = 0.5
 PARTICLE_LINEAR_SLOP = 0.005
+# block size for the per-block body-shape culling (sorted particles are
+# spatially coherent, so one AABB covers each block tightly); matches the
+# window kernels' B_BLK so block boundaries line up with kernel blocks
+_CULL_BLK = 256
 
 _NO_PRESSURE = P_POWDER | P_TENSILE
 
@@ -179,6 +183,16 @@ class ParticleConfig(NamedTuple):
     # windowed gather/scatter pipeline. Only valid when no gated pass needs
     # the flat pair view (plain-water scenes); set by api.compile() on TPU.
     use_window_kernel: bool = False
+    # per-block body-shape culling: when the step's compacted nearby-shape
+    # set Sb exceeds this, each block of 256 SORTED particles (spatially
+    # coherent by cell key) selects its own top-K overlapping shapes and the
+    # body-coupling passes run dense (n, K) instead of (n, Sb). The flat
+    # particle batch replicates one tank per world (Sb grows with worlds
+    # while each particle only ever touches its own world's walls) — dense
+    # (n, Sb) coupling cost grew with the batch, this stays O(n*K). Blocks
+    # overlapping more than K shapes shed the extras (counted in
+    # overflow_particles, never silent).
+    block_shape_slots: int = 8
     # trace-time geometry families present in the scene: the anti-tunnel
     # raycast evaluates every closed-form variant per (particle, shape)
     # lane otherwise (4x the work for the usual polygon-tank scenes)
@@ -655,6 +669,24 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     shape_overflow = jnp.maximum(
         jnp.sum(near) - jnp.sum(bs_valid), 0).astype(jnp.int32)
 
+    # per-block shape culling (trace-time): with many nearby shapes (a flat
+    # batch replicates one tank per world) the dense (n, Sb) coupling pays
+    # for every world's walls at every particle; blocks of 256 sorted
+    # particles instead pick their own top-K overlapping shapes per
+    # iteration. Shape AABBs are grown by the coupling radius plus one
+    # diameter of travel (LimitVelocity caps speed at diameter/dt, so a
+    # particle moves < 1 diameter per sub-iteration and the anti-tunnel ray
+    # target stays inside the fattened box).
+    Sb = bs_idx.shape[0]
+    K_CULL = cfg.block_shape_slots
+    use_cull = Sb > K_CULL
+    if use_cull:
+        s_boxes = boxes[bs_idx]
+        marg = prm.radius + diameter + PARTICLE_LINEAR_SLOP
+        s_fatbox = jnp.concatenate(
+            [s_boxes[:, :2] - marg, s_boxes[:, 2:] + marg], axis=-1)
+        s_fatbox = jnp.where(bs_valid[:, None], s_fatbox, jnp.inf)
+
     body_dv = jnp.zeros((nb, 2), jnp.float32)
     body_dw = jnp.zeros(nb, jnp.float32)
 
@@ -676,23 +708,18 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     s_count = sh.count[bs_idx]
     s_radius = sh.radius[bs_idx]
 
-    def body_vel_at(points):
-        """Body surface velocity at (n, Sb, 2) points (broadcast rows)."""
-        return s_v[None, :, :] + m.cross_sv(s_w[None, :],
-                                            points - s_center[None, :, :])
-
-    def apply_body_impulse(dv, dw, impulse, points, active):
-        """Accumulate (n, Sb, 2) per-contact impulses onto bodies: reduce
-        per SHAPE first (n-axis sums), then scatter Sb rows — replaces the
-        old n*Sb-index scatter-adds (ref particle/World.cs:47-61 applies
-        each impulse immediately; summing first is the same Jacobi total)."""
-        imp = jnp.where((active & s_dyn[None, :])[..., None], impulse, 0.0)
-        imp_sum = jnp.sum(imp, axis=0)                       # (Sb, 2)
-        ang_sum = jnp.sum(m.cross(points - s_center[None, :, :], imp),
-                          axis=0)                            # (Sb,)
-        dv = dv.at[p_body].add(imp_sum * s_invm[:, None])
-        dw = dw.at[p_body].add(s_invI * ang_sum)
-        return dv, dw
+    if use_cull:
+        # ONE packed per-shape row table: the per-iteration block culling
+        # gathers (NBlk * K) rows of it (cheap — per-index cost scales with
+        # row COUNT, not width)
+        V_tab = s_verts.shape[1]
+        shape_tab = jnp.concatenate([
+            s_origin, s_rot, s_center, s_v,
+            s_w[:, None], s_invm[:, None], s_invI[:, None],
+            s_dyn.astype(jnp.float32)[:, None],
+            s_radius[:, None], s_count.astype(jnp.float32)[:, None],
+            s_verts.reshape(Sb, -1), s_normals.reshape(Sb, -1)],
+            axis=1)                                     # (Sb, 14 + 4V)
 
     # trace-time: which gated passes still need the flat (ia, ib) pair view
     # (always-on passes use the sorted-space windows + shifts instead,
@@ -811,22 +838,123 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             c_flags = jnp.where(c_ok, pt.flags[ia] | pt.flags[ib], 0)
 
         # ---- body contacts (ref UpdateBodyContacts) ----
-        # (Np, Sb) point-shape distances in the lane-major batched form
+        # (Np, C) point-shape distances in the lane-major batched form
         # (see _point_shape_distance_batched); all body fields come from
-        # the per-shape rows (broadcasts), never (Np, Sb)-index gathers
-        bdist, bnrm = _point_shape_distance_batched(
-            pos, s_origin, s_rot, s_verts, s_normals, s_count, s_radius)
-        bc_ok = (bdist < prm.radius) & pt.alive[:, None] & bs_valid[None, :]
+        # the per-shape rows (broadcasts), never (Np, C)-index gathers.
+        # C = Sb dense, or K per-block-culled shape slots (use_cull).
+        if use_cull:
+            NBlk = -(-n_ // _CULL_BLK)
+            npad = NBlk * _CULL_BLK - n_
+            posp = jnp.concatenate(
+                [pos, jnp.full((npad, 2), 1e9, jnp.float32)]
+            ).reshape(NBlk, _CULL_BLK, 2)
+            alivep = jnp.concatenate(
+                [pt.alive, jnp.zeros(npad, bool)]).reshape(NBlk, _CULL_BLK)
+            pm = jnp.where(alivep[..., None], posp, jnp.inf)
+            blk_lo = jnp.min(pm, axis=1)                    # (NBlk, 2)
+            blk_hi = jnp.max(jnp.where(alivep[..., None], posp, -jnp.inf),
+                             axis=1)
+            ov = ((blk_lo[:, None, 0] <= s_fatbox[None, :, 2])
+                  & (s_fatbox[None, :, 0] <= blk_hi[:, None, 0])
+                  & (blk_lo[:, None, 1] <= s_fatbox[None, :, 3])
+                  & (s_fatbox[None, :, 1] <= blk_hi[:, None, 1])
+                  & bs_valid[None, :])                      # (NBlk, Sb)
+            scoreC = jnp.where(ov, Sb - jnp.arange(Sb)[None, :], 0)
+            topC, _ = jax.lax.top_k(scoreC, K_CULL)
+            blk_ok = topC > 0                               # (NBlk, K)
+            blk_j = jnp.where(blk_ok, Sb - topC, 0)
+            cull_over = jnp.sum(jnp.maximum(
+                jnp.sum(ov, axis=1) - K_CULL, 0)).astype(jnp.int32)
+            rows = shape_tab[blk_j.reshape(-1)].reshape(NBlk, K_CULL, -1)
+            g_origin = rows[..., 0:2]
+            g_rot = rows[..., 2:4]
+            g_center = rows[..., 4:6]
+            g_v = rows[..., 6:8]
+            g_w = rows[..., 8]
+            g_invm = jnp.where(blk_ok, rows[..., 9], 0.0)
+            g_invI = jnp.where(blk_ok, rows[..., 10], 0.0)
+            g_dyn = (rows[..., 11] > 0) & blk_ok
+            g_radius = rows[..., 12]
+            g_count = rows[..., 13].astype(jnp.int32)
+            g_verts = rows[..., 14:14 + 2 * V_tab].reshape(
+                NBlk, K_CULL, V_tab, 2)
+            g_normals = rows[..., 14 + 2 * V_tab:].reshape(
+                NBlk, K_CULL, V_tab, 2)
+            blk_body = jnp.where(blk_ok, p_body[blk_j], nb)  # nb drops
+
+            def expand(a):
+                """(NBlk, K, ...) block rows -> (n, K, ...) per particle."""
+                out = jnp.broadcast_to(
+                    a[:, None], (NBlk, _CULL_BLK) + a.shape[1:])
+                return out.reshape((NBlk * _CULL_BLK,) + a.shape[1:])[:n_]
+
+            bdist_b, bnrm_b = jax.vmap(_point_shape_distance_batched)(
+                posp, g_origin, g_rot, g_verts, g_normals, g_count,
+                g_radius)
+            bdist = bdist_b.reshape(-1, K_CULL)[:n_]
+            bnrm = bnrm_b.reshape(-1, K_CULL, 2)[:n_]
+            bc_valid = expand(blk_ok)
+            e_center = expand(g_center)
+            e_v = expand(g_v)
+            e_w = expand(g_w)
+            e_invm = expand(g_invm)
+            e_invI = expand(g_invI)
+            e_dyn = expand(g_dyn)
+            blk_ctx = (NBlk, _CULL_BLK, npad, g_origin, g_rot, g_verts,
+                       g_normals, g_count, blk_ok)
+        else:
+            bdist, bnrm = _point_shape_distance_batched(
+                pos, s_origin, s_rot, s_verts, s_normals, s_count, s_radius)
+            bc_valid = bs_valid[None, :]
+            e_center = s_center[None, :, :]
+            e_v = s_v[None, :, :]
+            e_w = s_w[None, :]
+            e_invm = s_invm[None, :]
+            e_invI = s_invI[None, :]
+            e_dyn = s_dyn[None, :]
+            cull_over = jnp.int32(0)
+            blk_ctx = None
+
+        def body_vel_at(points):
+            """Body surface velocity at (n, C, 2) points (broadcast rows)."""
+            return e_v + m.cross_sv(e_w, points - e_center)
+
+        def apply_body_impulse(dv, dw, impulse, points, active):
+            """Accumulate (n, C, 2) per-contact impulses onto bodies: reduce
+            per SHAPE (dense) or per (block, slot) first, then scatter few
+            rows — replaces the old n*C-index scatter-adds (ref
+            particle/World.cs:47-61 applies each impulse immediately;
+            summing first is the same Jacobi total)."""
+            imp = jnp.where((active & e_dyn)[..., None], impulse, 0.0)
+            ang = m.cross(points - e_center, imp)            # (n, C)
+            if use_cull:
+                imp_s = jnp.sum(jnp.concatenate(
+                    [imp, jnp.zeros((npad, K_CULL, 2), imp.dtype)]
+                ).reshape(NBlk, _CULL_BLK, K_CULL, 2), axis=1)
+                ang_s = jnp.sum(jnp.concatenate(
+                    [ang, jnp.zeros((npad, K_CULL), ang.dtype)]
+                ).reshape(NBlk, _CULL_BLK, K_CULL), axis=1)
+                dv = dv.at[blk_body].add(imp_s * g_invm[..., None],
+                                         mode="drop")
+                dw = dw.at[blk_body].add(g_invI * ang_s, mode="drop")
+            else:
+                imp_sum = jnp.sum(imp, axis=0)               # (Sb, 2)
+                ang_sum = jnp.sum(ang, axis=0)               # (Sb,)
+                dv = dv.at[p_body].add(imp_sum * s_invm[:, None])
+                dw = dw.at[p_body].add(s_invI * ang_sum)
+            return dv, dw
+
+        bc_ok = (bdist < prm.radius) & pt.alive[:, None] & bc_valid
         # contact normal points particle -> shape (ref stores -output.normal)
         bc_n = -bnrm
         bc_w = 1.0 - bdist * inv_diameter * 2.0       # ref :1492 weight
         bc_w = jnp.where(bc_ok, bc_w, 0.0)
         # per-contact effective mass (ref :1472-1475)
-        lever = pos[:, None, :] - s_center[None, :, :]
+        lever = pos[:, None, :] - e_center
         rpn = m.cross(lever, bnrm)
         wall = (pt.flags & P_WALL) != 0
         inv_m_c = (jnp.where(wall, 0.0, inv_mass)[:, None]
-                   + s_invm[None, :] + s_invI[None, :] * rpn * rpn)
+                   + e_invm + e_invI * rpn * rpn)
         bc_mass = jnp.where(inv_m_c > 0, 1.0 / jnp.where(inv_m_c > 0, inv_m_c, 1.0), 0.0)
         bc_mass = jnp.where(bc_ok, bc_mass, 0.0)
 
@@ -1094,9 +1222,9 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
             vn = m.dot(body_vel_at(pos[:, None, :]) - pgv, bc_n)
             act = in_rigid[:, None] & bc_ok & (vn < 0)
             td_a = m.cross(rel_g, bc_n)
-            td_b = m.cross(pos[:, None, :] - s_center[None, :, :], bc_n)
+            td_b = m.cross(pos[:, None, :] - e_center, bc_n)
             ksum = (g_invm[gp][:, None] + g_invI[gp][:, None] * td_a * td_a
-                    + s_invm[None, :] + s_invI[None, :] * td_b * td_b)
+                    + e_invm + e_invI * td_b * td_b)
             f = damping * jnp.minimum(bc_w, 1.0) * _safe_div(vn, ksum)
             f = jnp.where(act & (ksum > 0), f, 0.0)
             gl_flat = jnp.broadcast_to(gp[:, None], f.shape).reshape(-1)
@@ -1166,7 +1294,7 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
 
         # ---- collision anti-tunneling (ref SolveCollision) ----
         vel = _solve_collision(pt, pos, vel, state, bs_idx, bs_valid,
-                               dt, inv_dt, prm, cfg.geom_types)
+                               dt, inv_dt, prm, cfg.geom_types, blk_ctx)
 
         # ---- barrier segments block crossing (ref SolveBarrier) ----
         if cfg.has_barrier:
@@ -1203,7 +1331,7 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
                 pt2, triad_a=pt0.triad_a, triad_b=pt0.triad_b,
                 triad_c=pt0.triad_c, pair_a=pt0.pair_a, pair_b=pt0.pair_b)
         bc_cnt = jnp.sum(bc_ok, axis=1).astype(jnp.int32)
-        return (pt2, body_dv, body_dw, bc_cnt, s2o_new), c_over
+        return (pt2, body_dv, body_dw, bc_cnt, s2o_new), c_over + cull_over
 
     n0 = pt.pos.shape[0]
     bc_cnt0 = jnp.zeros(n0, jnp.int32)
@@ -1449,9 +1577,13 @@ def _ray_polygon_batched(pos, delta, s_origin, s_rot, verts, normals,
 
 
 def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
-                     bs_valid, dt, inv_dt, prm, geom_types=None):
+                     bs_valid, dt, inv_dt, prm, geom_types=None, blk=None):
     """Ray cast each particle's predicted motion against nearby shapes and
-    clamp velocity at the surface (ref: SolveCollision :1565-1624)."""
+    clamp velocity at the surface (ref: SolveCollision :1565-1624).
+
+    blk: optional per-block culled shape tables (NBlk, BLK, npad, origin,
+    rot, verts, normals, count, ok) from the iteration's block culling —
+    the ray then tests only each block's K shapes instead of all Sb."""
     from . import geometry as g
 
     b = state.bodies
@@ -1460,11 +1592,32 @@ def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
 
     if geom_types is not None and geom_types <= {g.POLYGON}:
         # lane-major batched slab ray for polygon-only scenes (tanks)
-        p_body = sh.body[bs_idx]
-        hit, frac, wnx, wny = _ray_polygon_batched(
-            pos, dt * vel, origin[p_body], b.rot[p_body], sh.verts[bs_idx],
-            sh.normals[bs_idx], sh.count[bs_idx])
-        hit = hit & bs_valid[None, :] & pt.alive[:, None]
+        if blk is not None:
+            (NBlk, BLK, npad, g_origin, g_rot, g_verts, g_normals,
+             g_count, blk_ok) = blk
+            n_ = pos.shape[0]
+            K = blk_ok.shape[1]
+            posp = jnp.concatenate(
+                [pos, jnp.full((npad, 2), 1e9, jnp.float32)]
+            ).reshape(NBlk, BLK, 2)
+            dvp = jnp.concatenate(
+                [dt * vel, jnp.zeros((npad, 2), jnp.float32)]
+            ).reshape(NBlk, BLK, 2)
+            hit_b, frac_b, wnx_b, wny_b = jax.vmap(_ray_polygon_batched)(
+                posp, dvp, g_origin, g_rot, g_verts, g_normals, g_count)
+            hit = hit_b.reshape(-1, K)[:n_]
+            frac = frac_b.reshape(-1, K)[:n_]
+            wnx = wnx_b.reshape(-1, K)[:n_]
+            wny = wny_b.reshape(-1, K)[:n_]
+            okk = jnp.broadcast_to(
+                blk_ok[:, None], (NBlk, BLK, K)).reshape(-1, K)[:n_]
+            hit = hit & okk & pt.alive[:, None]
+        else:
+            p_body = sh.body[bs_idx]
+            hit, frac, wnx, wny = _ray_polygon_batched(
+                pos, dt * vel, origin[p_body], b.rot[p_body],
+                sh.verts[bs_idx], sh.normals[bs_idx], sh.count[bs_idx])
+            hit = hit & bs_valid[None, :] & pt.alive[:, None]
         frac = jnp.where(hit, frac, jnp.inf)
         fbest = jnp.min(frac, axis=1)                      # (N,)
         any_hit = jnp.isfinite(fbest)

@@ -299,3 +299,34 @@ def test_rigid_damping_on_body_contact():
     vel = np.asarray(pt.vel)[np.asarray(pt.alive)]
     assert pos[:, 1].min() > -0.1, "rigid group fell through the floor"
     assert np.abs(vel).max() < 1.0, f"rigid group still agitated: {np.abs(vel).max()}"
+
+
+def test_block_culled_body_coupling_matches_dense():
+    """Per-block shape culling (ParticleConfig.block_shape_slots): a flat
+    batch of replicated tanks runs body coupling against each block's own
+    top-K shapes instead of every world's walls. With enough slots (no
+    cull overflow) the culled step must match the dense (n, Sb) path —
+    float-tolerance only, since reductions run in a different shape order."""
+    import jax
+
+    w = scenes.replicate(scenes.dam_break(60), 9)
+    w.compile()
+    assert w._pcfg.max_body_shapes > w._pcfg.block_shape_slots, (
+        "scene too small to exercise the culled path")
+    w.run(15, 1 / 60)
+    jax.block_until_ready(w.state.bodies.center)
+    assert int(w.state.profile.overflow_particles) == 0, (
+        "culling slots overflowed; auto-K undersized")
+    pos_cull = np.asarray(w.state.particles.pos)
+    alive = np.asarray(w.state.particles.alive)
+    assert np.isfinite(pos_cull[alive]).all()
+
+    w2 = scenes.replicate(scenes.dam_break(60), 9)
+    w2.compile()
+    w2._pcfg = w2._pcfg._replace(block_shape_slots=4096)  # force dense
+    w2._remake_step()
+    w2.run(15, 1 / 60)
+    jax.block_until_ready(w2.state.bodies.center)
+    pos_dense = np.asarray(w2.state.particles.pos)
+    np.testing.assert_allclose(pos_cull[alive], pos_dense[alive],
+                               rtol=1e-5, atol=5e-5)
