@@ -158,10 +158,16 @@ def _continuous_impl(state: WorldState, bs, dt, fast_cap, cand_cap,
         return Sweep(b.local_center[bid], b.center[bid], c2[bid],
                      b.rot[bid], q2[bid])
 
+    # TOI depth is the bullet-scene cost (nested while loops: ~85% of the
+    # bullet_barrage step, measured by differential bench) — so (a) the
+    # whole (F, K) sweep is gated on candidate existence, and (b) the
+    # fraction-0 core-proxy retry (rare) runs as a SECOND gated sweep
+    # instead of unconditionally doubling every step's TOI depth.
+    pair_valid = cvalid & fs_valid[:, None]
+
     def toi_one(fshape, tshape, valid):
-        fb = sh.body[fshape]
         tb = sh.body[tshape]
-        sweep_f = body_sweep(fb)
+        sweep_f = body_sweep(sh.body[fshape])
         sweep_t = body_sweep(tb)
         out = time_of_impact(
             sh.verts[tshape], sh.count[tshape], sh.radius[tshape], sweep_t,
@@ -169,22 +175,39 @@ def _continuous_impl(state: WorldState, bs, dt, fast_cap, cand_cap,
             jnp.float32(1.0))
         frac = out.fraction
         hit = (out.state == 2) & (frac > 0.0) & (frac < 1.0)
+        retry = valid & (out.state == 2) & (frac == 0.0)
+        return jnp.where(valid & hit, frac, 1.0), retry
 
+    def toi_retry(fshape, tshape, valid):
         # fraction-0 retry with a core proxy (ref: :294-303)
-        retry = (out.state == 2) & (frac == 0.0)
+        fb = sh.body[fshape]
+        sweep_f = body_sweep(fb)
+        sweep_t = body_sweep(sh.body[tshape])
         core_r = 0.25 * b.min_extent[fb]
-        core = jnp.tile(sh.centroid[fshape][None, :], (MAX_POLYGON_VERTICES, 1))
+        core = jnp.tile(sh.centroid[fshape][None, :],
+                        (MAX_POLYGON_VERTICES, 1))
         out2 = time_of_impact(
             sh.verts[tshape], sh.count[tshape], sh.radius[tshape], sweep_t,
             core, 1, core_r, sweep_f, jnp.float32(1.0))
-        hit2 = retry & (out2.state == 2) & (out2.fraction > 0.0) & (
+        hit2 = (out2.state == 2) & (out2.fraction > 0.0) & (
             out2.fraction < 1.0)
-        frac = jnp.where(hit2, out2.fraction, frac)
-        hit = hit | hit2
-        return jnp.where(valid & hit, frac, 1.0)
+        return jnp.where(valid & hit2, out2.fraction, 1.0)
 
-    fracs = jax.vmap(jax.vmap(toi_one, in_axes=(None, 0, 0)))(
-        fs, cidx, cvalid & fs_valid[:, None])  # (F, K)
+    def run_tois(_):
+        fr1, retry = jax.vmap(jax.vmap(toi_one, in_axes=(None, 0, 0)))(
+            fs, cidx, pair_valid)  # (F, K)
+        fr2 = jax.lax.cond(
+            jnp.any(retry),
+            lambda __: jax.vmap(jax.vmap(toi_retry, in_axes=(None, 0, 0)))(
+                fs, cidx, retry),
+            lambda __: jnp.ones_like(fr1), None)
+        # hit1 lanes have fr1 in (0,1) and no retry (fr2=1); retry-hit lanes
+        # have fr1=1 and fr2 in (0,1): min() reproduces the old select chain
+        return jnp.minimum(fr1, fr2)
+
+    fracs = jax.lax.cond(
+        jnp.any(pair_valid), run_tois,
+        lambda _: jnp.ones(pair_valid.shape, jnp.float32), None)  # (F, K)
 
     per_fast = jnp.min(fracs, axis=1)  # (F,)
     # reduce to per-body
