@@ -543,81 +543,83 @@ def _point_shape_distance_batched(pos, s_origin, s_rot, verts, normals,
 
     The vmap(vmap(...)) form operates on (..., 2)-minor arrays, which tile
     to 128 lanes (64x waste) — at 31k particles x 192 shapes that padding
-    alone costs tens of ms/iteration. Here every elementwise op runs on
-    (N, Sb) or (N, Sb*V) matrices with full lane utilization; vector math
-    is componentwise."""
+    alone costs tens of ms/iteration. Every elementwise op here runs
+    TRANSPOSED, on (Sb, N) / (Sb*V, N) matrices: the particle axis rides
+    the 128-lane minor dim at full utilization (the previous (N, Sb*V)
+    form tiled its ~24-wide minor dim to 128 — 5x VPU waste, measured
+    4.6 ms/iteration at 100k particles, Sb=3). One transpose each for the
+    (N, Sb) outputs at the boundary."""
     V = verts.shape[1]
     Sb = verts.shape[0]
-    # local point per (particle, shape): R^T (p - origin), componentwise
-    dx = pos[:, 0:1] - s_origin[None, :, 0]   # (N, Sb)
-    dy = pos[:, 1:2] - s_origin[None, :, 1]
-    c = s_rot[None, :, 0]
-    s = s_rot[None, :, 1]
+    # local point per (shape, particle): R^T (p - origin), componentwise
+    dx = pos[:, 0][None, :] - s_origin[:, 0:1]   # (Sb, N)
+    dy = pos[:, 1][None, :] - s_origin[:, 1:2]
+    c = s_rot[:, 0:1]                            # (Sb, 1)
+    s = s_rot[:, 1:2]
     lx = c * dx + s * dy
     ly = -s * dx + c * dy
 
-    # flattened per-(shape, vertex) tables (Sb*V,)
-    lane_ok = (_LANES[None, :V] < counts[:, None]).reshape(-1)
+    # flattened per-(shape, vertex) column tables (Sb*V, 1)
+    lane_ok = (_LANES[None, :V] < counts[:, None]).reshape(-1)[:, None]
     vnext = jnp.take_along_axis(
         verts, ((jnp.arange(V)[None, :] + 1)
                 % jnp.maximum(counts, 1)[:, None])[..., None], axis=1)
-    vx = verts[..., 0].reshape(-1)
-    vy = verts[..., 1].reshape(-1)
-    nx = normals[..., 0].reshape(-1)
-    ny = normals[..., 1].reshape(-1)
-    ex = (vnext[..., 0].reshape(-1) - vx)
-    ey = (vnext[..., 1].reshape(-1) - vy)
+    vx = verts[..., 0].reshape(-1)[:, None]
+    vy = verts[..., 1].reshape(-1)[:, None]
+    nx = normals[..., 0].reshape(-1)[:, None]
+    ny = normals[..., 1].reshape(-1)[:, None]
+    ex = vnext[..., 0].reshape(-1)[:, None] - vx
+    ey = vnext[..., 1].reshape(-1)[:, None] - vy
     e2 = jnp.maximum(ex * ex + ey * ey, 1e-12)
 
-    lxv = jnp.repeat(lx, V, axis=1)           # (N, Sb*V)
-    lyv = jnp.repeat(ly, V, axis=1)
+    lxv = jnp.repeat(lx, V, axis=0)           # (Sb*V, N)
+    lyv = jnp.repeat(ly, V, axis=0)
     # face separations
-    seps = nx[None] * (lxv - vx[None]) + ny[None] * (lyv - vy[None])
-    seps_m = jnp.where(lane_ok[None], seps, -jnp.inf)
-    inside3 = jnp.all(
-        (jnp.where(lane_ok[None], seps <= 0.0, True)
-         ).reshape(-1, Sb, V), axis=2) & (counts[None, :] >= 3)
+    seps = nx * (lxv - vx) + ny * (lyv - vy)
+    seps_m = jnp.where(lane_ok, seps, -jnp.inf)
+    inside3 = (jnp.all(jnp.where(lane_ok, seps <= 0.0, True)
+                       .reshape(Sb, V, -1), axis=1)
+               & (counts[:, None] >= 3))      # (Sb, N)
     # per-edge closest point
-    tt = jnp.clip(((lxv - vx[None]) * ex[None]
-                   + (lyv - vy[None]) * ey[None]) / e2[None], 0.0, 1.0)
-    cpx = vx[None] + tt * ex[None]
-    cpy = vy[None] + tt * ey[None]
+    tt = jnp.clip(((lxv - vx) * ex + (lyv - vy) * ey) / e2, 0.0, 1.0)
+    cpx = vx + tt * ex
+    cpy = vy + tt * ey
     ddx = lxv - cpx
     ddy = lyv - cpy
     dd2 = ddx * ddx + ddy * ddy
-    dd = jnp.where(lane_ok[None], jnp.sqrt(dd2), jnp.inf)
-    dd3 = dd.reshape(-1, Sb, V)
-    dist_out = jnp.min(dd3, axis=2)           # (N, Sb)
-    bsel = dd3 == dist_out[..., None]
-    bsel = bsel & (jnp.cumsum(bsel, axis=2) == 1)
-    cl_x = jnp.sum(jnp.where(bsel, cpx.reshape(-1, Sb, V), 0.0), axis=2)
-    cl_y = jnp.sum(jnp.where(bsel, cpy.reshape(-1, Sb, V), 0.0), axis=2)
+    dd = jnp.where(lane_ok, jnp.sqrt(dd2), jnp.inf)
+    dd3 = dd.reshape(Sb, V, -1)
+    dist_out = jnp.min(dd3, axis=1)           # (Sb, N)
+    bsel = dd3 == dist_out[:, None, :]
+    bsel = bsel & (jnp.cumsum(bsel, axis=1) == 1)
+    cl_x = jnp.sum(jnp.where(bsel, cpx.reshape(Sb, V, -1), 0.0), axis=1)
+    cl_y = jnp.sum(jnp.where(bsel, cpy.reshape(Sb, V, -1), 0.0), axis=1)
     safe = jnp.where(dist_out > 0, dist_out, 1.0)
     nox = (lx - cl_x) / safe
     noy = (ly - cl_y) / safe
     # inside: deepest face
-    seps3 = seps_m.reshape(-1, Sb, V)
-    sep_max = jnp.max(seps3, axis=2)
-    fsel = seps3 == sep_max[..., None]
-    fsel = fsel & (jnp.cumsum(fsel, axis=2) == 1)
-    nix = jnp.sum(jnp.where(fsel, nx.reshape(Sb, V)[None], 0.0), axis=2)
-    niy = jnp.sum(jnp.where(fsel, ny.reshape(Sb, V)[None], 0.0), axis=2)
-    dist = jnp.where(inside3, sep_max, dist_out) - radii[None, :]
+    seps3 = seps_m.reshape(Sb, V, -1)
+    sep_max = jnp.max(seps3, axis=1)
+    fsel = seps3 == sep_max[:, None, :]
+    fsel = fsel & (jnp.cumsum(fsel, axis=1) == 1)
+    nix = jnp.sum(jnp.where(fsel, normals[..., 0][:, :, None], 0.0), axis=1)
+    niy = jnp.sum(jnp.where(fsel, normals[..., 1][:, :, None], 0.0), axis=1)
+    dist = jnp.where(inside3, sep_max, dist_out) - radii[:, None]
     lnx = jnp.where(inside3, nix, nox)
     lny = jnp.where(inside3, niy, noy)
     # degenerate single-point shape (circle): normal from center
-    is_pt = (counts == 1)[None, :]
-    dcx = lx - verts[None, :, 0, 0]
-    dcy = ly - verts[None, :, 0, 1]
+    is_pt = (counts == 1)[:, None]
+    dcx = lx - verts[:, 0, 0][:, None]
+    dcy = ly - verts[:, 0, 1][:, None]
     dlen = jnp.sqrt(dcx * dcx + dcy * dcy)
     dls = jnp.where(dlen > 0, dlen, 1.0)
-    dist = jnp.where(is_pt, dlen - radii[None, :], dist)
+    dist = jnp.where(is_pt, dlen - radii[:, None], dist)
     lnx = jnp.where(is_pt, dcx / dls, lnx)
     lny = jnp.where(is_pt, dcy / dls, lny)
     # rotate normals to world space
     wnx = c * lnx - s * lny
     wny = s * lnx + c * lny
-    return dist, jnp.stack([wnx, wny], axis=-1)
+    return dist.T, jnp.stack([wnx.T, wny.T], axis=-1)
 
 
 def _safe_div(a, b):
@@ -749,23 +751,37 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         key = _cell_key(pt0.pos, pt0.alive, diameter)
         order = jnp.argsort(key)
         skey = key[order]
-        # permute the per-particle fields the iteration touches: two packed
-        # gathers (floats + ints) instead of ~10
-        fpack = jnp.concatenate([
-            pt0.pos, pt0.vel, pt0.force, pt0.expiration[:, None],
-            pt0.static_pressure[:, None]], axis=1)[order]
-        ipack = jnp.stack([pt0.flags, pt0.group,
-                           pt0.alive.astype(jnp.int32), s2o],
-                          axis=1)[order]
+        # permute the per-particle fields the iteration touches with ONE
+        # packed gather (int columns ride a bitcast): gather cost is per
+        # ROW (~15 ns at 100k rows regardless of width), so one (n, 12+)
+        # gather costs half of the old separate float + int gathers
+        # (measured 3.7 ms each at 100k)
+        as_f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        as_i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        cols = [pt0.pos, pt0.vel, pt0.force, pt0.expiration[:, None],
+                pt0.static_pressure[:, None],
+                as_f32(jnp.stack([pt0.flags, pt0.group,
+                                  pt0.alive.astype(jnp.int32), s2o],
+                                 axis=1))]
+        if cfg.has_solid:
+            cols.append(pt0.depth[:, None])
+        if cfg.has_colormix:
+            cols.append(pt0.color.reshape(n_, -1))  # (Np, 4) f32 RGBA
+        pack = jnp.concatenate(cols, axis=1)[order]
+        ipack = as_i32(pack[:, 8:12])
         s2o_new = ipack[:, 3]
         pt = dataclasses.replace(
-            pt0, pos=fpack[:, 0:2], vel=fpack[:, 2:4], force=fpack[:, 4:6],
-            expiration=fpack[:, 6], static_pressure=fpack[:, 7],
+            pt0, pos=pack[:, 0:2], vel=pack[:, 2:4], force=pack[:, 4:6],
+            expiration=pack[:, 6], static_pressure=pack[:, 7],
             flags=ipack[:, 0], group=ipack[:, 1], alive=ipack[:, 2] > 0)
+        c_at = 12
         if cfg.has_solid:
-            pt = dataclasses.replace(pt, depth=pt0.depth[order])
+            pt = dataclasses.replace(pt, depth=pack[:, c_at])
+            c_at += 1
         if cfg.has_colormix:
-            pt = dataclasses.replace(pt, color=pt0.color[order])
+            nc = pt0.color.reshape(n_, -1).shape[1]
+            pt = dataclasses.replace(
+                pt, color=pack[:, c_at:c_at + nc].reshape(pt0.color.shape))
         if need_inv:
             # triad/pair indices are stored as ORIGINAL lane ids (the carry
             # never overwrites them); map original -> current sorted pos
@@ -1530,50 +1546,53 @@ def _ray_polygon_batched(pos, delta, s_origin, s_rot, verts, normals,
     the anti-tunnel pass drops anyway)."""
     V = verts.shape[1]
     Sb = verts.shape[0]
-    c = s_rot[None, :, 0]
-    s = s_rot[None, :, 1]
-    dx0 = pos[:, 0:1] - s_origin[None, :, 0]
-    dy0 = pos[:, 1:2] - s_origin[None, :, 1]
-    lpx = c * dx0 + s * dy0                       # (N, Sb) local origin
+    # TRANSPOSED layout: intermediates are (Sb, N) / (Sb*V, N) so the
+    # particle axis rides the 128-lane minor dim (see
+    # _point_shape_distance_batched — the (N, Sb*V) form tiled its narrow
+    # minor dim to 128 lanes, measured 7.8 ms/iteration at 100k, Sb=3)
+    c = s_rot[:, 0:1]                              # (Sb, 1)
+    s = s_rot[:, 1:2]
+    dx0 = pos[:, 0][None, :] - s_origin[:, 0:1]    # (Sb, N)
+    dy0 = pos[:, 1][None, :] - s_origin[:, 1:2]
+    lpx = c * dx0 + s * dy0                        # local origin
     lpy = -s * dx0 + c * dy0
-    ldx = c * delta[:, 0:1] + s * delta[:, 1:2]   # local direction
-    ldy = -s * delta[:, 0:1] + c * delta[:, 1:2]
+    ldx = c * delta[:, 0][None, :] + s * delta[:, 1][None, :]
+    ldy = -s * delta[:, 0][None, :] + c * delta[:, 1][None, :]
 
-    lane_ok = (_LANES[None, :V] < counts[:, None]).reshape(-1)
-    bx = verts[:, 0, 0]
-    by = verts[:, 0, 1]
-    vx = verts[..., 0].reshape(-1)
-    vy = verts[..., 1].reshape(-1)
-    nx = normals[..., 0].reshape(-1)
-    ny = normals[..., 1].reshape(-1)
-    # p = local origin - base, per (particle, shape); expanded over verts
-    px = jnp.repeat(lpx - bx[None, :], V, axis=1)      # (N, Sb*V)
-    py = jnp.repeat(lpy - by[None, :], V, axis=1)
-    ddx = jnp.repeat(ldx, V, axis=1)
-    ddy = jnp.repeat(ldy, V, axis=1)
-    rvx = (vx - jnp.repeat(bx, V))[None]
-    rvy = (vy - jnp.repeat(by, V))[None]
-    num = nx[None] * (rvx - px) + ny[None] * (rvy - py)
-    den = nx[None] * ddx + ny[None] * ddy
+    lane_ok = (_LANES[None, :V] < counts[:, None]).reshape(-1)[:, None]
+    bx = verts[:, 0, 0][:, None]                   # (Sb, 1)
+    by = verts[:, 0, 1][:, None]
+    vx = verts[..., 0].reshape(-1)[:, None]        # (Sb*V, 1)
+    vy = verts[..., 1].reshape(-1)[:, None]
+    nx = normals[..., 0].reshape(-1)[:, None]
+    ny = normals[..., 1].reshape(-1)[:, None]
+    # p = local origin - base, per (shape, particle); expanded over verts
+    px = jnp.repeat(lpx - bx, V, axis=0)           # (Sb*V, N)
+    py = jnp.repeat(lpy - by, V, axis=0)
+    ddx = jnp.repeat(ldx, V, axis=0)
+    ddy = jnp.repeat(ldy, V, axis=0)
+    rvx = vx - jnp.repeat(bx, V, axis=0)
+    rvy = vy - jnp.repeat(by, V, axis=0)
+    num = nx * (rvx - px) + ny * (rvy - py)
+    den = nx * ddx + ny * ddy
     tf = num / jnp.where(den != 0.0, den, 1.0)
-    lower_c = jnp.where(lane_ok[None] & (den < 0.0), tf, -jnp.inf)
-    upper_c = jnp.where(lane_ok[None] & (den > 0.0), tf, jnp.inf)
+    lower_c = jnp.where(lane_ok & (den < 0.0), tf, -jnp.inf)
+    upper_c = jnp.where(lane_ok & (den > 0.0), tf, jnp.inf)
     par_miss = jnp.any(
-        (lane_ok[None] & (den == 0.0) & (num < 0.0)).reshape(-1, Sb, V),
-        axis=2)
-    lc3 = lower_c.reshape(-1, Sb, V)
-    mx = jnp.max(lc3, axis=2)                      # (N, Sb)
+        (lane_ok & (den == 0.0) & (num < 0.0)).reshape(Sb, V, -1), axis=1)
+    lc3 = lower_c.reshape(Sb, V, -1)
+    mx = jnp.max(lc3, axis=1)                      # (Sb, N)
     lower = jnp.maximum(mx, 0.0)
-    upper = jnp.minimum(jnp.min(upper_c.reshape(-1, Sb, V), axis=2), 1.0)
+    upper = jnp.minimum(jnp.min(upper_c.reshape(Sb, V, -1), axis=1), 1.0)
     hit = (~par_miss) & (lower <= upper) & (mx > 0.0) & (mx <= 1.0)
     frac = jnp.where(hit, lower, jnp.inf)
-    sel = lc3 == mx[..., None]
-    sel = sel & (jnp.cumsum(sel, axis=2) == 1)
-    lnx = jnp.sum(jnp.where(sel, nx.reshape(Sb, V)[None], 0.0), axis=2)
-    lny = jnp.sum(jnp.where(sel, ny.reshape(Sb, V)[None], 0.0), axis=2)
+    sel = lc3 == mx[:, None, :]
+    sel = sel & (jnp.cumsum(sel, axis=1) == 1)
+    lnx = jnp.sum(jnp.where(sel, normals[..., 0][:, :, None], 0.0), axis=1)
+    lny = jnp.sum(jnp.where(sel, normals[..., 1][:, :, None], 0.0), axis=1)
     wnx = c * lnx - s * lny
     wny = s * lnx + c * lny
-    return hit, frac, wnx, wny
+    return hit.T, frac.T, wnx.T, wny.T
 
 
 def _solve_collision(pt: Particles, pos, vel, state: WorldState, bs_idx,
