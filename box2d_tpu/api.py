@@ -235,6 +235,8 @@ class World:
                 # view (see ParticleConfig docstring)
                 use_window_kernel=(jax.default_backend() not in ("cpu",)
                                    and len(pb.flags) >= 2048),
+                rank_repair=(jax.default_backend() not in ("cpu",)
+                             and len(pb.flags) >= 2048),
                 max_body_shapes=mbs,
                 block_shape_slots=k_cull,
                 geom_types=frozenset(

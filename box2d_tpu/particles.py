@@ -183,6 +183,11 @@ class ParticleConfig(NamedTuple):
     # windowed gather/scatter pipeline. Only valid when no gated pass needs
     # the flat pair view (plain-water scenes); set by api.compile() on TPU.
     use_window_kernel: bool = False
+    # nearly-sorted rank repair of the per-sub-iteration cell sort
+    # (particles_pallas.rank_pass); only meaningful on the window-kernel
+    # path. Off under vmapped batches: the fallback lax.cond lowers to a
+    # select there, running BOTH the kernel and the full sort every step.
+    rank_repair: bool = False
     # per-block body-shape culling: when the step's compacted nearby-shape
     # set Sb exceeds this, each block of 256 SORTED particles (spatially
     # coherent by cell key) selects its own top-K overlapping shapes and the
@@ -733,7 +738,7 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
     need_inv = cfg.has_elastic or cfg.has_spring or cfg.has_barrier
 
     def iteration(carry, _):
-        pt0, body_dv, body_dw, _bc_cnt, s2o = carry
+        pt0, body_dv, body_dw, _bc_cnt, s2o, skey_prev = carry
         n_ = pt0.pos.shape[0]
 
         # ---- cell sort: the WHOLE iteration runs in sorted space --------
@@ -744,37 +749,72 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         # per-particle fields are in the PREVIOUS iteration's sorted order
         # and s2o maps sorted position -> original lane. Each iteration
         # composes the new order on top (one extra int column in the
-        # packed gather); the scatter back to original lanes happens ONCE
+        # packed scatter); the scatter back to original lanes happens ONCE
         # per step after the scan — the old per-iteration un-sort cost
         # three ~n-row scatters per iteration just so the next iteration
         # could re-gather.
         key = _cell_key(pt0.pos, pt0.alive, diameter)
-        order = jnp.argsort(key)
-        skey = key[order]
+        use_kernel = cfg.use_window_kernel and not need_flat and not need_inv
+        if cfg.rank_repair and use_kernel:
+            # NEARLY-SORTED repair (particles_pallas.rank_pass): particles
+            # move <= 1 cell per sub-iteration, so the new sorted position
+            # is a windowed rank over the previously sorted table — a dense
+            # compare-reduce instead of the 3.1 ms full lax.sort at 100k.
+            # Falls back to the full sort whenever the preconditions fail
+            # (first iteration after host mutation, a > 1-cell jump, or a
+            # window wider than the static budget).
+            from .particles_pallas import (B_BLK as _RBLK, rank_offsets,
+                                           rank_pass, rank_window)
+            nbk = -(-n_ // _RBLK)
+            rbw = rank_window(n_)
+            offs_r, span_ok = rank_offsets(skey_prev, nbk, rbw)
+            sorted_ok = jnp.all(skey_prev[1:] >= skey_prev[:-1])
+            drow = jnp.abs((key >> 16) - (skey_prev >> 16))
+            dcol = jnp.abs((key & 0xFFFF) - (skey_prev & 0xFFFF))
+            jump_ok = jnp.all((drow <= 1) & (dcol <= 1))
+            use_rank = sorted_ok & jump_ok & jnp.all(span_ok)
+            interp_r = jax.default_backend() == "cpu"
+
+            def _rank_fn(_):
+                return rank_pass(key, offs_r, nbk, rbw, interp_r)
+
+            def _sort_fn(_):
+                order_ = jnp.argsort(key)
+                return jnp.zeros(n_, jnp.int32).at[order_].set(
+                    jnp.arange(n_, dtype=jnp.int32))
+
+            rank = jax.lax.cond(use_rank, _rank_fn, _sort_fn, None)
+        else:
+            order_ = jnp.argsort(key)
+            rank = jnp.zeros(n_, jnp.int32).at[order_].set(
+                jnp.arange(n_, dtype=jnp.int32))
         # permute the per-particle fields the iteration touches with ONE
-        # packed gather (int columns ride a bitcast): gather cost is per
-        # ROW (~15 ns at 100k rows regardless of width), so one (n, 12+)
-        # gather costs half of the old separate float + int gathers
+        # packed SCATTER to the new positions (int columns ride a bitcast;
+        # the new skey rides as one more int column): scatter/gather cost
+        # is per ROW (~11-33 ns at 100k rows regardless of width), so one
+        # (n, 13+) op costs half of the old separate float + int permutes
         # (measured 3.7 ms each at 100k)
         as_f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         as_i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         cols = [pt0.pos, pt0.vel, pt0.force, pt0.expiration[:, None],
                 pt0.static_pressure[:, None],
                 as_f32(jnp.stack([pt0.flags, pt0.group,
-                                  pt0.alive.astype(jnp.int32), s2o],
+                                  pt0.alive.astype(jnp.int32), s2o, key],
                                  axis=1))]
         if cfg.has_solid:
             cols.append(pt0.depth[:, None])
         if cfg.has_colormix:
             cols.append(pt0.color.reshape(n_, -1))  # (Np, 4) f32 RGBA
-        pack = jnp.concatenate(cols, axis=1)[order]
-        ipack = as_i32(pack[:, 8:12])
+        pack_src = jnp.concatenate(cols, axis=1)
+        pack = jnp.zeros_like(pack_src).at[rank].set(pack_src)
+        ipack = as_i32(pack[:, 8:13])
         s2o_new = ipack[:, 3]
+        skey = ipack[:, 4]
         pt = dataclasses.replace(
             pt0, pos=pack[:, 0:2], vel=pack[:, 2:4], force=pack[:, 4:6],
             expiration=pack[:, 6], static_pressure=pack[:, 7],
             flags=ipack[:, 0], group=ipack[:, 1], alive=ipack[:, 2] > 0)
-        c_at = 12
+        c_at = 13
         if cfg.has_solid:
             pt = dataclasses.replace(pt, depth=pack[:, c_at])
             c_at += 1
@@ -800,7 +840,6 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
         vel = pt.vel
 
         # ---- neighbor contacts (ref UpdateContacts) ----
-        use_kernel = cfg.use_window_kernel and not need_flat and not need_inv
         if use_kernel:
             # dense masked-band Pallas path (particles_pallas.py): the pair
             # passes become per-block band sweeps with zero per-index ops
@@ -1347,14 +1386,20 @@ def particle_step(pt: Particles, state: WorldState, dt, cfg: ParticleConfig):
                 pt2, triad_a=pt0.triad_a, triad_b=pt0.triad_b,
                 triad_c=pt0.triad_c, pair_a=pt0.pair_a, pair_b=pt0.pair_b)
         bc_cnt = jnp.sum(bc_ok, axis=1).astype(jnp.int32)
-        return (pt2, body_dv, body_dw, bc_cnt, s2o_new), c_over + cull_over
+        return (pt2, body_dv, body_dw, bc_cnt, s2o_new,
+                skey), c_over + cull_over
 
     n0 = pt.pos.shape[0]
     bc_cnt0 = jnp.zeros(n0, jnp.int32)
     pt_orig = pt
-    (pt_s, body_dv, body_dw, bc_cnt_s, s2o), c_over_iters = jax.lax.scan(
+    # initial sort keys in ORIGINAL lane order: iteration 1's rank repair
+    # engages only if the original order happens to be key-sorted (fresh
+    # row-major spawns often are); otherwise the sortedness check falls
+    # back to the full sort
+    skey0 = _cell_key(pt.pos, pt.alive, diameter)
+    (pt_s, body_dv, body_dw, bc_cnt_s, s2o, _), c_over_iters = jax.lax.scan(
         iteration, (pt, body_dv, body_dw, bc_cnt0,
-                    jnp.arange(n0, dtype=jnp.int32)), None,
+                    jnp.arange(n0, dtype=jnp.int32), skey0), None,
         length=cfg.iterations)
     neighbor_overflow = (jnp.max(c_over_iters).astype(jnp.int32)
                          + shape_overflow)

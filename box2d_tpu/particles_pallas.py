@@ -235,6 +235,162 @@ def block_offsets(skey, n_blocks: int):
     return jnp.stack([s_off, u_off, d_off, jnp.zeros_like(s_off)], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# sorted-order rank repair
+# ---------------------------------------------------------------------------
+#
+# Each sub-iteration re-sorts the particle table by cell key, but particles
+# move at most ONE cell per sub-iteration (LimitVelocity caps speed at
+# diameter/dt), so the table is always NEARLY sorted: the new key of the
+# particle at sorted lane j differs from the key the table was sorted by
+# (skey_prev[j]) by at most +-1 row and +-1 column. The full lax.sort
+# (3.1 ms at 100k) can then be replaced by a windowed RANK computation:
+#
+#   new_pos(i) = off_b + #{ j in window_b : (newkey_j, j) < (newkey_i, i) }
+#
+# where window_b = the contiguous slice of the PREVIOUSLY sorted table
+# covering old rows [r0-2, r1+2] around block b's old rows [r0, r1]. Every
+# lane before the window has old row <= r0-3, hence new row <= r0-2 <
+# r0-1 <= any block lane's new row — strictly less, counted by off_b; every
+# lane after has new row >= r1+2 > r1+1 — never counted. The count inside
+# the window is a dense (B, RB) compare-reduce: the same masked-band shape
+# as the pair kernels, zero per-index ops. The reference re-sorts with a
+# parallel merge sort for exactly this near-sortedness
+# (particle/ParticleSystem.cs:1362-1370); this is the TPU analog.
+#
+# The caller must verify (and lax.cond-fall back to a full argsort when):
+#   - skey_prev is ascending (host mutations / first iteration break this),
+#   - every particle moved <= 1 row and <= 1 column since the last sort,
+#   - every block's required window fits in RB lanes (rank_offsets reports).
+
+
+def rank_window(n: int) -> int:
+    """Static rank-window size: ~5 cell rows of the sorted table plus block
+    and alignment slack, clamped to [1536, 4096] lanes (128-multiples).
+    Blocks whose 5-row span exceeds this fall back to the full sort (see
+    rank_offsets.ok) — notably flat multi-world batches, whose key rows
+    interleave EVERY world's row segment."""
+    return min(4096, max(1536, (n // 24 + 127) // 128 * 128))
+
+
+def _rank_kernel(offs_ref, tab_ref, out_ref, win, sems, *,
+                 n_blocks: int, rb: int):
+    # double-buffered window DMA, same discipline as _kernel: visit i
+    # prefetches visit i+1's window into the other slot.
+    # Keys travel as TWO exact f32 halves (row >> 16 and col & 0xFFFF, both
+    # < 2^16 so f32-exact): Mosaic rejects narrow int32 side inputs, and the
+    # f32 rows let the block read its OWN keys from the window with the
+    # same positional one-hot MXU trick as _kernel (lexicographic compare
+    # on the halves == int32 compare on the packed key).
+    i = pl.program_id(0)
+    slot = lax.rem(i, 2)
+
+    def cp(blk, sl):
+        off = pl.multiple_of(offs_ref[blk, 0], 128)
+        return pltpu.make_async_copy(
+            tab_ref.at[:, pl.ds(off, rb)], win.at[sl], sems.at[sl])
+
+    @pl.when(i == 0)
+    def _self_fetch():
+        cp(0, slot).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _prefetch():
+        cp(jnp.minimum(i + 1, n_blocks - 1), 1 - slot).start()
+
+    cp(i, slot).wait()
+    off = pl.multiple_of(offs_ref[i, 0], 128)
+    w_hi = win[slot][0:1, :]                       # (1, rb) f32 key hi half
+    w_lo = win[slot][1:2, :]                       # (1, rb) f32 key lo half
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, rb), 1)
+    widx = iota_l + off                            # window lanes' global ids
+    gpos = (i * B_BLK
+            + jax.lax.broadcasted_iota(jnp.int32, (B_BLK, rb), 0))
+    # own key halves: the block's lanes are inside its window (rank_offsets
+    # guarantees coverage), select them with an exact f32 one-hot dot
+    oh = jnp.where(widx == gpos, 1.0, 0.0)
+    mine = _dot_t(oh, win[slot][:, :])             # (B, 8)
+    my_hi = mine[:, 0:1]
+    my_lo = mine[:, 1:2]
+    less = ((w_hi < my_hi)
+            | ((w_hi == my_hi)
+               & ((w_lo < my_lo) | ((w_lo == my_lo) & (widx < gpos)))))
+    rank = off + jnp.sum(less.astype(jnp.int32), axis=1, keepdims=True)
+    zero = jnp.zeros((B_BLK, 1), jnp.int32)
+    out_ref[:, :] = jnp.concatenate([rank] + [zero] * 7, axis=1)
+
+
+def rank_offsets(skey_prev, n_blocks: int, rb: int):
+    """Per-block rank-window offsets over the PREVIOUSLY sorted key table.
+
+    Returns (offs (n_blocks, 4) int32, ok (n_blocks,) bool). ok[b] is False
+    when block b's required coverage [first lane of old row r0-2, first lane
+    of old row r1+3) does not fit in rb lanes from the 128-aligned offset —
+    the caller must then fall back to a full sort."""
+    n = skey_prev.shape[0]
+    n_pad = n_blocks * B_BLK + rb
+    idx0 = jnp.arange(n_blocks, dtype=jnp.int32) * B_BLK
+    idx1 = jnp.minimum(idx0 + B_BLK - 1, n - 1)
+    fk = skey_prev[jnp.minimum(idx0, n - 1)]
+    lk = skey_prev[idx1]
+    # row starts; the +-0x8000 biases live in the sign bit, so +-2 rows can
+    # wrap int32 — clamp both directions (cf. block_offsets)
+    row_lo = fk & ~jnp.int32(0xFFFF)
+    row_hi = lk & ~jnp.int32(0xFFFF)
+    tgt_lo = row_lo - 2 * (1 << 16)
+    tgt_lo = jnp.where(tgt_lo > row_lo, jnp.int32(-0x80000000), tgt_lo)
+    tgt_hi = row_hi + 3 * (1 << 16)
+    tgt_hi = jnp.where(tgt_hi < row_hi, jnp.int32(0x7FFFFFFF), tgt_hi)
+    lo_i = jnp.searchsorted(skey_prev, tgt_lo).astype(jnp.int32)
+    hi_i = jnp.searchsorted(skey_prev, tgt_hi).astype(jnp.int32)
+    start = jnp.minimum(lo_i, idx0)
+    off = jnp.clip(start - (start % 128), 0, n_pad - rb)
+    end_needed = jnp.maximum(hi_i, idx1 + 1)
+    ok = end_needed <= off + rb
+    offs = jnp.stack([off, jnp.zeros_like(off), jnp.zeros_like(off),
+                      jnp.zeros_like(off)], axis=1)
+    return offs, ok
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "rb", "interpret"))
+def rank_pass(newkey, offs, n_blocks: int, rb: int, interpret: bool = False):
+    """New sorted position per lane (see module comment). newkey (n,) int32
+    cell keys in the CURRENT (previously sorted) lane order; offs from
+    rank_offsets. Returns (n,) int32 ranks — a bijection onto [0, n) when
+    the caller-verified preconditions hold."""
+    n = newkey.shape[0]
+    n_pad = n_blocks * B_BLK + rb
+    # exact f32 key halves; padding sorts strictly after every real key
+    hi = (newkey >> 16).astype(jnp.float32)
+    lo = (newkey & 0xFFFF).astype(jnp.float32)
+    pad = jnp.full((n_pad - n,), 1e9, jnp.float32)
+    tab = jnp.concatenate(
+        [jnp.concatenate([hi, pad])[None, :],
+         jnp.concatenate([lo, pad])[None, :],
+         jnp.zeros((6, n_pad), jnp.float32)], axis=0)
+    kern = functools.partial(_rank_kernel, n_blocks=n_blocks, rb=rb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # key table (DMA src)
+        ],
+        out_specs=pl.BlockSpec((B_BLK, 8), lambda i, offs: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, rb), jnp.float32),      # double-buffered window
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * B_BLK, 8), jnp.int32),
+        interpret=interpret,
+    )(offs, tab)
+    return out[:n, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("phase", "n_blocks",
                                              "interpret"))
 def window_pass(tab, offs, scalars, phase: int, n_blocks: int,

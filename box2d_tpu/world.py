@@ -90,6 +90,50 @@ def _step(state: WorldState, dt, cap: Capacity, classes_present: frozenset,
           use_pallas: bool = False,
           custom_filter=None, pre_solve=None,
           light_events: bool = False) -> WorldState:
+    # Particle worlds: particles step FIRST (the reference runs them inside
+    # the same step, api/World.cs:92; ordering them before the rigid phases
+    # is equivalent because those phases read only poses, which particles
+    # never touch). That lets the ENTIRE rigid pipeline be cond-skipped when
+    # it has nothing to do — no awake non-static body (including bodies the
+    # particle impulses just poked awake) and no host mutation. A pure-tank
+    # scene (dam break: 1 static body) otherwise pays ~5 ms/step of rigid
+    # fixed cost at every step; flat particle batches pay more.
+    if particle_cfg is not None and state.particles is not None \
+            and state.broadphase is not None:
+        new_particles, body_dv, body_dw, pov = particle_step(
+            state.particles, state, dt, particle_cfg)
+        # particle impulses wake the bodies they touch
+        # (ref: particle/World.cs:47-61 ApplyLinearImpulse -> WakeBody)
+        poked = (m.dot(body_dv, body_dv) + body_dw * body_dw) > 1e-12
+        b0 = state.bodies
+        b1 = dataclasses.replace(
+            b0, v=b0.v + body_dv, w=b0.w + body_dw,
+            awake=b0.awake | (poked & (b0.type == 2)),
+            sleep_time=jnp.where(poked, 0.0, b0.sleep_time))
+        state = dataclasses.replace(state, bodies=b1,
+                                    particles=new_particles)
+        rigid_live = (state.broadphase.dirty
+                      | jnp.any(b1.awake & (b1.type != 0) & b1.enabled))
+
+        def rigid_fn(st):
+            # particle_cfg=None: particles already ran, and the narrow
+            # phase's packed dyn rows are built POST-poke, so the dyn-row
+            # fast paths (ad_a/ad_b, fresh_vw, rows_fresh) are all valid
+            return _step_work(st, dt, cap, classes_present, substeps,
+                              joint_types, sensor_ids, continuous, None,
+                              use_pallas, custom_filter=custom_filter,
+                              pre_solve=pre_solve, light_events=light_events,
+                              particle_overflow_in=pov)
+
+        def skip_fn(st):
+            profile = dataclasses.replace(zero_profile(),
+                                          overflow_particles=pov)
+            return dataclasses.replace(
+                st, events=zero_events(cap), profile=profile,
+                step_count=st.step_count + 1)
+
+        return lax.cond(rigid_live, rigid_fn, skip_fn, state)
+
     # whole-world idle fast path: when every non-static body is asleep and
     # no host mutator dirtied the broadphase, the world is a fixed point —
     # skip the entire step (the reference's sleeping solver sets cost
@@ -126,7 +170,8 @@ def _step_work(state: WorldState, dt, cap: Capacity,
                particle_cfg: ParticleConfig | None = None,
                use_pallas: bool = False, until: str = "",
                custom_filter=None, pre_solve=None,
-               light_events: bool = False) -> WorldState:
+               light_events: bool = False,
+               particle_overflow_in=None) -> WorldState:
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     h = dt / substeps
@@ -179,7 +224,10 @@ def _step_work(state: WorldState, dt, cap: Capacity,
         return data
 
     # --- particle systems run before the rigid solve (ref: api/World.cs:92)
-    particle_overflow = jnp.int32(0)
+    # (production particle worlds arrive here with particle_cfg=None and the
+    # particles ALREADY stepped by _step's gate; their overflow rides in)
+    particle_overflow = (particle_overflow_in if particle_overflow_in
+                         is not None else jnp.int32(0))
     if particle_cfg is not None and state.particles is not None:
         new_particles, body_dv, body_dw, particle_overflow = particle_step(
             state.particles, state, dt, particle_cfg)

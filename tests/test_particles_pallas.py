@@ -116,3 +116,51 @@ def test_particle_step_kernel_path_matches_window_path():
                                np.asarray(p_r.vel)[alive], atol=1e-3)
     np.testing.assert_allclose(np.asarray(dv_k), np.asarray(dv_r), atol=1e-4)
     assert int(ov_k) == 0
+
+
+def test_rank_pass_matches_stable_argsort():
+    """rank_pass (nearly-sorted rank repair) must reproduce the stable
+    argsort permutation exactly for +-1-cell key perturbations."""
+    rng = np.random.RandomState(7)
+    for n in (900, 5000, 20000):
+        cols = rng.randint(-300, 300, n).astype(np.int32) + 0x8000
+        rows = np.sort(rng.randint(0, max(n // 200, 4), n)).astype(np.int32)
+        key0 = np.sort(((rows - 0x7FF0).astype(np.int64) << 16
+                        | cols).astype(np.int32))
+        newkey = (key0 + rng.randint(-1, 2, n).astype(np.int32) * (1 << 16)
+                  + rng.randint(-1, 2, n).astype(np.int32))
+        nb = -(-n // pp.B_BLK)
+        rb = pp.rank_window(n)
+        offs, ok = pp.rank_offsets(jnp.asarray(key0), nb, rb)
+        assert bool(jnp.all(ok)), "window budget must cover the test grid"
+        rank = np.asarray(pp.rank_pass(jnp.asarray(newkey), offs, nb, rb,
+                                       interpret=True))
+        order = np.argsort(newkey, kind="stable")
+        want = np.zeros(n, np.int32)
+        want[order] = np.arange(n)
+        np.testing.assert_array_equal(rank, want)
+
+
+def test_particle_step_rank_repair_bit_identical():
+    """Full particle trajectories with rank_repair on vs off must be
+    BIT-identical: the rank path reproduces the stable argsort permutation,
+    so every downstream op sees the same operands in the same order."""
+    from box2d_tpu import scenes
+    from box2d_tpu.particles import particle_step
+    import dataclasses as _dc
+
+    w = scenes.dam_break(700)
+    w.compile()
+    w.run(10, 1 / 60)
+    state = w.state
+    cfg_ref = w._pcfg._replace(use_window_kernel=True, rank_repair=False)
+    cfg_rr = cfg_ref._replace(rank_repair=True)
+    pt_a, pt_b = state.particles, state.particles
+    for _ in range(4):
+        pt_a, dva, dwa, ova = particle_step(pt_a, state, jnp.float32(1 / 60),
+                                            cfg_ref)
+        pt_b, dvb, dwb, ovb = particle_step(pt_b, state, jnp.float32(1 / 60),
+                                            cfg_rr)
+    np.testing.assert_array_equal(np.asarray(pt_a.pos), np.asarray(pt_b.pos))
+    np.testing.assert_array_equal(np.asarray(pt_a.vel), np.asarray(pt_b.vel))
+    np.testing.assert_array_equal(np.asarray(dva), np.asarray(dvb))
